@@ -182,6 +182,10 @@ class Message:
         self._values = dict(other._values)
         self._unknown = list(other._unknown)
 
+    def copy(self) -> "Message":
+        """Deep copy via the wire format (fields are value-semantics)."""
+        return type(self).parse(self.serialize())
+
     # -- equality / repr ----------------------------------------------------
     def __eq__(self, other: Any) -> bool:
         return (

@@ -1,0 +1,314 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Batched unigram encode on TPU: trie-gather lattice populate + Viterbi scan.
+
+TPU-native form of the reference encode hot path
+(sentencepiece_processor.cc:562-576 → unigram_model.cc:535-604 PopulateNodes
+→ :222-261 Viterbi), as one jitted array program over a padded batch.
+
+Design notes (byte-indexed lattice):
+  * The lattice is indexed by BYTE position, not char position. Vocab pieces
+    are valid UTF-8, so every trie match begins and ends on a char boundary
+    automatically; non-boundary byte positions are simply unreachable in the
+    Viterbi recursion and cost nothing. This removes all char-compaction
+    scatters — the depth-d walk writes its match lane directly.
+  * The trie walk is D = max-piece-byte-length steps; each step is one
+    XOR-addressed gather over the darts unit table in HBM, batched over all
+    (row, byte) lanes at once (unigram_model.cc:535-604 ran this loop per
+    position on the host).
+  * Viterbi is a length-N `lax.scan` carrying a D-wide rolling window of
+    best-path scores. The reference's tie-break (strict '>' over nodes in
+    insertion order = longest piece first, unigram_model.cc:248-259) becomes
+    a first-argmax over the byte-length-descending candidate vector.
+  * Backtrace + reverse-compaction + adjacent-UNK merge
+    (sentencepiece_processor.cc:506-521) are masked gathers/cumsum scatters.
+
+Score rules folded into the tables: user-defined pieces score
+`char_len*max_score + 1.0` (unigram_model.cc:590); positions with no
+single-char piece get a `min_score - 10` UNK node (:550,:595-603).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import trie
+
+NEG_INF = float(np.float32(-1e30))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "unk_id", "add_bos", "add_eos",
+                     "reverse", "bos_id", "eos_id", "pad_id"))
+def unigram_encode_batch(units: jnp.ndarray,
+                         lat_score_table: jnp.ndarray,
+                         batch: jnp.ndarray,
+                         lengths: jnp.ndarray,
+                         unk_score: jnp.ndarray,
+                         *,
+                         max_depth: int,
+                         unk_id: int,
+                         add_bos: bool = False,
+                         add_eos: bool = False,
+                         reverse: bool = False,
+                         bos_id: int = 1,
+                         eos_id: int = 2,
+                         pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode normalized UTF-8 bytes to token ids.
+
+    Args:
+      units: uint32[U] darts unit table over vocab pieces.
+      lat_score_table: float32[V] per-piece lattice score with the
+        user-defined rule pre-applied; -inf for UNUSED pieces.
+      batch: uint8[B, N] normalized bytes, zero-padded.
+      lengths: int32[B] byte lengths.
+      unk_score: float32[] = min_score - kUnkPenalty.
+      max_depth: max piece byte length D (static).
+
+    Returns:
+      (ids int32[B, N+2], out_lengths int32[B]); rows padded with pad_id.
+    """
+    B, N = batch.shape
+    D = max_depth
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+    is_start = in_range & ((batch & 0xC0) != 0x80)
+
+    # char byte-length at char starts (valid UTF-8 after normalization)
+    lead = batch
+    charlen = jnp.where(
+        lead < 0x80, 1,
+        jnp.where(lead < 0xE0, 2, jnp.where(lead < 0xF0, 3, 4))).astype(
+            jnp.int32)
+
+    # -- lattice populate: end-aligned id/score bands --------------------------
+    # id_end[b, p, j] = piece id of the byte-length-(j+1) match ENDING at
+    # byte p (i.e. starting at p-(j+1)); -1 if none.
+    batch_pad = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
+    state = jnp.broadcast_to(trie.root_state(units), (B, N))
+    alive = is_start
+    id_lanes = []
+    for d in range(D):
+        c = batch_pad[:, d:N + d].astype(jnp.uint32)
+        byte_ok = (pos + d) < lengths[:, None]
+        state, alive, val = trie.step(units, state, c, alive & byte_ok)
+        id_lanes.append(val)
+
+    # UNK fallback where no single-char piece covers the char start
+    # (unigram_model.cc:595-603): the UNK node spans one char (1-4 bytes).
+    # Insert it into lane charlen-1 when that lane has no match there.
+    lat_ids = jnp.stack(id_lanes, axis=2)  # [B, N, D] start-aligned
+    cl = jnp.clip(charlen - 1, 0, D - 1)
+    lane_at_cl = jnp.take_along_axis(lat_ids, cl[:, :, None], axis=2)[:, :, 0]
+    need_unk = is_start & (lane_at_cl < 0)
+    is_unk_node = jnp.zeros((B, N, D), jnp.bool_).at[
+        jnp.arange(B)[:, None], pos, cl].set(need_unk, mode="drop")
+    lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
+
+    vsafe = jnp.maximum(lat_ids, 0)
+    lat_sc = jnp.where(lat_ids >= 0, lat_score_table[vsafe], NEG_INF)
+    lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
+
+    # end-align: x_end[b, p, j] = x[b, p-(j+1), j] for p in 0..N
+    def end_align(lat, fill):
+        cols = []
+        for j in range(D):
+            shifted = jnp.concatenate(
+                [jnp.full((B, j + 1), fill, lat.dtype),
+                 lat[:, :N - j, j]], axis=1)  # length N+1
+            cols.append(shifted)
+        return jnp.stack(cols, axis=2)  # [B, N+1, D]
+
+    sc_end = end_align(lat_sc, NEG_INF)
+    id_end = end_align(lat_ids, -1)
+
+    # -- Viterbi scan ----------------------------------------------------------
+    def vit_step(win, sc_p):
+        # win[:, j] = best[p-1-j]; sc_p[:, j] = score of len-(j+1) piece @ p
+        cand = win + sc_p
+        rev = cand[:, ::-1]
+        am = jnp.argmax(rev, axis=1)  # first max = longest piece (tie-break)
+        best_p = jnp.take_along_axis(rev, am[:, None], axis=1)[:, 0]
+        kchoice = (D - am).astype(jnp.int32)
+        new_win = jnp.concatenate([best_p[:, None], win[:, :D - 1]], axis=1)
+        return new_win, (kchoice, best_p)
+
+    win0 = jnp.full((B, D), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    _, (bp, _) = jax.lax.scan(vit_step, win0,
+                              jnp.swapaxes(sc_end[:, 1:, :], 0, 1))
+    bp = jnp.concatenate([jnp.ones((1, B), jnp.int32), bp], axis=0)  # [N+1,B]
+
+    # -- backtrace -------------------------------------------------------------
+    rows = jnp.arange(B)
+
+    def bt_step(p, _):
+        active = p > 0
+        psafe = jnp.maximum(p, 0)
+        k = jnp.maximum(bp[psafe, rows], 1)
+        tok = id_end[rows, psafe, jnp.clip(k - 1, 0, D - 1)]
+        new_p = jnp.where(active, p - k, p)
+        return new_p, (jnp.where(active, tok, -1), active)
+
+    _, (rev_ids, rev_mask) = jax.lax.scan(bt_step, lengths, None, length=N)
+    rev_ids = rev_ids.T     # [B, N] tokens, reverse order
+    rev_mask = rev_mask.T
+    T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
+
+    # reverse-compact
+    t = jnp.arange(N, dtype=jnp.int32)[None, :]
+    src = jnp.clip(T[:, None] - 1 - t, 0, N - 1)
+    ids = jnp.take_along_axis(rev_ids, src, axis=1)
+    ids = jnp.where(t < T[:, None], ids, -1)
+
+    # adjacent-UNK merge (sentencepiece_processor.cc:506-521)
+    prev = jnp.concatenate([jnp.full((B, 1), -1, ids.dtype), ids[:, :-1]],
+                           axis=1)
+    keep = (t < T[:, None]) & ~((ids == unk_id) & (prev == unk_id))
+    newidx = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
+    out = jnp.full((B, N + 2), pad_id, jnp.int32)
+    scat_col = jnp.where(keep, newidx, N + 1)
+    out = out.at[rows[:, None], scat_col].set(
+        jnp.where(keep, ids, pad_id), mode="drop")
+    out = out.at[:, N + 1].set(pad_id)
+    newT = jnp.sum(keep, axis=1, dtype=jnp.int32)
+
+    # -- extra options: reverse / bos / eos (ApplyExtraOptions order) ---------
+    M = N + 2
+    tt = jnp.arange(M, dtype=jnp.int32)[None, :]
+    if reverse:
+        src = jnp.clip(newT[:, None] - 1 - tt, 0, M - 1)
+        rev = jnp.take_along_axis(out, src, axis=1)
+        out = jnp.where(tt < newT[:, None], rev, pad_id)
+    if add_bos:
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), bos_id, jnp.int32), out[:, :M - 1]], axis=1)
+        out = jnp.where(tt <= newT[:, None], shifted, pad_id)
+        out = out.at[:, 0].set(bos_id)
+        newT = newT + 1
+    if add_eos:
+        out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
+        newT = newT + 1
+        out = jnp.where(tt < newT[:, None], out, pad_id)
+    return out, newT
+
+
+class UnigramBatchEncoder:
+    """Host wrapper: normalize on host, segment on device in length buckets.
+
+    The analog of the reference TF ``SentencepieceEncodeDense`` op
+    (tensorflow/sentencepiece_processor_ops.cc:250-305,387) — except the
+    per-row encode itself runs on the TPU instead of looping on the host.
+    """
+
+    BUCKETS = (128, 512, 2048, 4096)
+    MAX_BATCH = 1024
+
+    def __init__(self, processor, add_bos=False, add_eos=False,
+                 reverse=False, pad_id: Optional[int] = None):
+        from ..models.unigram import UnigramModel, K_UNK_PENALTY
+        from ..proto.spec import PieceType
+
+        model = processor.model
+        if not isinstance(model, UnigramModel):
+            raise TypeError("UnigramBatchEncoder requires a unigram model")
+        self.processor = processor
+        self.model = model
+        self.units = jnp.asarray(model.trie.units)
+        types = model.types
+        # fold user-defined / unused rules into one score table
+        # (unigram_model.cc:584-593)
+        scores = np.array(model.scores, np.float32)
+        char_lens = np.array(
+            [len(p.decode("utf-8", errors="surrogateescape"))
+             for p in model._piece_bytes], np.int64)
+        user = types == PieceType.USER_DEFINED
+        scores = np.where(user,
+                          (char_lens * model.max_score + 1.0).astype(
+                              np.float32), scores)
+        scores = np.where(types == PieceType.UNUSED, NEG_INF, scores)
+        self.lat_score_table = jnp.asarray(scores)
+        keys = list(model.pieces)
+        # D >= 4 so the UNK node's lane (one char = up to 4 bytes) exists
+        self.max_depth = max(max((len(k) for k in keys), default=1), 4)
+        self.unk_score = jnp.float32(model.min_score - K_UNK_PENALTY)
+        self.unk_id = model.unk_id
+        self.add_bos = add_bos
+        self.add_eos = add_eos
+        self.reverse = reverse
+        self.bos_id = processor.bos_id()
+        self.eos_id = processor.eos_id()
+        self.pad_id = pad_id if pad_id is not None else max(
+            processor.pad_id(), 0)
+
+    def _device_encode(self, arr: np.ndarray, lens: np.ndarray):
+        return unigram_encode_batch(
+            self.units, self.lat_score_table,
+            jnp.asarray(arr), jnp.asarray(lens), self.unk_score,
+            max_depth=self.max_depth, unk_id=self.unk_id,
+            add_bos=self.add_bos, add_eos=self.add_eos, reverse=self.reverse,
+            bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id)
+
+    def _normalize_all(self, texts: Sequence[str]) -> List[bytes]:
+        norm = self.processor.normalizer
+        return [norm.normalize(t)[0] for t in texts]
+
+    def encode_to_padded(self, texts: Sequence[str]
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Dense (ids, lengths) over one padded batch (single bucket)."""
+        normed = self._normalize_all(texts)
+        N = max((len(b) for b in normed), default=1)
+        for bucket in self.BUCKETS:
+            if N <= bucket:
+                N = bucket
+                break
+        B = len(normed)
+        arr = np.zeros((B, N), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for i, b in enumerate(normed):
+            bb = b[:N]
+            arr[i, :len(bb)] = np.frombuffer(bb, np.uint8)
+            lens[i] = len(bb)
+        out, n = self._device_encode(arr, lens)
+        return np.asarray(out), np.asarray(n)
+
+    def encode(self, texts: Sequence[str]) -> List[List[int]]:
+        """Ragged ids per text; inputs are bucketed by normalized byte
+        length and batch rows padded to fixed sizes, so the jitted program
+        compiles at most once per (batch, length) bucket pair."""
+        normed = self._normalize_all(texts)
+        order = sorted(range(len(normed)), key=lambda i: len(normed[i]))
+        results: List[Optional[List[int]]] = [None] * len(normed)
+        i = 0
+        while i < len(order):
+            blen = len(normed[order[i]])
+            bucket = next((b for b in self.BUCKETS if blen <= b),
+                          self.BUCKETS[-1])
+            group = []
+            while (i < len(order) and len(group) < self.MAX_BATCH
+                   and len(normed[order[i]]) <= bucket):
+                group.append(order[i])
+                i += 1
+            B = len(group)
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            arr = np.zeros((Bp, bucket), np.uint8)
+            lens = np.zeros(Bp, np.int32)
+            for j, gi in enumerate(group):
+                b = normed[gi][:bucket]
+                arr[j, :len(b)] = np.frombuffer(b, np.uint8)
+                lens[j] = len(b)
+            out, n = self._device_encode(arr, lens)
+            out = np.asarray(out)
+            n = np.asarray(n)
+            for j, gi in enumerate(group):
+                results[gi] = out[j, :n[j]].tolist()
+        return results  # type: ignore[return-value]

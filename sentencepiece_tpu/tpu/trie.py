@@ -1,0 +1,65 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Device-side darts double-array traversal (jnp array programs).
+
+The darts-clone unit format (reference third_party/darts_clone/darts.h:57-78)
+is pure XOR-addressed gather, which maps directly onto the TPU: the unit
+table lives in HBM, each traversal step is one gather + a handful of VPU
+ops, and the walk is batched over every input position at once. This module
+provides the step primitives shared by the vocab matcher (lattice populate)
+and the charsmap normalizer kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_HAS_LEAF = jnp.uint32(1 << 8)
+_LABEL_MASK = jnp.uint32((1 << 31) | 0xFF)
+_VALUE_MASK = jnp.uint32(0x7FFFFFFF)
+
+
+def offsets(units: jnp.ndarray) -> jnp.ndarray:
+    """DoubleArrayUnit::offset() (darts.h:72-74), vectorized."""
+    return (units >> jnp.uint32(10)) << (
+        (units & jnp.uint32(1 << 9)) >> jnp.uint32(6))
+
+
+def labels(units: jnp.ndarray) -> jnp.ndarray:
+    """DoubleArrayUnit::label() (darts.h:68-70), vectorized."""
+    return units & _LABEL_MASK
+
+
+def root_state(units: jnp.ndarray) -> jnp.ndarray:
+    """Base of the root node: the starting traversal state."""
+    return offsets(units[0])
+
+
+def step(units: jnp.ndarray, state: jnp.ndarray, c: jnp.ndarray,
+         alive: jnp.ndarray):
+    """One commonPrefixSearch step at every lane simultaneously.
+
+    Args:
+      units: uint32[U] darts unit table (HBM gather table).
+      state: uint32[...] current node base per lane.
+      c: uint32[...] next input byte per lane (any value where not alive).
+      alive: bool[...] lanes still matching.
+
+    Returns:
+      (new_state, new_alive, value): value is int32[...] — the trie value if
+      the extended prefix is a key (leaf), else -1.
+    """
+    node_pos = state ^ c
+    safe = jnp.where(alive, node_pos, jnp.uint32(0))
+    unit = units[safe]
+    ok = alive & (labels(unit) == c)
+    new_state = jnp.where(ok, node_pos ^ offsets(unit), state)
+    has_leaf = ok & ((unit & _HAS_LEAF) != 0)
+    leaf_pos = jnp.where(has_leaf, new_state, jnp.uint32(0))
+    leaf_unit = units[leaf_pos]
+    value = jnp.where(has_leaf,
+                      (leaf_unit & _VALUE_MASK).astype(jnp.int32),
+                      jnp.int32(-1))
+    return new_state, ok, value

@@ -1,0 +1,258 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""BPE trainer (reference src/bpe_model_trainer.{h,cc}).
+
+Exact-output host implementation of the greedy pair-merge loop:
+
+  * symbols interned per merge tree (reference interns by 64-bit
+    FingerprintCat of child fingerprints, bpe_model_trainer.cc:57; we intern
+    by the (left, right) intern-id pair — identical semantics minus hash
+    collisions);
+  * per-symbol position sets ordered by (sid, left, right)
+    (std::set<uint64> of sid<<32|left<<16|right, bpe_model_trainer.h:84-101);
+  * lazy ComputeFreq with overlap dedup — "AAA" counts one "AA" — and stale
+    position erasure with overlap-tracker reset (cc:85-116);
+  * active set = top max(1000, 5% of cache) by freq, refreshed every 100
+    merges (cc:156-183, 234-237);
+  * best-pair tie-break: freq desc, then char-length asc, then UTF-8 string
+    asc (cc:240-254);
+  * merge applied at every stored position in ascending order, resetting
+    neighbor-pair freqs and adding the two new neighbor pairs (cc:283-309);
+  * piece score = -merge_rank (cc:269-270); required chars appended after
+    the merge loop (cc:317-321).
+
+The device-parallel pair-count path for large corpora lives in
+sentencepiece_tpu.tpu.bpe_kernels; this module is the conformance engine
+and the small-corpus default.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..proto.spec import ModelProto, ModelType
+from .interface import TrainerInterface, UNK_CHAR, sorted_freq_desc
+
+log = logging.getLogger("sentencepiece_tpu.train")
+
+
+class _Symbol:
+    __slots__ = ("left", "right", "chars", "is_unk", "freq", "positions",
+                 "key")
+
+    def __init__(self):
+        self.left: Optional["_Symbol"] = None
+        self.right: Optional["_Symbol"] = None
+        self.chars: Tuple[int, ...] = ()
+        self.is_unk = False
+        self.freq = 0
+        self.positions: Set[int] = set()
+        self.key = None
+
+    @property
+    def is_bigram(self) -> bool:
+        return self.left is not None and self.right is not None
+
+    def to_string(self) -> str:
+        return "".join(chr(c) for c in self.chars)
+
+    def utf8(self) -> bytes:
+        return self.to_string().encode("utf-8", errors="surrogateescape")
+
+
+def _encode_pos(sid: int, l: int, r: int) -> int:
+    assert 0 <= l <= 0xFFFF and 0 <= r <= 0xFFFF, \
+        "BPE sentence has more than 65536 symbols"
+    return (sid << 32) | (l << 16) | r
+
+
+def _decode_pos(n: int) -> Tuple[int, int, int]:
+    return n >> 32, (n >> 16) & 0xFFFF, n & 0xFFFF
+
+
+class Trainer(TrainerInterface):
+    def __init__(self, trainer_spec, normalizer_spec):
+        super().__init__(trainer_spec, normalizer_spec)
+        self._cache: Dict = {}
+        self._active: Set[_Symbol] = set()
+        self._symbols: List[List[Optional[_Symbol]]] = []
+
+    # -- symbol interning ------------------------------------------------------
+    def _get_char_symbol(self, c: int) -> _Symbol:
+        freq = self.required_chars.get(c, 1)
+        s = self._cache.get(c)
+        if s is not None:
+            return s
+        s = _Symbol()
+        s.is_unk = (c == UNK_CHAR)
+        s.chars = (c,)
+        s.freq = freq
+        s.key = c
+        self._cache[c] = s
+        return s
+
+    def _get_pair_symbol(self, left: Optional[_Symbol],
+                         right: Optional[_Symbol]) -> Optional[_Symbol]:
+        if left is None or right is None or left.is_unk or right.is_unk:
+            return None
+        key = (left.key, right.key)
+        s = self._cache.get(key)
+        if s is not None:
+            return s
+        chars = left.chars + right.chars
+        if not self.is_valid_sentencepiece(chars):
+            return None
+        s = _Symbol()
+        s.left = left
+        s.right = right
+        s.chars = chars
+        s.key = key
+        self._cache[key] = s
+        return s
+
+    # -- lazy frequency (bpe_model_trainer.cc:85-116) ---------------------------
+    def _compute_freq(self, symbol: _Symbol) -> None:
+        if symbol.freq > 0:
+            return
+        prev_sid, prev_right = -1, 0
+        kept: List[int] = []
+        freq = 0
+        syms = self._symbols
+        for enc in sorted(symbol.positions):
+            sid, l, r = _decode_pos(enc)
+            if ((sid == prev_sid and l == prev_right)
+                    or syms[sid][l] is not symbol.left
+                    or syms[sid][r] is not symbol.right):
+                prev_sid, prev_right = -1, 0
+            else:
+                freq += self.sentences[sid][1]
+                prev_sid, prev_right = sid, r
+                kept.append(enc)
+        symbol.freq = freq
+        symbol.positions = set(kept)
+
+    def _get_next_index(self, sid: int, index: int) -> int:
+        row = self._symbols[sid]
+        for i in range(index + 1, len(row)):
+            if row[i] is not None:
+                return i
+        return -1
+
+    def _get_prev_index(self, sid: int, index: int) -> int:
+        row = self._symbols[sid]
+        for i in range(index - 1, -1, -1):
+            if row[i] is not None:
+                return i
+        return -1
+
+    def _add_new_pair(self, sid: int, left: int, right: int) -> None:
+        if left == -1 or right == -1:
+            return
+        symbol = self._get_pair_symbol(self._symbols[sid][left],
+                                       self._symbols[sid][right])
+        if symbol is not None:
+            self._active.add(symbol)
+            symbol.positions.add(_encode_pos(sid, left, right))
+
+    def _reset_freq(self, sid: int, left: int, right: int,
+                    best: _Symbol) -> None:
+        if left == -1 or right == -1:
+            return
+        symbol = self._get_pair_symbol(self._symbols[sid][left],
+                                       self._symbols[sid][right])
+        if symbol is not None and symbol is not best:
+            symbol.freq = 0
+
+    def _update_active_symbols(self) -> None:
+        """Top max(1000, 5%·cache) bigrams by freq (cc:156-183). Ties at the
+        cutoff are broken deterministically (len asc, string asc; the
+        reference's partial_sort leaves them unspecified)."""
+        symbols = []
+        for s in self._cache.values():
+            if s.is_bigram:
+                self._compute_freq(s)
+                symbols.append(s)
+        if not symbols:
+            self._active = set()
+            return
+        k_min, k_ratio = 1000, 0.05
+        size = min(max(k_min, int(len(self._cache) * k_ratio)), len(symbols))
+        symbols.sort(key=lambda s: (-s.freq, len(s.chars), s.utf8()))
+        log.info("Updating active symbols. max_freq=%d min_freq=%d",
+                 symbols[0].freq, symbols[size - 1].freq)
+        self._active = set(symbols[:size])
+
+    # -- main loop (cc:186-326) --------------------------------------------------
+    def train(self) -> ModelProto:
+        assert self.normalizer_spec.escape_whitespaces
+        assert self.trainer_spec.model_type == ModelType.BPE
+        self.load_sentences()
+        if self.trainer_spec.split_by_whitespace:
+            self.split_sentences_by_whitespace()
+
+        self._symbols = []
+        for s, _freq in self.sentences:
+            self._symbols.append([self._get_char_symbol(ord(c)) for c in s])
+        for sid, row in enumerate(self._symbols):
+            for i in range(1, len(row)):
+                self._add_new_pair(sid, i - 1, i)
+
+        vocab_size = (self.trainer_spec.vocab_size - len(self.meta_pieces)
+                      - len(self.required_chars))
+        assert vocab_size >= 0, "vocab_size too small for alphabet"
+        dup = set()
+        assert not self.final_pieces
+
+        while len(self.final_pieces) < vocab_size:
+            if len(self.final_pieces) % 100 == 0:
+                self._update_active_symbols()
+            best: Optional[_Symbol] = None
+            best_key = None
+            for symbol in self._active:
+                self._compute_freq(symbol)
+                key = (-symbol.freq, len(symbol.chars), symbol.utf8())
+                if best is None or key < best_key:
+                    best, best_key = symbol, key
+            if best is None:
+                log.warning("No valid symbol found")
+                break
+            bs = best.to_string()
+            if bs in dup:
+                self._cache.pop(best.key, None)
+                self._active.discard(best)
+                continue
+            dup.add(bs)
+            self.final_pieces.append(
+                (bs, -float(len(self.final_pieces))))
+            if len(self.final_pieces) % 20 == 0:
+                log.info("Added: freq=%d size=%d all=%d active=%d piece=%s",
+                         best.freq, len(self.final_pieces),
+                         len(self._cache), len(self._active), bs)
+
+            for enc in sorted(best.positions):
+                sid, left, right = _decode_pos(enc)
+                row = self._symbols[sid]
+                if row[left] is None:
+                    continue
+                assert row[right] is not None
+                nxt = self._get_next_index(sid, right)
+                prv = self._get_prev_index(sid, left)
+                self._reset_freq(sid, prv, left, best)
+                self._reset_freq(sid, right, nxt, best)
+                row[left] = best
+                row[right] = None
+                self._add_new_pair(sid, prv, left)
+                self._add_new_pair(sid, left, nxt)
+
+            self._cache.pop(best.key, None)
+            self._active.discard(best)
+
+        for cp, _freq in sorted_freq_desc(self.required_chars.items()):
+            symbol = self._get_char_symbol(cp)
+            self.final_pieces.append(
+                (symbol.to_string(), -float(len(self.final_pieces))))
+
+        return self.save()

@@ -1,0 +1,451 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Shared trainer pipeline (reference src/trainer_interface.{h,cc}).
+
+Covers: spec verification (trainer_interface.cc:49-91), corpus loading with
+text/TSV formats, too-long-line filtering and reservoir sampling
+(:269-345), corpus normalization with meta-piece masking (:349-383),
+character coverage / required chars / rare-char→UNK rewrite (:386-445),
+IsValidSentencePiece (:178-267), whitespace pre-tokenization (:465-477),
+meta-piece assembly (:578-643), and model serialization with embedded
+self-test samples (:479-570).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..normalizer.normalize import Normalizer, PrefixMatcher
+from ..proto.spec import (ModelProto, ModelType, NormalizerSpec, PieceType,
+                          SelfTestData, SelfTestSample,
+                          SentencePiece as SentencePieceProto, TrainerSpec)
+from ..utils import unicode_script
+from ..utils.unicode import (is_valid_codepoint, unicode_text_to_utf8,
+                             utf8_to_unicode_text)
+
+log = logging.getLogger("sentencepiece_tpu.train")
+
+WS_CHAR = 0x2581
+WS_STR = "▁"
+UNK_CHAR = 0x2585
+UNK_STR = "▅"
+UPP_BOUNDARY_CHAR = 0x0009
+UPP_BOUNDARY_STR = "\t"
+
+Sentence = Tuple[str, int]  # (text, freq)
+
+
+def _key_bytes(k):
+    return k.encode("utf-8", errors="surrogateescape") if isinstance(k, str) else k
+
+
+def sorted_freq_desc(items) -> List[Tuple]:
+    """freq desc, ties by key ascending (bytes order for strings, matching
+    C++ std::string operator<)."""
+    return sorted(items, key=lambda kv: (-kv[1], _key_bytes(kv[0])
+                                         if isinstance(kv[0], (str, bytes))
+                                         else kv[0]))
+
+
+def verify_spec(spec: TrainerSpec) -> None:
+    """trainer_interface.cc:49-91."""
+    def check(cond, msg):
+        if not cond:
+            raise ValueError(f"TrainerSpec check failed: {msg}")
+
+    check(len(spec.input) > 0, "input required")
+    check(spec.vocab_size > 0, "vocab_size > 0")
+    if spec.model_type in (ModelType.UNIGRAM, ModelType.BPE):
+        check(not spec.use_all_vocab,
+              "--use_all_vocab=true is valid for WORD/CHAR model.")
+    rng = [("character_coverage", 0.98, 1.0),
+           ("max_sentencepiece_length", 1, 512),
+           ("num_sub_iterations", 1, 10),
+           ("num_threads", 1, 128),
+           ("self_test_sample_size", 0, 1000),
+           ("shrinking_factor", 0.5, 0.95),
+           ("max_sentence_length", 10, 1073741824)]
+    for name, lo, hi in rng:
+        v = getattr(spec, name)
+        check(lo <= v <= hi, f"{name}={v} not in [{lo},{hi}]")
+    check(spec.input_sentence_size <= 0 or spec.input_sentence_size > 100,
+          "input_sentence_size")
+    for p in ("unk_piece", "bos_piece", "eos_piece", "pad_piece"):
+        check(bool(getattr(spec, p)), f"{p} must not be empty")
+
+
+class ReservoirSampler:
+    """Reservoir sampling matching reference util.h:749-778: element i
+    (0-based, i >= size) replaces slot Uniform(0, i] ... the reference draws
+    `std::uniform_int_distribution<size_t>(0, total_-1)` over an mt19937
+    seeded with a fixed seed. We mirror the algorithm with numpy's MT19937
+    stream; only used when input_sentence_size > 0 (off by default)."""
+
+    def __init__(self, size: int, seed: int):
+        self.size = size
+        self.total = 0
+        self.items: List = []
+        self._rng = np.random.Generator(np.random.MT19937(seed))
+
+    def add(self, item) -> None:
+        if self.size == 0:
+            return
+        self.total += 1
+        if len(self.items) < self.size:
+            self.items.append(item)
+        else:
+            j = int(self._rng.integers(0, self.total))
+            if j < self.size:
+                self.items[j] = item
+
+
+class TrainerInterface:
+    """Base trainer: corpus pipeline + serialization."""
+
+    def __init__(self, trainer_spec: TrainerSpec,
+                 normalizer_spec: NormalizerSpec):
+        self.trainer_spec = trainer_spec
+        self.normalizer_spec = normalizer_spec
+        self.sentences: List[Sentence] = []
+        self.required_chars: Dict[int, int] = {}  # codepoint -> freq
+        self.final_pieces: List[Tuple[str, float]] = []
+        self.self_test_samples: List[str] = []
+        self.meta_pieces: Dict[int, Tuple[str, int]] = {}
+        verify_spec(trainer_spec)
+        self._init_meta_pieces()
+
+    # -- meta pieces (trainer_interface.cc:578-643) ---------------------------
+    def _init_meta_pieces(self) -> None:
+        ts = self.trainer_spec
+        has_unk = False
+
+        def insert_id(idx: int, w: str) -> None:
+            nonlocal has_unk
+            if idx < 0:
+                return
+            if (idx >= ts.vocab_size or idx in self.meta_pieces
+                    or (has_unk and w == ts.unk_piece)):
+                raise ValueError(f"invalid meta piece id {idx} for {w}")
+            if w == ts.unk_piece:
+                has_unk = True
+            t = (PieceType.UNKNOWN if w == ts.unk_piece
+                 else PieceType.CONTROL)
+            self.meta_pieces[idx] = (w, t)
+
+        insert_id(ts.unk_id, ts.unk_piece)
+        insert_id(ts.bos_id, ts.bos_piece)
+        insert_id(ts.eos_id, ts.eos_piece)
+        insert_id(ts.pad_id, ts.pad_piece)
+        if not has_unk:
+            raise ValueError(f"{ts.unk_piece} must be defined.")
+
+        dup = set()
+        next_id = [0]
+
+        def insert_meta_symbol(w: str, t: int) -> None:
+            if w in dup:
+                raise ValueError(f"{w} is already defined.")
+            dup.add(w)
+            if w == ts.unk_piece:
+                raise ValueError(
+                    f"{ts.unk_piece} must not be defined with "
+                    "--control_symbols and --user_defined_symbols.")
+            if w == ts.bos_piece and ts.bos_id >= 0:
+                self.meta_pieces[ts.bos_id] = (w, t)
+            elif w == ts.eos_piece and ts.eos_id >= 0:
+                self.meta_pieces[ts.eos_id] = (w, t)
+            elif w == ts.pad_piece and ts.pad_id >= 0:
+                self.meta_pieces[ts.pad_id] = (w, t)
+            else:
+                while next_id[0] in self.meta_pieces:
+                    next_id[0] += 1
+                self.meta_pieces[next_id[0]] = (w, t)
+
+        for w in ts.control_symbols:
+            insert_meta_symbol(w, PieceType.CONTROL)
+        for w in ts.user_defined_symbols:
+            insert_meta_symbol(w, PieceType.USER_DEFINED)
+
+    # -- piece validity (trainer_interface.cc:178-267) -------------------------
+    def is_valid_sentencepiece(self, cps) -> bool:
+        ts = self.trainer_spec
+        n = len(cps)
+        if n == 0 or n > ts.max_sentencepiece_length:
+            return False
+        ANY = -1
+        han = unicode_script.script_id("Han")
+        hira = unicode_script.script_id("Hiragana")
+        kata = unicode_script.script_id("Katakana")
+        prev_script = ANY
+        for pos, c in enumerate(cps):
+            if c == UNK_CHAR or c == 0x0000 or c == UPP_BOUNDARY_CHAR:
+                return False
+            if c == 0x0020:
+                log.warning("space must not be included in normalized string.")
+                return False
+            if not is_valid_codepoint(c):
+                return False
+            if c == WS_CHAR:
+                if ts.treat_whitespace_as_suffix:
+                    if ((ts.split_by_whitespace and pos < n - 1)
+                            or (not ts.split_by_whitespace and pos < n - 1
+                                and pos == 0)):
+                        return False
+                else:
+                    if ((ts.split_by_whitespace and pos > 0)
+                            or (not ts.split_by_whitespace and pos > 0
+                                and pos == n - 1)):
+                        return False
+            else:
+                s = unicode_script.get_script(c)
+                if s == hira or s == kata or c == 0x30FC:
+                    s = han
+                if not ts.split_by_number and 0x30 <= c <= 0x39:
+                    s = ANY
+                if (ts.split_by_unicode_script and s != ANY
+                        and prev_script != ANY and prev_script != s):
+                    return False
+                prev_script = s
+        return True
+
+    # -- corpus loading (trainer_interface.cc:269-462) -------------------------
+    def load_sentences(self) -> None:
+        ts = self.trainer_spec
+        assert not self.sentences and not self.required_chars
+        if ts.input_format not in ("", "text", "tsv"):
+            raise ValueError("Supported formats are 'text' and 'tsv'.")
+        is_tsv = ts.input_format == "tsv"
+
+        sampler: Optional[ReservoirSampler] = None
+        if ts.input_sentence_size > 0 and ts.shuffle_input_sentence:
+            sampler = ReservoirSampler(ts.input_sentence_size, 12345678)
+        test_sampler = ReservoirSampler(ts.self_test_sample_size, 12345678)
+
+        too_long = 0
+        stop = False
+        for filename in ts.input:
+            if stop:
+                break
+            log.info("Loading corpus: %s", filename)
+            with open(filename, "rb") as f:
+                for raw in f.read().split(b"\n"):
+                    sentence = raw.decode("utf-8", errors="surrogateescape")
+                    freq = 1
+                    if is_tsv:
+                        v = sentence.split("\t")
+                        if len(v) != 2:
+                            raise ValueError(
+                                f"Input format must be: word <tab> freq. "
+                                f"{sentence}")
+                        sentence, freq = v[0], int(v[1])
+                        if freq < 1:
+                            raise ValueError("freq must be >= 1")
+                    if not sentence:
+                        continue
+                    if len(raw) > ts.max_sentence_length:
+                        too_long += 1
+                        continue
+                    if UNK_STR in sentence:
+                        log.info("Reserved chars are found. Skipped: %s",
+                                 sentence)
+                        continue
+                    test_sampler.add(sentence)
+                    if sampler is not None:
+                        sampler.add((sentence, freq))
+                    else:
+                        self.sentences.append((sentence, freq))
+                        if (ts.input_sentence_size > 0
+                                and len(self.sentences)
+                                >= ts.input_sentence_size):
+                            stop = True
+                            break
+        if sampler is not None:
+            self.sentences = list(sampler.items)
+        self.self_test_samples = list(test_sampler.items)
+        if too_long:
+            log.info("Skipped %d too long sentences.", too_long)
+
+        # normalization with meta-piece masking (:349-383)
+        normalizer = Normalizer(self.normalizer_spec,
+                                treat_whitespace_as_suffix=False)
+        meta_set = [w for w, _ in self.meta_pieces.values()]
+        matcher = PrefixMatcher(meta_set)
+        normed: List[Sentence] = []
+        for s, freq in self.sentences:
+            ns = normalizer.normalize(s)[0]
+            ns = matcher.global_replace(
+                ns, UPP_BOUNDARY_STR.encode()).decode(
+                    "utf-8", errors="surrogateescape")
+            if " " in ns:
+                raise ValueError("Normalized string must not include spaces")
+            if ns:
+                normed.append((ns, freq))
+        # reference removes empties via swap-with-last (order differs);
+        # we preserve input order, which only affects log output — counting
+        # and all downstream maps are order-independent.
+        self.sentences = normed
+
+        # char frequencies (:386-409)
+        chars_count: Dict[int, int] = {}
+        all_chars_count = 0
+        for s, freq in self.sentences:
+            for c in s:
+                cp = ord(c)
+                if not is_valid_codepoint(cp) or cp == 0:
+                    continue
+                if cp == 0x0020:
+                    raise ValueError(
+                        "space must not be included in normalized string.")
+                chars_count[cp] = chars_count.get(cp, 0) + freq
+                all_chars_count += freq
+        log.info("all chars count=%d", all_chars_count)
+
+        # required chars by coverage (:411-428)
+        accumulated = 0
+        for cp, freq in sorted_freq_desc(chars_count.items()):
+            coverage = accumulated / all_chars_count if all_chars_count else 0
+            if (not ts.use_all_vocab
+                    and coverage >= ts.character_coverage):
+                log.info("Done: %.4f%% characters are covered.",
+                         100.0 * coverage)
+                break
+            accumulated += freq
+            if cp == 0x0020:
+                raise ValueError("space in normalized string")
+            if cp == UPP_BOUNDARY_CHAR:
+                continue
+            self.required_chars[cp] = freq
+        log.info("Alphabet size=%d", len(self.required_chars))
+        assert UNK_CHAR not in self.required_chars
+
+        # rare chars -> UNK (:432-445)
+        req = self.required_chars
+        rewritten: List[Sentence] = []
+        for s, freq in self.sentences:
+            s2 = "".join(c if ord(c) in req else UNK_STR for c in s)
+            rewritten.append((s2, freq))
+        self.sentences = rewritten
+
+        if ts.model_type not in (ModelType.WORD, ModelType.CHAR):
+            if (len(self.required_chars) + len(self.meta_pieces)
+                    > ts.vocab_size):
+                raise ValueError(
+                    "Vocabulary size is smaller than required_chars. "
+                    f"{ts.vocab_size} vs "
+                    f"{len(self.required_chars) + len(self.meta_pieces)}. "
+                    "Increase vocab_size or decrease character_coverage "
+                    "with --character_coverage option.")
+        log.info("Done! preprocessed %d sentences.", len(self.sentences))
+
+    def split_sentences_by_whitespace(self) -> None:
+        """trainer_interface.cc:465-477: sentence list -> word-freq list."""
+        from ..models.base import split_into_words
+
+        tokens: Dict[str, int] = {}
+        for s, freq in self.sentences:
+            raw = s.encode("utf-8", errors="surrogateescape")
+            for w in split_into_words(
+                    raw, self.trainer_spec.treat_whitespace_as_suffix):
+                key = w.decode("utf-8", errors="surrogateescape")
+                tokens[key] = tokens.get(key, 0) + freq
+        self.sentences = sorted_freq_desc(tokens.items())
+        log.info("Tokenized into %d words", len(self.sentences))
+
+    # -- serialization (trainer_interface.cc:479-576) --------------------------
+    def serialize(self) -> ModelProto:
+        ts = self.trainer_spec
+        model_proto = ModelProto()
+        dup = set()
+        pieces: List[SentencePieceProto] = []
+
+        def check_piece(piece: str) -> None:
+            if not piece:
+                raise ValueError("empty piece")
+            if piece in dup:
+                raise ValueError(f"{piece} is already defined")
+            dup.add(piece)
+
+        fid = 0
+        for idx in range(ts.vocab_size):
+            if idx in self.meta_pieces:
+                w, t = self.meta_pieces[idx]
+                sp = SentencePieceProto()
+                sp.piece = w
+                sp.type = t
+                sp.score = 0.0
+                assert t != PieceType.NORMAL
+                check_piece(w)
+                pieces.append(sp)
+            elif fid < len(self.final_pieces):
+                w, score = self.final_pieces[fid]
+                fid += 1
+                sp = SentencePieceProto()
+                sp.piece = w
+                sp.score = score
+                sp.type = PieceType.NORMAL
+                check_piece(w)
+                pieces.append(sp)
+        assert fid == len(self.final_pieces), \
+            f"{fid} != {len(self.final_pieces)}"
+        model_proto.pieces = pieces
+        model_proto.trainer_spec = ts.copy()
+        model_proto.normalizer_spec = self.normalizer_spec.copy()
+        if not ts.hard_vocab_limit or ts.model_type == ModelType.CHAR:
+            assert ts.vocab_size >= len(pieces)
+            model_proto.trainer_spec.vocab_size = len(pieces)
+        else:
+            if ts.vocab_size != len(pieces):
+                raise RuntimeError(
+                    f"vocab_size {ts.vocab_size} != pieces {len(pieces)}; "
+                    "set --hard_vocab_limit=false to allow a smaller vocab")
+        return model_proto
+
+    def save_model(self, filename: str) -> ModelProto:
+        log.info("Saving model: %s", filename)
+        model_proto = self.serialize()
+        if self.self_test_samples:
+            from ..processor import SentencePieceProcessor
+
+            sp = SentencePieceProcessor(model_proto=model_proto)
+            std = SelfTestData()
+            samples = []
+            for inp in self.self_test_samples:
+                sample = SelfTestSample()
+                sample.input = inp
+                sample.expected = " ".join(sp.encode_as_pieces(inp))
+                samples.append(sample)
+            std.samples = samples
+            model_proto.self_test_data = std
+        with open(filename, "wb") as f:
+            f.write(model_proto.serialize())
+        return model_proto
+
+    def save_vocab(self, filename: str) -> None:
+        log.info("Saving vocabs: %s", filename)
+        model_proto = self.serialize()
+        with open(filename, "w", encoding="utf-8") as f:
+            for piece in model_proto.pieces:
+                score = piece.score
+                # C++ ostream prints float with %g-style 6 sig digits
+                f.write(f"{piece.piece}\t{_cpp_float_str(score)}\n")
+
+    def save(self) -> ModelProto:
+        proto = self.save_model(self.trainer_spec.model_prefix + ".model")
+        self.save_vocab(self.trainer_spec.model_prefix + ".vocab")
+        return proto
+
+    # -- entry point -----------------------------------------------------------
+    def train(self) -> ModelProto:
+        raise NotImplementedError
+
+
+def _cpp_float_str(v: float) -> str:
+    """Format a float the way `std::ostringstream << float` does (%g, 6
+    significant digits)."""
+    s = f"{float(v):.6g}"
+    return "0" if s == "-0" else s

@@ -1,0 +1,581 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Unigram LM trainer (reference src/unigram_model_trainer.{h,cc}).
+
+Pipeline (unigram_model_trainer.cc:539-603):
+  seed via suffix-tree internal nodes (:124-225) → EM loop
+  [num_sub_iterations × (E-step :237-287, digamma M-step :47-57,298-332)]
+  → prune to max(desired, 0.75·n) (:337-491) until ≤ 1.1·vocab_size →
+  finalize (:497-537) → save.
+
+Two engines compute the E-step / Viterbi statistics:
+
+  * the HOST engine (this module): scalar float32 arithmetic replaying the
+    reference's exact accumulation order, including the per-thread strided
+    partial sums merged in thread order (RunEStep :252-280) — the
+    conformance reference;
+  * the DEVICE engine (sentencepiece_tpu.tpu.em): batched forward/backward
+    over dense word lattices with `psum` count reduction over the device
+    mesh — the production path for large corpora.
+
+Training lattices are built ONCE against the seed vocabulary: every later
+vocabulary is a subset of the seed, so each word's candidate-node table
+(pos, len, seed_id) is fixed and per-iteration lattices are just masked
+views plus dynamic UNK fallback (reference rebuilds a darts trie per
+iteration instead, unigram_model_trainer.cc:97-119).
+
+Reference quirks reproduced on purpose:
+  * the training model has no UNKNOWN piece; UNK lattice nodes carry
+    ``unk_id_ = 0`` (model_interface.h:336) and therefore leak marginal
+    mass into piece 0 for sentences containing rare-char rewrites;
+  * PruneSentencePieces normalizes the alternative logsum with
+    ``alternatives.size()`` — the OUTER vector length, i.e. the vocab size
+    — not the per-piece alternative count (unigram_model_trainer.cc:442).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..proto.spec import ModelProto, ModelType
+from .interface import TrainerInterface, UNK_CHAR, sorted_freq_desc
+from . import suffix
+
+log = logging.getLogger("sentencepiece_tpu.train")
+
+K_UNK_PENALTY = 10.0
+SENTENCE_BOUNDARY = 0x0000
+F32 = np.float32
+
+
+def digamma(x: float) -> float:
+    """unigram_model_trainer.cc:22-40 (double precision)."""
+    result = 0.0
+    while x < 7:
+        result -= 1.0 / x
+        x += 1
+    x -= 0.5
+    xx = 1.0 / x
+    xx2 = xx * xx
+    xx4 = xx2 * xx2
+    result += (math.log(x) + (1.0 / 24.0) * xx2 - (7.0 / 960.0) * xx4
+               + (31.0 / 8064.0) * xx4 * xx2
+               - (127.0 / 30720.0) * xx4 * xx4)
+    return result
+
+
+def _f32(x: float) -> float:
+    return float(F32(x))
+
+
+def log_sum_exp_f32(x: float, y: float, init_mode: bool) -> float:
+    """float32 LogSumExp chain step (unigram_model.cc:51-63): the math is
+    double, the stored accumulator is float."""
+    if init_mode:
+        return _f32(y)
+    vmin, vmax = (x, y) if x < y else (y, x)
+    kMinusLogEpsilon = 50.0
+    if vmax > vmin + kMinusLogEpsilon:
+        return _f32(vmax)
+    return _f32(vmax + math.log(math.exp(vmin - vmax) + 1.0))
+
+
+class _WordLattice:
+    """Candidate nodes of one word against the seed vocab, plus the
+    per-iteration masked view."""
+
+    __slots__ = ("length", "cand")  # cand: list of (pos, len, seed_id)
+
+    def __init__(self, length: int, cand: List[Tuple[int, int, int]]):
+        self.length = length
+        self.cand = cand
+
+
+class Trainer(TrainerInterface):
+    def __init__(self, trainer_spec, normalizer_spec):
+        super().__init__(trainer_spec, normalizer_spec)
+        self.desired_vocab_size = int(trainer_spec.vocab_size * 1.1)
+
+    # -- seed pieces (unigram_model_trainer.cc:124-225) ------------------------
+    def make_seed_sentence_pieces(self) -> List[Tuple[str, float]]:
+        assert self.sentences and self.required_chars
+        arr_l: List[int] = []
+        all_chars: Dict[str, int] = {}
+        for s, freq in self.sentences:
+            for ch in s:
+                c = ord(ch)
+                arr_l.append(c)
+                if c != UNK_CHAR and c != SENTENCE_BOUNDARY:
+                    all_chars[ch] = all_chars.get(ch, 0) + freq
+            arr_l.append(SENTENCE_BOUNDARY)
+        arr = np.asarray(arr_l, dtype=np.int64)
+        n = len(arr)
+        log.info("Making suffix array... (%d chars)", n)
+        sa, nodes = suffix.internal_nodes(arr)
+        log.info("Extracting frequent sub strings... (%d nodes)", len(nodes))
+
+        has_boundary = np.cumsum(arr == SENTENCE_BOUNDARY)
+
+        substr_index: List[Tuple[int, int]] = []
+        for i, (L, R, D) in enumerate(nodes):
+            if D <= 1:
+                continue
+            offset = int(sa[L])
+            # contains a sentence boundary?
+            lo = int(has_boundary[offset - 1]) if offset > 0 else 0
+            if int(has_boundary[offset + D - 1]) != lo:
+                continue
+            cps = arr[offset:offset + D]
+            if not self.is_valid_sentencepiece([int(c) for c in cps]):
+                continue
+            freq = R - L
+            substr_index.append((i, freq * D))
+
+        seed: List[Tuple[str, float]] = [
+            (w, float(f)) for w, f in sorted_freq_desc(all_chars.items())]
+        # Sorted(substr_index): score desc, node index asc
+        for i, score in sorted(substr_index, key=lambda p: (-p[1], p[0])):
+            if len(seed) == self.trainer_spec.seed_sentencepiece_size:
+                break
+            L, R, D = nodes[i]
+            offset = int(sa[L])
+            w = "".join(chr(int(c)) for c in arr[offset:offset + D])
+            assert w not in all_chars
+            seed.append((w, float(score)))
+
+        # ToLogProb with float32 running sum (unigram_model_trainer.cc:42-55)
+        acc = F32(0.0)
+        for _, sc in seed:
+            acc = F32(acc + F32(sc))
+        logsum = _f32(math.log(float(acc)))
+        seed = [(w, _f32(math.log(sc) - logsum)) for w, sc in seed]
+        log.info("Initialized %d seed sentencepieces", len(seed))
+        return seed
+
+    # -- lattice tables ---------------------------------------------------------
+    def _build_word_tables(self, pieces: List[Tuple[str, float]]
+                           ) -> List[_WordLattice]:
+        """Candidate substring table per word against the seed vocab."""
+        piece_index = {w: i for i, (w, _) in enumerate(pieces)}
+        max_len = self.trainer_spec.max_sentencepiece_length
+        tables = []
+        for s, _freq in self.sentences:
+            L = len(s)
+            cand: List[Tuple[int, int, int]] = []
+            for pos in range(L):
+                for ln in range(1, min(max_len, L - pos) + 1):
+                    sid = piece_index.get(s[pos:pos + ln])
+                    if sid is not None:
+                        cand.append((pos, ln, sid))
+            tables.append(_WordLattice(L, cand))
+        return tables
+
+    # -- EM (host exact engine) -------------------------------------------------
+    def _run_estep_host(self, pieces, scores, seed_to_cur, tables
+                        ) -> Tuple[np.ndarray, float, int]:
+        """Exact float32 E-step with reference threading layout
+        (unigram_model_trainer.cc:237-287)."""
+        ts = self.trainer_spec
+        nthreads = ts.num_threads
+        m = len(pieces)
+        min_score = min(sc for sc in scores)
+        unk_score = _f32(min_score - K_UNK_PENALTY)
+        expected = [np.zeros(m, F32) for _ in range(nthreads)]
+        objs = [F32(0.0) for _ in range(nthreads)]
+        ntokens = [0] * nthreads
+        all_freq = sum(f for _, f in self.sentences)
+
+        for tid in range(nthreads):
+            exp_t = expected[tid]
+            for si in range(tid, len(self.sentences), nthreads):
+                freq = self.sentences[si][1]
+                Z, n_vit = self._marginal_one(
+                    tables[si], scores, seed_to_cur, unk_score, exp_t, freq)
+                ntokens[tid] += n_vit
+                objs[tid] = F32(objs[tid] - F32(Z / all_freq))
+        # merge in thread order (:274-280)
+        obj = objs[0]
+        ntok = ntokens[0]
+        exp0 = expected[0]
+        for tidx in range(1, nthreads):
+            obj = F32(obj + objs[tidx])
+            ntok += ntokens[tidx]
+            exp0 = (exp0 + expected[tidx]).astype(F32)
+        return exp0, float(obj), ntok
+
+    def _iter_nodes(self, table: _WordLattice, seed_to_cur):
+        """Yield lattice nodes (pos, len, cur_id, is_unk) in reference
+        insertion order (begin asc, length asc), with UNK fallback where no
+        single-char piece survives (unigram_model.cc:595-603). UNK carries
+        id 0 (model_interface.h:336 default unk_id_)."""
+        nodes: List[Tuple[int, int, int, bool]] = []
+        by_pos: Dict[int, List[Tuple[int, int]]] = {}
+        for pos, ln, sid in table.cand:
+            cur = seed_to_cur[sid]
+            if cur >= 0:
+                by_pos.setdefault(pos, []).append((ln, cur))
+        for pos in range(table.length):
+            lst = by_pos.get(pos, [])
+            has_single = any(ln == 1 for ln, _ in lst)
+            for ln, cur in lst:
+                nodes.append((pos, ln, cur, False))
+            if not has_single:
+                nodes.append((pos, 1, 0, True))
+        return nodes
+
+    def _marginal_one(self, table, scores, seed_to_cur, unk_score,
+                      exp_t: np.ndarray, freq: int) -> Tuple[float, int]:
+        """PopulateMarginal + Viterbi token count for one word, float32-exact
+        (unigram_model.cc:222-261, 272-328)."""
+        L = table.length
+        if L == 0:
+            return 0.0, 0
+        nodes = self._iter_nodes(table, seed_to_cur)
+        n = len(nodes)
+        node_score = [unk_score if unk else scores[cur]
+                      for (_, _, cur, unk) in nodes]
+        # alpha/beta over nodes + BOS/EOS
+        BOS, EOS = n, n + 1
+        alpha = [0.0] * (n + 2)
+        beta = [0.0] * (n + 2)
+        ends_at: List[List[int]] = [[] for _ in range(L + 1)]
+        begins_at: List[List[int]] = [[] for _ in range(L + 1)]
+        ends_at[0].append(BOS)
+        begins_at[L].append(EOS)
+        for k, (pos, ln, _, _) in enumerate(nodes):
+            begins_at[pos].append(k)
+            ends_at[pos + ln].append(k)
+        ns_full = node_score + [0.0, 0.0]
+
+        # forward (insertion order = begin asc; BOS first at pos 0)
+        for pos in range(L + 1):
+            rlist = begins_at[pos] if pos < L else begins_at[L]
+            for r in rlist:
+                acc = 0.0
+                for j, lnode in enumerate(ends_at[pos]):
+                    acc = log_sum_exp_f32(
+                        acc, ns_full[lnode] + alpha[lnode], j == 0)
+                alpha[r] = acc
+        Z = alpha[EOS]
+        # backward
+        for pos in range(L, -1, -1):
+            for lnode in ends_at[pos]:
+                acc = 0.0
+                for j, r in enumerate(begins_at[pos]):
+                    acc = log_sum_exp_f32(
+                        acc, ns_full[r] + beta[r], j == 0)
+                beta[lnode] = acc
+        # expected counts (float64 term added into float32 accumulator)
+        for k, (pos, ln, cur, unk) in enumerate(nodes):
+            nid = 0 if unk else cur
+            if nid >= 0:
+                term = freq * math.exp(alpha[k] + node_score[k]
+                                       + beta[k] - Z)
+                exp_t[nid] = F32(exp_t[nid] + term)
+        # Viterbi token count (float32, strict '>', insertion order)
+        best_score = [None] * (L + 1)
+        best_node = [-1] * (L + 1)
+        best_score[0] = 0.0
+        bt = [0.0] * n
+        for k, (pos, ln, _, _) in enumerate(nodes):
+            if best_score[pos] is None:
+                continue
+            s = _f32(best_score[pos] + node_score[k])
+            bt[k] = s
+            e = pos + ln
+            if best_score[e] is None or s > best_score[e]:
+                best_score[e] = s
+                best_node[e] = k
+        ntok = 0
+        p = L
+        while p > 0:
+            k = best_node[p]
+            if k < 0:
+                break
+            ntok += 1
+            p = nodes[k][0]
+        return Z, ntok
+
+    def _run_mstep(self, pieces, expected) -> List[Tuple[str, float]]:
+        """Digamma Bayesian M-step (unigram_model_trainer.cc:298-332)."""
+        assert len(pieces) == len(expected)
+        new_pieces = []
+        total = F32(0.0)
+        for i, (w, _) in enumerate(pieces):
+            freq = float(expected[i])
+            if freq < 0.5:
+                continue
+            new_pieces.append((w, freq))
+            total = F32(total + F32(freq))
+        logsum = digamma(float(total))
+        return [(w, _f32(digamma(f) - logsum)) for w, f in new_pieces]
+
+    # -- prune (unigram_model_trainer.cc:337-491) -------------------------------
+    def _prune_pieces(self, pieces, scores, seed_to_cur, tables,
+                      seed_index_of) -> List[Tuple[str, float]]:
+        ts = self.trainer_spec
+        m = len(pieces)
+        min_score = min(scores)
+        unk_score = _f32(min_score - K_UNK_PENALTY)
+
+        always_keep = [True] * m
+        alternatives: List[List[int]] = [[] for _ in range(m)]
+        # per-piece 2-best over the piece's own string
+        piece_tables = self._build_piece_tables(pieces, seed_index_of)
+        for i in range(m):
+            nbests = self._nbest2(piece_tables[i], scores, seed_to_cur,
+                                  unk_score)
+            if len(nbests) == 1:
+                always_keep[i] = True
+            elif len(nbests[0]) >= 2:
+                always_keep[i] = False
+            elif len(nbests[0]) == 1:
+                always_keep[i] = True
+                alternatives[i] = nbests[1]
+
+        # Viterbi path stats over the corpus, threaded layout (:389-424)
+        nthreads = ts.num_threads
+        vsums = [F32(0.0)] * nthreads
+        freqs = [np.zeros(m, F32) for _ in range(nthreads)]
+        inverteds: List[List[List[int]]] = [
+            [[] for _ in range(m)] for _ in range(nthreads)]
+        for tid in range(nthreads):
+            for si in range(tid, len(self.sentences), nthreads):
+                w_freq = self.sentences[si][1]
+                vsums[tid] = F32(vsums[tid] + F32(w_freq))
+                path = self._viterbi_ids(tables[si], scores, seed_to_cur,
+                                         unk_score)
+                for nid in path:
+                    if nid >= 0:
+                        freqs[tid][nid] = F32(freqs[tid][nid] + w_freq)
+                        inverteds[tid][nid].append(si)
+        vsum = F32(0.0)
+        freq = np.zeros(m, F32)
+        inverted: List[List[int]] = [[] for _ in range(m)]
+        for tid in range(nthreads):
+            vsum = F32(vsum + vsums[tid])
+            freq = (freq + freqs[tid]).astype(F32)
+            for i in range(m):
+                inverted[i].extend(inverteds[tid][i])
+
+        # double accumulate (std::accumulate init 0.0 => double)
+        total = float(np.sum(freq.astype(np.float64)))
+        logsum = _f32(math.log(total))
+        candidates: List[Tuple[int, float]] = []
+        new_pieces: List[Tuple[str, float]] = []
+        for i in range(m):
+            if freq[i] == 0 or not always_keep[i]:
+                continue
+            elif not alternatives[i]:
+                new_pieces.append(pieces[i])
+            else:
+                F = F32(0.0)
+                for si in inverted[i]:
+                    F = F32(F + F32(self.sentences[si][1]))
+                F = _f32(F / vsum)
+                logprob_sp = _f32(math.log(float(freq[i])) - logsum)
+                # NOTE: alternatives.size() == vocab size (reference quirk)
+                logsum_alt = _f32(math.log(
+                    total + float(freq[i]) * (m - 1)))
+                logprob_alt = F32(0.0)
+                for nid in alternatives[i]:
+                    logprob_alt = F32(
+                        logprob_alt
+                        + F32(math.log(float(freq[nid]) + float(freq[i]))
+                              - logsum_alt))
+                loss = _f32(F * _f32(logprob_sp - logprob_alt))
+                candidates.append((i, loss))
+        pruned_size = max(self.desired_vocab_size,
+                          int(ts.shrinking_factor * m))
+        # Sorted(candidates): loss desc, index asc
+        for i, _loss in sorted(candidates, key=lambda p: (-p[1], p[0])):
+            if len(new_pieces) == pruned_size:
+                break
+            new_pieces.append(pieces[i])
+        return new_pieces
+
+    def _build_piece_tables(self, pieces, seed_index_of):
+        max_len = self.trainer_spec.max_sentencepiece_length
+        tables = []
+        for w, _ in pieces:
+            L = len(w)
+            cand = []
+            for pos in range(L):
+                for ln in range(1, min(max_len, L - pos) + 1):
+                    sid = seed_index_of.get(w[pos:pos + ln])
+                    if sid is not None:
+                        cand.append((pos, ln, sid))
+            tables.append(_WordLattice(L, cand))
+        return tables
+
+    def _viterbi_ids(self, table, scores, seed_to_cur, unk_score
+                     ) -> List[int]:
+        """Viterbi piece ids, float32-exact (UNK nodes yield id 0 as in the
+        trainer model; reference guards on node->id >= 0 which is always
+        true here)."""
+        L = table.length
+        nodes = self._iter_nodes(table, seed_to_cur)
+        node_score = [unk_score if unk else scores[cur]
+                      for (_, _, cur, unk) in nodes]
+        best_score = [None] * (L + 1)
+        best_node = [-1] * (L + 1)
+        best_score[0] = 0.0
+        for k, (pos, ln, _, _) in enumerate(nodes):
+            if best_score[pos] is None:
+                continue
+            s = _f32(best_score[pos] + node_score[k])
+            e = pos + ln
+            if best_score[e] is None or s > best_score[e]:
+                best_score[e] = s
+                best_node[e] = k
+        path = []
+        p = L
+        while p > 0:
+            k = best_node[p]
+            if k < 0:
+                return []
+            pos, ln, cur, unk = nodes[k]
+            path.append(0 if unk else cur)
+            p = pos
+        path.reverse()
+        return path
+
+    def _nbest2(self, table, scores, seed_to_cur, unk_score
+                ) -> List[List[int]]:
+        """2-best paths (ids) via A* like Lattice::NBest
+        (unigram_model.cc:339-478); returns list of id-paths."""
+        import heapq
+
+        L = table.length
+        nodes = self._iter_nodes(table, seed_to_cur)
+        n = len(nodes)
+        node_score = [unk_score if unk else scores[cur]
+                      for (_, _, cur, unk) in nodes]
+        BOS, EOS = n, n + 1
+        ns_full = node_score + [0.0, 0.0]
+        node_begin = [pos for (pos, _, _, _) in nodes] + [0, L]
+        ends_at: List[List[int]] = [[] for _ in range(L + 1)]
+        ends_at[0].append(BOS)
+        for k, (pos, ln, _, _) in enumerate(nodes):
+            ends_at[pos + ln].append(k)
+        # Viterbi backtrace scores
+        best_score = [None] * (L + 1)
+        best_score[0] = 0.0
+        bt = [0.0] * (n + 2)
+        for k, (pos, ln, _, _) in enumerate(nodes):
+            if best_score[pos] is None:
+                continue
+            s = _f32(best_score[pos] + node_score[k])
+            bt[k] = s
+            e = pos + ln
+            if best_score[e] is None or s > best_score[e]:
+                best_score[e] = s
+        bt[BOS] = 0.0
+        bt[EOS] = best_score[L] if best_score[L] is not None else 0.0
+
+        counter = 0
+        hyps: List[Tuple[int, Optional[int], float, float]] = []
+        agenda: List[Tuple[float, int, int]] = []
+
+        def push(node, parent, fx, gx):
+            nonlocal counter
+            hyps.append((node, parent, fx, gx))
+            heapq.heappush(agenda, (-fx, counter, len(hyps) - 1))
+            counter += 1
+
+        push(EOS, None, ns_full[EOS], ns_full[EOS])
+        results: List[List[int]] = []
+        while agenda:
+            _, _, hi = heapq.heappop(agenda)
+            node, parent, fx, gx = hyps[hi]
+            if node == BOS:
+                path = []
+                cur = parent
+                while cur is not None:
+                    nd = hyps[cur][0]
+                    if nd != EOS:
+                        pos, ln, cid, unk = nodes[nd]
+                        path.append(0 if unk else cid)
+                    cur = hyps[cur][1]
+                results.append(path)
+                if len(results) == 2:
+                    break
+                continue
+            for lnode in ends_at[node_begin[node]]:
+                push(lnode, hi, _f32(bt[lnode] + gx),
+                     _f32(ns_full[lnode] + gx))
+        return results
+
+    # -- finalize (unigram_model_trainer.cc:497-537) ----------------------------
+    def _finalize(self, pieces) -> List[Tuple[str, float]]:
+        min_score = min(sc for _, sc in pieces)
+        final: Dict[str, float] = {}
+        sp = dict(pieces)
+        min_score_penalty = 0.0
+        k_delta = 0.0001
+        for cp, _f in sorted_freq_desc(self.required_chars.items()):
+            s = chr(cp)
+            if s in sp:
+                final[s] = sp[s]
+            else:
+                final[s] = _f32(min_score + min_score_penalty)
+                min_score_penalty += k_delta
+        vocab_size = self.trainer_spec.vocab_size - len(self.meta_pieces)
+        assert vocab_size > 0
+        for w, sc in sorted_freq_desc(pieces):
+            if w in final:
+                continue
+            if len(final) == vocab_size:
+                break
+            final[w] = sc
+        return sorted_freq_desc(final.items())
+
+    # -- main loop (unigram_model_trainer.cc:539-603) ---------------------------
+    def train(self) -> ModelProto:
+        ts = self.trainer_spec
+        assert ts.model_type == ModelType.UNIGRAM
+        assert self.normalizer_spec.escape_whitespaces
+        self.load_sentences()
+
+        pieces = self.make_seed_sentence_pieces()  # seed vocab
+        seed_pieces = list(pieces)
+        seed_index_of = {w: i for i, (w, _) in enumerate(seed_pieces)}
+
+        if ts.split_by_whitespace:
+            self.split_sentences_by_whitespace()
+        log.info("Using %d sentences for EM training", len(self.sentences))
+
+        tables = self._build_word_tables(seed_pieces)
+
+        def make_maps(cur_pieces):
+            scores = [sc for _, sc in cur_pieces]
+            seed_to_cur = np.full(len(seed_pieces), -1, np.int64)
+            for i, (w, _) in enumerate(cur_pieces):
+                si = seed_index_of.get(w)
+                if si is not None:
+                    seed_to_cur[si] = i
+            return scores, seed_to_cur
+
+        while True:
+            for it in range(ts.num_sub_iterations):
+                scores, seed_to_cur = make_maps(pieces)
+                expected, obj, ntok = self._run_estep_host(
+                    pieces, scores, seed_to_cur, tables)
+                pieces = self._run_mstep(pieces, expected)
+                log.info("EM sub_iter=%d size=%d obj=%s num_tokens=%d "
+                         "num_tokens/piece=%.4f", it, len(pieces), obj, ntok,
+                         ntok / max(len(pieces), 1))
+            if len(pieces) <= self.desired_vocab_size:
+                break
+            scores, seed_to_cur = make_maps(pieces)
+            pieces = self._prune_pieces(pieces, scores, seed_to_cur, tables,
+                                        seed_index_of)
+
+        self.final_pieces = self._finalize(pieces)
+        return self.save()
