@@ -446,6 +446,5 @@ class TrainerInterface:
 
 def _cpp_float_str(v: float) -> str:
     """Format a float the way `std::ostringstream << float` does (%g, 6
-    significant digits)."""
-    s = f"{float(v):.6g}"
-    return "0" if s == "-0" else s
+    significant digits; -0 keeps its sign)."""
+    return f"{float(v):.6g}"

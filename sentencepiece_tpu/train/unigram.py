@@ -75,15 +75,14 @@ def _f32(x: float) -> float:
 
 
 def log_sum_exp_f32(x: float, y: float, init_mode: bool) -> float:
-    """float32 LogSumExp chain step (unigram_model.cc:51-63): the math is
-    double, the stored accumulator is float."""
+    """float32 LogSumExp step (unigram_model.cc:51-63). Every float-typed
+    C++ sub-expression rounds to float32; exp/log run in double."""
     if init_mode:
         return _f32(y)
     vmin, vmax = (x, y) if x < y else (y, x)
-    kMinusLogEpsilon = 50.0
-    if vmax > vmin + kMinusLogEpsilon:
+    if vmax > _f32(vmin + 50.0):
         return _f32(vmax)
-    return _f32(vmax + math.log(math.exp(vmin - vmax) + 1.0))
+    return _f32(vmax + math.log(math.exp(_f32(vmin - vmax)) + 1.0))
 
 
 class _WordLattice:
@@ -195,10 +194,10 @@ class Trainer(TrainerInterface):
             exp_t = expected[tid]
             for si in range(tid, len(self.sentences), nthreads):
                 freq = self.sentences[si][1]
-                Z, n_vit = self._marginal_one(
+                fZ, n_vit = self._marginal_one(
                     tables[si], scores, seed_to_cur, unk_score, exp_t, freq)
                 ntokens[tid] += n_vit
-                objs[tid] = F32(objs[tid] - F32(Z / all_freq))
+                objs[tid] = F32(objs[tid] - F32(fZ / float(F32(all_freq))))
         # merge in thread order (:274-280)
         obj = objs[0]
         ntok = ntokens[0]
@@ -207,6 +206,12 @@ class Trainer(TrainerInterface):
             obj = F32(obj + objs[tidx])
             ntok += ntokens[tidx]
             exp0 = (exp0 + expected[tidx]).astype(F32)
+        import os
+        dumpf = os.environ.get("SPM_DUMP_EXPECTED")
+        if dumpf:  # conformance debugging vs the patched reference binary
+            with open(dumpf, "ab") as fh:
+                fh.write(np.uint32(len(exp0)).tobytes())
+                fh.write(exp0.astype("<f4").tobytes())
         return exp0, float(obj), ntok
 
     def _iter_nodes(self, table: _WordLattice, seed_to_cur):
@@ -255,12 +260,11 @@ class Trainer(TrainerInterface):
 
         # forward (insertion order = begin asc; BOS first at pos 0)
         for pos in range(L + 1):
-            rlist = begins_at[pos] if pos < L else begins_at[L]
-            for r in rlist:
+            for r in begins_at[pos]:
                 acc = 0.0
                 for j, lnode in enumerate(ends_at[pos]):
                     acc = log_sum_exp_f32(
-                        acc, ns_full[lnode] + alpha[lnode], j == 0)
+                        acc, _f32(ns_full[lnode] + alpha[lnode]), j == 0)
                 alpha[r] = acc
         Z = alpha[EOS]
         # backward
@@ -269,15 +273,17 @@ class Trainer(TrainerInterface):
                 acc = 0.0
                 for j, r in enumerate(begins_at[pos]):
                     acc = log_sum_exp_f32(
-                        acc, ns_full[r] + beta[r], j == 0)
+                        acc, _f32(ns_full[r] + beta[r]), j == 0)
                 beta[lnode] = acc
-        # expected counts (float64 term added into float32 accumulator)
+        # expected counts: alpha+score+beta-Z is a float expression chain
+        # (unigram_model.cc:318-323); the += target is float32
         for k, (pos, ln, cur, unk) in enumerate(nodes):
             nid = 0 if unk else cur
             if nid >= 0:
-                term = freq * math.exp(alpha[k] + node_score[k]
-                                       + beta[k] - Z)
-                exp_t[nid] = F32(exp_t[nid] + term)
+                e = _f32(_f32(_f32(alpha[k] + node_score[k]) + beta[k]) - Z)
+                term = freq * math.exp(e)
+                # C++ `float += double` adds in double, rounds once
+                exp_t[nid] = F32(float(exp_t[nid]) + term)
         # Viterbi token count (float32, strict '>', insertion order)
         best_score = [None] * (L + 1)
         best_node = [-1] * (L + 1)
@@ -300,7 +306,7 @@ class Trainer(TrainerInterface):
                 break
             ntok += 1
             p = nodes[k][0]
-        return Z, ntok
+        return _f32(freq * Z), ntok  # PopulateMarginal returns freq * Z
 
     def _run_mstep(self, pieces, expected) -> List[Tuple[str, float]]:
         """Digamma Bayesian M-step (unigram_model_trainer.cc:298-332)."""
@@ -313,7 +319,7 @@ class Trainer(TrainerInterface):
                 continue
             new_pieces.append((w, freq))
             total = F32(total + F32(freq))
-        logsum = digamma(float(total))
+        logsum = _f32(digamma(float(total)))  # `const float logsum`
         return [(w, _f32(digamma(f) - logsum)) for w, f in new_pieces]
 
     # -- prune (unigram_model_trainer.cc:337-491) -------------------------------
