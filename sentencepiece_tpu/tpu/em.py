@@ -1,0 +1,239 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Device-parallel unigram EM: batched lattice forward/backward with psum.
+
+TPU-native form of the reference E-step thread pool
+(unigram_model_trainer.cc:237-287: threads run Lattice::PopulateMarginal per
+sentence and merge expected[] vectors) and digamma M-step (:298-332):
+
+  * the word corpus is preprocessed ONCE into dense (W, P, K) candidate-id
+    arrays against the SEED vocabulary (every later vocab is a subset, so
+    iterations only re-gather scores — the reference instead rebuilds a
+    darts trie per iteration, unigram_model_trainer.cc:97-119);
+  * the E-step is one jitted program: forward/backward logsumexp scans over
+    the lattice, exp-marginal scatter-add into a per-device expected vector,
+    then `jax.lax.psum` over the data-parallel mesh axis — the reference's
+    "merge expected[n] in thread order" becomes the ICI collective;
+  * piece dropping (expected < 0.5) is an alive-mask, not a reindex, so the
+    training state (scores, alive) has a fixed shape across iterations;
+  * the M-step digamma runs in float32 on device.
+
+Float caveat: jnp.logaddexp reduction order differs from the reference's
+sequential float32 LogSumExp chain, so trained scores can drift by ~1 ulp
+per op relative to the host-exact engine in train/unigram.py; the host
+engine is the conformance reference, this one is the scale path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+K_UNK_PENALTY = 10.0
+
+
+def build_word_lattices(words: List[Tuple[str, int]],
+                        piece_index,
+                        max_piece_len: int,
+                        pad_words_to: Optional[int] = None):
+    """Host: dense candidate arrays per word vs the seed vocab.
+
+    Returns (lat_id int32[W, P, K], word_len int32[W], freq float32[W]):
+    lat_id[w, p, k] = seed id of word[p:p+k+1] or -1.
+    """
+    P = max((len(w) for w, _ in words), default=1)
+    K = min(max_piece_len, P)
+    W = len(words)
+    Wp = pad_words_to or W
+    lat = np.full((Wp, P, K), -1, np.int32)
+    lens = np.zeros(Wp, np.int32)
+    freqs = np.zeros(Wp, np.float32)
+    for wi, (w, f) in enumerate(words):
+        L = len(w)
+        lens[wi] = L
+        freqs[wi] = f
+        for pos in range(L):
+            for k in range(1, min(K, L - pos) + 1):
+                sid = piece_index.get(w[pos:pos + k])
+                if sid is not None:
+                    lat[wi, pos, k - 1] = sid
+    return lat, lens, freqs
+
+
+def _node_scores(lat_id, score_table, alive, min_score):
+    """Per-node lattice scores with alive-mask + UNK fallback (id 0,
+    min_score - 10) where no single-char piece survives
+    (unigram_model.cc:595-603)."""
+    vsafe = jnp.maximum(lat_id, 0)
+    piece_ok = (lat_id >= 0) & alive[vsafe]
+    sc = jnp.where(piece_ok, score_table[vsafe], NEG_INF)
+    unk_score = min_score - K_UNK_PENALTY
+    # k=1 lane: if no surviving single-char piece, UNK node (id -> 0)
+    lane0_ok = piece_ok[:, :, 0]
+    sc = sc.at[:, :, 0].set(jnp.where(lane0_ok, sc[:, :, 0], unk_score))
+    node_id = jnp.where(piece_ok, vsafe, -1)
+    node_id = node_id.at[:, :, 0].set(
+        jnp.where(lane0_ok, node_id[:, :, 0], 0))
+    return sc, node_id
+
+
+def _forward_backward(sc, lens):
+    """alpha/beta per position: logsumexp lattice scans.
+
+    sc: float32[W, P, K]; returns (alpha[W, P+1], beta[W, P+1], logZ[W]).
+    """
+    W, P, K = sc.shape
+    # end-aligned scores: sc_end[w, p, j] = sc[w, p-(j+1), j]
+    cols = []
+    for j in range(K):
+        shifted = jnp.concatenate(
+            [jnp.full((W, j + 1), NEG_INF, sc.dtype), sc[:, :P - j, j]],
+            axis=1)
+        cols.append(shifted)
+    sc_end = jnp.stack(cols, axis=2)  # [W, P+1, K]
+
+    def fwd(alpha_win, sc_p):
+        # alpha_win[:, j] = alpha[p-1-j]
+        cand = alpha_win + sc_p
+        a_p = jax.nn.logsumexp(cand, axis=1)
+        new_win = jnp.concatenate([a_p[:, None], alpha_win[:, :K - 1]],
+                                  axis=1)
+        return new_win, a_p
+
+    win0 = jnp.full((W, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    _, alpha_rest = jax.lax.scan(fwd, win0,
+                                 jnp.swapaxes(sc_end[:, 1:, :], 0, 1))
+    alpha = jnp.concatenate(
+        [jnp.zeros((W, 1), jnp.float32), alpha_rest.T], axis=1)  # [W, P+1]
+
+    def bwd(beta_win, sc_p):
+        # beta_win[:, j] = beta[p+1+j]; sc_p[:, j] = sc[p, j] (len j+1)
+        cand = beta_win + sc_p
+        b_p = jax.nn.logsumexp(cand, axis=1)
+        new_win = jnp.concatenate([b_p[:, None], beta_win[:, :K - 1]],
+                                  axis=1)
+        return new_win, b_p
+
+    # beta[lens] = 0; positions beyond len are invalid. Scan right-to-left
+    # over a length-aligned view: shift each row so its end is at P.
+    # Simpler: run on reversed, length-padded scores. We pad rows with
+    # a free k=1 zero-score edge beyond len so beta propagates unchanged?
+    # Instead: mask-free approach — pad sc with a virtual zero-score len-1
+    # edge at positions >= len.
+    pos = jnp.arange(P)[None, :]
+    pad_edge = pos >= lens[:, None]
+    sc_b = sc.at[:, :, 0].set(jnp.where(pad_edge, 0.0, sc[:, :, 0]))
+    cols = []
+    for j in range(K):
+        # begin-aligned is just sc_b itself: sc_b[w, p, j] begins at p
+        cols.append(sc_b[:, :, j])
+    sc_begin = jnp.stack(cols, axis=2)
+    _, beta_rest = jax.lax.scan(
+        bwd, win0, jnp.swapaxes(sc_begin, 0, 1), reverse=True)
+    beta = jnp.concatenate(
+        [beta_rest.T, jnp.zeros((W, 1), jnp.float32)], axis=1)
+    logZ = jnp.take_along_axis(alpha, lens[:, None], axis=1)[:, 0]
+    return alpha, beta, logZ
+
+
+@functools.partial(jax.jit, static_argnames=("num_seed", "axis_name"))
+def estep(lat_id: jnp.ndarray, lens: jnp.ndarray, freqs: jnp.ndarray,
+          score_table: jnp.ndarray, alive: jnp.ndarray,
+          *, num_seed: int, axis_name: Optional[str] = None):
+    """One E-step over a (sharded) word batch.
+
+    Returns (expected float32[num_seed], obj float32, num_tokens int32)
+    reduced over `axis_name` when given (the dp mesh axis).
+    """
+    min_score = jnp.min(jnp.where(alive, score_table, jnp.inf))
+    sc, node_id = _node_scores(lat_id, score_table, alive, min_score)
+    W, P, K = sc.shape
+    pos = jnp.arange(P)[None, :, None]
+    klen = jnp.arange(1, K + 1)[None, None, :]
+    valid = (pos + klen) <= lens[:, None, None]
+    sc = jnp.where(valid, sc, NEG_INF)
+    alpha, beta, logZ = _forward_backward(sc, lens)
+
+    # node marginal: alpha[begin] + sc + beta[end] - Z
+    a_b = alpha[:, :P][:, :, None]
+    end_idx = jnp.broadcast_to(jnp.minimum(pos + klen, P), (W, P, K))
+    b_e = jnp.take_along_axis(beta, end_idx.reshape(W, P * K),
+                              axis=1).reshape(W, P, K)
+    marg = jnp.exp(a_b + sc + b_e - logZ[:, None, None])
+    marg = jnp.where(valid & (node_id >= 0) & (sc > NEG_INF / 2), marg, 0.0)
+    marg = marg * freqs[:, None, None]
+    expected = jnp.zeros(num_seed, jnp.float32).at[
+        jnp.maximum(node_id, 0).reshape(-1)].add(marg.reshape(-1))
+
+    nonempty = lens > 0
+    obj = -jnp.sum(jnp.where(nonempty, freqs * logZ, 0.0))
+    # Viterbi token count
+    ntok = _viterbi_ntokens(sc, lens)
+    if axis_name is not None:
+        expected = jax.lax.psum(expected, axis_name)
+        obj = jax.lax.psum(obj, axis_name)
+        ntok = jax.lax.psum(ntok, axis_name)
+    return expected, obj, ntok
+
+
+def _viterbi_ntokens(sc, lens):
+    W, P, K = sc.shape
+    cols = []
+    for j in range(K):
+        shifted = jnp.concatenate(
+            [jnp.full((W, j + 1), NEG_INF, sc.dtype), sc[:, :P - j, j]],
+            axis=1)
+        cols.append(shifted)
+    sc_end = jnp.stack(cols, axis=2)
+
+    def vit(win, sc_p):
+        cand = win + sc_p
+        rev = cand[:, ::-1]
+        am = jnp.argmax(rev, axis=1)
+        best = jnp.take_along_axis(rev, am[:, None], axis=1)[:, 0]
+        k = (K - am).astype(jnp.int32)
+        new_win = jnp.concatenate([best[:, None], win[:, :K - 1]], axis=1)
+        return new_win, k
+
+    win0 = jnp.full((W, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    _, bp = jax.lax.scan(vit, win0, jnp.swapaxes(sc_end[:, 1:, :], 0, 1))
+    bp = jnp.concatenate([jnp.ones((1, W), jnp.int32), bp], axis=0)
+
+    def bt(p, _):
+        active = p > 0
+        k = jnp.maximum(bp[jnp.maximum(p, 0), jnp.arange(W)], 1)
+        return jnp.where(active, p - k, p), active
+
+    _, steps = jax.lax.scan(bt, lens, None, length=P)
+    return jnp.sum(steps, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mstep(expected: jnp.ndarray, alive: jnp.ndarray):
+    """Digamma Bayesian M-step (unigram_model_trainer.cc:298-332) as an
+    alive-mask update."""
+    keep = alive & (expected >= 0.5)
+    total = jnp.sum(jnp.where(keep, expected, 0.0))
+    logsum = jax.scipy.special.digamma(total)
+    scores = jnp.where(
+        keep,
+        jax.scipy.special.digamma(jnp.where(keep, expected, 1.0)) - logsum,
+        NEG_INF).astype(jnp.float32)
+    return scores, keep
+
+
+def train_step(lat_id, lens, freqs, score_table, alive, *, num_seed,
+               axis_name=None):
+    """One full EM iteration (E + M) — the unit `dryrun_multichip` jits
+    over the device mesh."""
+    expected, obj, ntok = estep(lat_id, lens, freqs, score_table, alive,
+                                num_seed=num_seed, axis_name=axis_name)
+    scores, alive2 = mstep(expected, alive)
+    return scores, alive2, (expected, obj, ntok)

@@ -275,20 +275,26 @@ class TrainerInterface:
                                 treat_whitespace_as_suffix=False)
         meta_set = [w for w, _ in self.meta_pieces.values()]
         matcher = PrefixMatcher(meta_set)
-        normed: List[Sentence] = []
-        for s, freq in self.sentences:
-            ns = normalizer.normalize(s)[0]
-            ns = matcher.global_replace(
-                ns, UPP_BOUNDARY_STR.encode()).decode(
-                    "utf-8", errors="surrogateescape")
-            if " " in ns:
+        sents = [(matcher.global_replace(
+                      normalizer.normalize(s)[0],
+                      UPP_BOUNDARY_STR.encode()).decode(
+                          "utf-8", errors="surrogateescape"), freq)
+                 for s, freq in self.sentences]
+        # Empty-sentence removal MUST replicate the reference's
+        # swap-with-last loop verbatim (trainer_interface.cc:373-380): the
+        # resulting sentence ORDER feeds the suffix-array seed indices,
+        # EM thread striding, and BPE position ids — all tie-breakers.
+        # (The swapped-in element is not rechecked, exactly like the C++.)
+        i = 0
+        while i < len(sents):
+            if " " in sents[i][0]:
                 raise ValueError("Normalized string must not include spaces")
-            if ns:
-                normed.append((ns, freq))
-        # reference removes empties via swap-with-last (order differs);
-        # we preserve input order, which only affects log output — counting
-        # and all downstream maps are order-independent.
-        self.sentences = normed
+            if not sents[i][0]:
+                last = len(sents) - 1
+                sents[i] = sents[last]
+                sents.pop()
+            i += 1
+        self.sentences = sents
 
         # char frequencies (:386-409)
         chars_count: Dict[int, int] = {}

@@ -174,7 +174,8 @@ class DoubleArray:
             ok = _labels(u) == labs
             if ok.any():
                 seen_depth = depth
-            nxt = (flat ^ labs)[ok] ^ _offsets(u[ok])
+            # next state base = slot ^ offset (slot == flat == base^label)
+            nxt = flat[ok] ^ _offsets(u[ok])
             frontier = np.unique(nxt)
             if depth > 4096:
                 raise RuntimeError("trie too deep / cyclic")
