@@ -46,8 +46,8 @@ NEG_INF = float(np.float32(-1e30))
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "unk_id", "add_bos", "add_eos",
-                     "reverse", "bos_id", "eos_id", "pad_id"))
+    static_argnames=("max_depth", "unk_id", "root_state", "add_bos",
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
 def unigram_encode_batch(units: jnp.ndarray,
                          lat_score_table: jnp.ndarray,
                          batch: jnp.ndarray,
@@ -56,6 +56,7 @@ def unigram_encode_batch(units: jnp.ndarray,
                          *,
                          max_depth: int,
                          unk_id: int,
+                         root_state: int = 0,
                          add_bos: bool = False,
                          add_eos: bool = False,
                          reverse: bool = False,
@@ -92,14 +93,33 @@ def unigram_encode_batch(units: jnp.ndarray,
     # -- lattice populate: end-aligned id/score bands --------------------------
     # id_end[b, p, j] = piece id of the byte-length-(j+1) match ENDING at
     # byte p (i.e. starting at p-(j+1)); -1 if none.
+    # The walk is written inline in exactly this shape because XLA's fusion
+    # heuristics are fragile here: a traced root-state broadcast or a
+    # refactored step function can serialize the gathers (500x) and blow up
+    # compile time. root_state is a static Python int (host-precomputed).
     batch_pad = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
-    state = jnp.broadcast_to(trie.root_state(units), (B, N))
+    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
     alive = is_start
     id_lanes = []
+    label_mask = jnp.uint32((1 << 31) | 0xFF)
+    has_leaf_bit = jnp.uint32(1 << 8)
+    value_mask = jnp.uint32(0x7FFFFFFF)
     for d in range(D):
         c = batch_pad[:, d:N + d].astype(jnp.uint32)
         byte_ok = (pos + d) < lengths[:, None]
-        state, alive, val = trie.step(units, state, c, alive & byte_ok)
+        live = alive & byte_ok
+        node = state ^ c
+        safe = jnp.where(live, node, jnp.uint32(0))
+        unit = trie._gather(units, safe)
+        ok = live & ((unit & label_mask) == c)
+        state = jnp.where(ok, node ^ trie.offsets(unit), state)
+        has_leaf = ok & ((unit & has_leaf_bit) != 0)
+        leaf_unit = trie._gather(
+            units, jnp.where(has_leaf, state, jnp.uint32(0)))
+        val = jnp.where(has_leaf,
+                        (leaf_unit & value_mask).astype(jnp.int32),
+                        jnp.int32(-1))
+        alive = ok
         id_lanes.append(val)
 
     # UNK fallback where no single-char piece covers the char start
@@ -114,7 +134,8 @@ def unigram_encode_batch(units: jnp.ndarray,
     lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
 
     vsafe = jnp.maximum(lat_ids, 0)
-    lat_sc = jnp.where(lat_ids >= 0, lat_score_table[vsafe], NEG_INF)
+    lat_sc = jnp.where(lat_ids >= 0, trie._gather(lat_score_table, vsafe),
+                       NEG_INF)
     lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
 
     # end-align: x_end[b, p, j] = x[b, p-(j+1), j] for p in 0..N
@@ -222,6 +243,10 @@ class UnigramBatchEncoder:
         self.processor = processor
         self.model = model
         self.units = jnp.asarray(model.trie.units)
+        # root base precomputed on host: keeps the device walk free of a
+        # traced scalar broadcast (degrades XLA fusion badly, see above)
+        u0 = int(model.trie.units[0])
+        self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
         types = model.types
         # fold user-defined / unused rules into one score table
         # (unigram_model.cc:584-593)
@@ -253,6 +278,7 @@ class UnigramBatchEncoder:
             self.units, self.lat_score_table,
             jnp.asarray(arr), jnp.asarray(lens), self.unk_score,
             max_depth=self.max_depth, unk_id=self.unk_id,
+            root_state=self.root_state,
             add_bos=self.add_bos, add_eos=self.add_eos, reverse=self.reverse,
             bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id)
 

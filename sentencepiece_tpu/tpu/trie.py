@@ -14,6 +14,7 @@ and the charsmap normalizer kernel.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _HAS_LEAF = jnp.uint32(1 << 8)
@@ -37,6 +38,18 @@ def root_state(units: jnp.ndarray) -> jnp.ndarray:
     return offsets(units[0])
 
 
+def _gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Out-of-line gather. Two details matter for TPU speed: (1) the
+    optimization barriers stop XLA from fusing the gather into surrounding
+    elementwise loops, which serializes it (~500x slower); (2) indices must
+    be int32 — uint32 indices take a slow conversion-fused path."""
+    if idx.dtype != jnp.int32:
+        idx = jnp.minimum(idx, jnp.uint32(len(table) - 1)).astype(jnp.int32)
+    idx = jax.lax.optimization_barrier(idx)
+    out = table.at[idx].get(mode="promise_in_bounds")
+    return jax.lax.optimization_barrier(out)
+
+
 def step(units: jnp.ndarray, state: jnp.ndarray, c: jnp.ndarray,
          alive: jnp.ndarray):
     """One commonPrefixSearch step at every lane simultaneously.
@@ -53,12 +66,12 @@ def step(units: jnp.ndarray, state: jnp.ndarray, c: jnp.ndarray,
     """
     node_pos = state ^ c
     safe = jnp.where(alive, node_pos, jnp.uint32(0))
-    unit = units[safe]
+    unit = _gather(units, safe)
     ok = alive & (labels(unit) == c)
     new_state = jnp.where(ok, node_pos ^ offsets(unit), state)
     has_leaf = ok & ((unit & _HAS_LEAF) != 0)
     leaf_pos = jnp.where(has_leaf, new_state, jnp.uint32(0))
-    leaf_unit = units[leaf_pos]
+    leaf_unit = _gather(units, leaf_pos)
     value = jnp.where(has_leaf,
                       (leaf_unit & _VALUE_MASK).astype(jnp.int32),
                       jnp.int32(-1))
