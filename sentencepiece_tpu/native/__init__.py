@@ -1,0 +1,188 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""ctypes bindings for the native host runtime (native.cc).
+
+The shared library is built on demand (g++ -O2, a few seconds, cached next
+to the source). Every entry point has a pure-Python fallback elsewhere in
+the package; ``available()`` reports whether the fast path loaded.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+log = logging.getLogger("sentencepiece_tpu.native")
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "native.cc")
+_SO = os.path.join(_DIR, "_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception as e:  # pragma: no cover
+        log.warning("native build failed: %s", e)
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                       os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:  # pragma: no cover
+            log.warning("native load failed: %s", e)
+            return None
+        lib.spm_darts_build.restype = ctypes.c_int64
+        lib.spm_darts_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p)]
+        lib.spm_normalize.restype = ctypes.c_int64
+        lib.spm_normalize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,      # units
+            ctypes.c_void_p, ctypes.c_int64,      # pool
+            ctypes.c_void_p, ctypes.c_int64,      # matcher units
+            ctypes.c_void_p, ctypes.c_int64,      # data
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p]     # out, n2o
+        lib.spm_sais.restype = None
+        lib.spm_sais.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int64, ctypes.c_int64]
+        lib.spm_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def darts_build(keys: Sequence[bytes],
+                values: Optional[Sequence[int]] = None
+                ) -> Optional[np.ndarray]:
+    """Fast double-array build; returns uint32 unit array or None if the
+    native library is unavailable. Same contract as utils.darts.build."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(keys)
+    if values is None:
+        order = sorted(range(n), key=lambda i: keys[i])
+        values = [0] * n
+        for rank, i in enumerate(order):
+            values[i] = rank
+    pairs = sorted(zip(keys, values))
+    for i, (k, v) in enumerate(pairs):
+        if not k:
+            raise ValueError("empty key not allowed")
+        if 0 in k:
+            raise ValueError("NUL byte in key not allowed")
+        if not (0 <= v < (1 << 31)):
+            raise ValueError(f"value out of range: {v}")
+        if i and pairs[i - 1][0] == k:
+            raise ValueError(f"duplicate key: {k!r}")
+    concat = b"".join(k for k, _ in pairs)
+    offs = np.zeros(n + 1, np.int64)
+    offs[1:] = np.cumsum([len(k) for k, _ in pairs])
+    vals = np.asarray([v for _, v in pairs], np.int32)
+    keys_np = np.frombuffer(concat, np.uint8)
+    out_ptr = ctypes.c_void_p()
+    n_units = lib.spm_darts_build(
+        keys_np.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        n, ctypes.byref(out_ptr))
+    if n_units < 0:
+        return None
+    buf = np.ctypeslib.as_array(
+        ctypes.cast(out_ptr, ctypes.POINTER(ctypes.c_uint32)),
+        shape=(n_units,)).copy()
+    lib.spm_free(out_ptr)
+    return buf
+
+
+class NativeNormalizer:
+    """Fast host normalizer over a charsmap blob + optional user matcher."""
+
+    def __init__(self, units: Optional[np.ndarray], pool: bytes,
+                 add_dummy_prefix: bool, remove_extra_whitespaces: bool,
+                 escape_whitespaces: bool, suffix: bool,
+                 matcher_units: Optional[np.ndarray] = None):
+        self.lib = _load()
+        self.units = (np.ascontiguousarray(units, np.uint32)
+                      if units is not None else None)
+        self.pool = np.frombuffer(pool, np.uint8) if pool else None
+        self.matcher = (np.ascontiguousarray(matcher_units, np.uint32)
+                        if matcher_units is not None else None)
+        self.flags = (int(add_dummy_prefix), int(remove_extra_whitespaces),
+                      int(escape_whitespaces), int(suffix))
+
+    @property
+    def ok(self) -> bool:
+        return self.lib is not None
+
+    def normalize(self, data: bytes) -> Tuple[bytes, np.ndarray]:
+        n = len(data)
+        cap = n * 13 + 16
+        out = np.empty(cap, np.uint8)
+        n2o = np.empty(cap + 1, np.int64)
+        d = np.frombuffer(data, np.uint8)
+        olen = self.lib.spm_normalize(
+            None if self.units is None else
+            self.units.ctypes.data_as(ctypes.c_void_p),
+            0 if self.units is None else len(self.units),
+            None if self.pool is None else
+            self.pool.ctypes.data_as(ctypes.c_void_p),
+            0 if self.pool is None else len(self.pool),
+            None if self.matcher is None else
+            self.matcher.ctypes.data_as(ctypes.c_void_p),
+            0 if self.matcher is None else len(self.matcher),
+            d.ctypes.data_as(ctypes.c_void_p) if n else None, n,
+            *self.flags,
+            out.ctypes.data_as(ctypes.c_void_p),
+            n2o.ctypes.data_as(ctypes.c_void_p))
+        return out[:olen].tobytes(), n2o[:olen + 1].copy()
+
+
+def sais(arr: np.ndarray, alphabet: int) -> Optional[np.ndarray]:
+    """SA-IS suffix array of an int32 array; None if native unavailable.
+
+    A unique smallest sentinel is appended internally (the core assumes
+    the with-sentinel convention); the returned SA excludes it."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    t = np.empty(n + 1, np.int32)
+    t[:n] = np.asarray(arr, np.int32) + 1
+    t[n] = 0
+    sa = np.empty(n + 1, np.int32)
+    lib.spm_sais(t.ctypes.data_as(ctypes.c_void_p),
+                 sa.ctypes.data_as(ctypes.c_void_p), n + 1, alphabet + 2)
+    assert sa[0] == n
+    return sa[1:].copy()

@@ -103,6 +103,32 @@ class Normalizer:
 
     def set_prefix_matcher(self, matcher: Optional[PrefixMatcher]) -> None:
         self.matcher = matcher
+        self._native = None  # rebuild lazily with the matcher trie
+
+    _native = None
+
+    def _native_impl(self):
+        """Fast C++ scan (native/native.cc spm_normalize); exact parity
+        with the Python path below, which remains the spec + fallback."""
+        if self._native is None:
+            try:
+                from .. import native as native_mod
+
+                matcher_units = None
+                if self.matcher is not None and not self.matcher.empty:
+                    matcher_units = self.matcher._trie.units
+                n = native_mod.NativeNormalizer(
+                    None if self.trie is None else self.trie.units,
+                    self.pool,
+                    bool(self.spec.add_dummy_prefix),
+                    bool(self.spec.remove_extra_whitespaces),
+                    bool(self.spec.escape_whitespaces),
+                    bool(self.treat_whitespace_as_suffix),
+                    matcher_units)
+                self._native = n if n.ok else False
+            except Exception:
+                self._native = False
+        return self._native or None
 
     # -- per-position precomputation (the vectorized trie pass) -------------
     def _match_table(self, data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -146,6 +172,10 @@ class Normalizer:
         data = text.encode("utf-8", errors="surrogateescape") if isinstance(text, str) else bytes(text)
         if not data:
             return b"", np.zeros(0, dtype=np.int64)
+
+        native = self._native_impl()
+        if native is not None:
+            return native.normalize(data)
 
         arr = np.frombuffer(data, dtype=np.uint8)
         rule_len, rule_val = self._match_table(arr)

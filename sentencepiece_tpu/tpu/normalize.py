@@ -1,0 +1,377 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Device normalizer: charsmap longest-match rewriting as a jitted program.
+
+TPU-native form of reference src/normalizer.cc:88-300 (see also the host
+mirror in sentencepiece_tpu/normalizer/normalize.py). One jitted program
+normalizes a whole padded batch:
+
+  1. charsmap longest-match per byte position — a D-step darts walk batched
+     over all (row, byte) lanes (NormalizePrefix's per-position trie scan,
+     normalizer.cc:245-269);
+  2. vectorized UTF-8 validity/length classification (malformed bytes
+     become U+FFFD consuming ONE byte, normalizer.cc:271-291);
+  3. a chunk scan (`lax.scan`) that walks each row's chunk chain carrying
+     the `is_prev_space` dedup state (normalizer.cc:160-189);
+  4. vectorized byte assembly from a host-pre-escaped replacement pool
+     (spaces already rewritten to U+2581 when escape_whitespaces);
+  5. trailing-whitespace trim via log-doubling pattern matching over the
+     assembled bytes (normalizer.cc:191-201) — this reproduces the
+     reference quirk that the trim can consume literal U+2581 input chars
+     and even the dummy prefix itself;
+  6. dummy prefix prepended before the scan (prefix mode) or appended
+     after the trim (suffix mode, normalizer.cc:153,204).
+
+The device path produces normalized bytes + lengths only; byte-alignment
+(norm_to_orig) stays on the host path, which the SentencePieceText API uses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import trie
+
+SPACE_SYMBOL = b"\xe2\x96\x81"
+FFFD = b"\xef\xbf\xbd"
+
+
+class NormalizerTables:
+    """Host-precomputed device tables for one NormalizerSpec."""
+
+    def __init__(self, spec, treat_whitespace_as_suffix: bool = False):
+        from ..normalizer import charsmap as charsmap_lib
+        from ..utils import darts
+
+        self.add_dummy_prefix = bool(spec.add_dummy_prefix)
+        self.remove_extra_whitespaces = bool(spec.remove_extra_whitespaces)
+        self.escape_whitespaces = bool(spec.escape_whitespaces)
+        self.suffix = bool(treat_whitespace_as_suffix)
+        self.ws = (SPACE_SYMBOL if self.escape_whitespaces else b" ")
+        self.ws_len = len(self.ws)
+
+        blob = spec.precompiled_charsmap or b""
+        if blob:
+            da, pool = charsmap_lib.decode_blob(blob)
+            self.units = jnp.asarray(da.units)
+            u0 = int(da.units[0])
+            self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
+            self.max_rule_len = da.max_key_length()
+            pool_b = bytes(pool)
+        else:
+            self.units = jnp.zeros(1, jnp.uint32)
+            self.root_state = 0
+            self.max_rule_len = 0
+            pool_b = b""
+
+        # Pre-escaped pool + per-offset chunk metadata. A rule value is a
+        # byte offset into the NUL-delimited pool; we build, indexed by that
+        # offset: escaped offset/length and the space-structure flags the
+        # chunk scan needs (lead spaces, all-space, ends-with-space).
+        P = len(pool_b)
+        esc_pool = bytearray()
+        self._v_esc_off = np.zeros(max(P, 1), np.int32)
+        self._v_esc_len = np.zeros(max(P, 1), np.int32)
+        self._v_lead_sp = np.zeros(max(P, 1), np.int32)
+        self._v_all_sp = np.zeros(max(P, 1), bool)
+        self._v_ends_sp = np.zeros(max(P, 1), bool)
+        max_expand = 3  # FFFD: 3 output bytes per 1 malformed input byte
+        off = 0
+        while off < P:
+            end = pool_b.index(0, off)
+            rep = pool_b[off:end]
+            esc = (rep.replace(b" ", SPACE_SYMBOL)
+                   if self.escape_whitespaces else rep)
+            self._v_esc_off[off] = len(esc_pool)
+            self._v_esc_len[off] = len(esc)
+            lead = len(rep) - len(rep.lstrip(b" "))
+            self._v_lead_sp[off] = lead
+            self._v_all_sp[off] = (len(rep) > 0
+                                   and rep.strip(b" ") == b"")
+            self._v_ends_sp[off] = rep.endswith(b" ")
+            esc_pool.extend(esc)
+            off = end + 1
+        self.esc_pool = jnp.asarray(
+            np.frombuffer(bytes(esc_pool) + b"\x00", np.uint8))
+        self.v_esc_off = jnp.asarray(self._v_esc_off)
+        self.v_esc_len = jnp.asarray(self._v_esc_len)
+        self.v_lead_sp = jnp.asarray(self._v_lead_sp)
+        self.v_all_sp = jnp.asarray(self._v_all_sp)
+        self.v_ends_sp = jnp.asarray(self._v_ends_sp)
+        self.ws_arr = jnp.asarray(np.frombuffer(self.ws, np.uint8))
+        self.fffd_arr = jnp.asarray(np.frombuffer(FFFD, np.uint8))
+        # worst-case output bytes per input byte
+        self.expand = max_expand
+        self.max_rep_len = int(self._v_esc_len.max()) if P else 0
+
+    def out_width(self, n_in: int) -> int:
+        # dummy prefix + per-byte worst case expansion
+        per_byte = max(self.expand,
+                       self.max_rep_len,  # a 1-byte key rule
+                       self.ws_len if self.escape_whitespaces else 1)
+        return n_in * per_byte + self.ws_len + 4
+
+
+def _utf8_class(batch: jnp.ndarray, lengths: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(char_len int32[B,N], valid bool[B,N]) per byte position, mirroring
+    string_util::IsValidDecodeUTF8 (is_valid_decode_utf8 in
+    utils/unicode.py): structural checks + overlong/surrogate/range."""
+    B, N = batch.shape
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+
+    def byte_at(off):
+        padded = jnp.concatenate([batch, jnp.zeros((B, 4), jnp.uint8)],
+                                 axis=1)
+        return jax.lax.dynamic_slice_in_dim(padded, off, N, axis=1)
+
+    b0 = batch.astype(jnp.int32)
+    b1 = byte_at(1).astype(jnp.int32)
+    b2 = byte_at(2).astype(jnp.int32)
+    b3 = byte_at(3).astype(jnp.int32)
+    cont1 = (b1 & 0xC0) == 0x80
+    cont2 = (b2 & 0xC0) == 0x80
+    cont3 = (b3 & 0xC0) == 0x80
+    rem = lengths[:, None] - pos  # bytes remaining including this one
+
+    is1 = b0 < 0x80
+    is2 = ((b0 & 0xE0) == 0xC0) & cont1 & (rem >= 2)
+    cp2 = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+    is2 &= cp2 >= 0x80  # no overlong
+    is3 = ((b0 & 0xF0) == 0xE0) & cont1 & cont2 & (rem >= 3)
+    cp3 = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    is3 &= (cp3 >= 0x800) & ~((cp3 >= 0xD800) & (cp3 <= 0xDFFF))
+    is4 = ((b0 & 0xF8) == 0xF0) & cont1 & cont2 & cont3 & (rem >= 4)
+    cp4 = (((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12)
+           | ((b2 & 0x3F) << 6) | (b3 & 0x3F))
+    is4 &= (cp4 >= 0x10000) & (cp4 <= 0x10FFFF)
+
+    char_len = jnp.where(is1, 1,
+                         jnp.where(is2, 2, jnp.where(is3, 3,
+                                                     jnp.where(is4, 4, 1))))
+    valid = is1 | is2 | is3 | is4
+    return char_len.astype(jnp.int32), valid
+
+
+def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state):
+    """Longest charsmap match per byte position: (mlen, mval) int32[B,N]."""
+    B, N = batch.shape
+    if max_rule_len == 0:
+        return (jnp.zeros((B, N), jnp.int32),
+                jnp.full((B, N), -1, jnp.int32))
+    D = max_rule_len
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    bp = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
+    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
+    alive = pos < lengths[:, None]
+    mlen = jnp.zeros((B, N), jnp.int32)
+    mval = jnp.full((B, N), -1, jnp.int32)
+    label_mask = jnp.uint32((1 << 31) | 0xFF)
+    leaf_bit = jnp.uint32(1 << 8)
+    value_mask = jnp.uint32(0x7FFFFFFF)
+    for d in range(D):
+        c = bp[:, d:N + d].astype(jnp.uint32)
+        byte_ok = (pos + d) < lengths[:, None]
+        live = alive & byte_ok
+        node = state ^ c
+        safe = jnp.where(live, node, jnp.uint32(0))
+        unit = trie._gather(units, safe)
+        ok = live & ((unit & label_mask) == c)
+        state = jnp.where(ok, node ^ trie.offsets(unit), state)
+        has_leaf = ok & ((unit & leaf_bit) != 0)
+        leaf_unit = trie._gather(
+            units, jnp.where(has_leaf, state, jnp.uint32(0)))
+        mlen = jnp.where(has_leaf, d + 1, mlen)
+        mval = jnp.where(has_leaf,
+                         (leaf_unit & value_mask).astype(jnp.int32), mval)
+        alive = ok
+    return mlen, mval
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_rule_len", "root_state", "n_out", "ws_len",
+                     "max_rep_len", "add_dummy_prefix",
+                     "remove_extra_whitespaces", "escape_whitespaces",
+                     "suffix"))
+def normalize_batch(units, esc_pool, v_esc_off, v_esc_len, v_lead_sp,
+                    v_all_sp, v_ends_sp, ws_arr, fffd_arr,
+                    batch, lengths, *,
+                    max_rule_len: int, root_state: int, n_out: int,
+                    ws_len: int, max_rep_len: int,
+                    add_dummy_prefix: bool, remove_extra_whitespaces: bool,
+                    escape_whitespaces: bool, suffix: bool):
+    """Normalize padded rows of raw bytes. Returns (out uint8[B, n_out],
+    out_len int32[B])."""
+    B, N = batch.shape
+    pos_row = jnp.arange(N, dtype=jnp.int32)[None, :]
+
+    mlen, mval = _charsmap_longest(units, batch, lengths,
+                                   max_rule_len=max_rule_len,
+                                   root_state=root_state)
+    char_len, valid_utf8 = _utf8_class(batch, lengths)
+
+    # per-position chunk tables
+    matched = mlen > 0
+    cons = jnp.where(matched, mlen,
+                     jnp.where(valid_utf8, char_len, 1)).astype(jnp.int32)
+    vsafe = jnp.maximum(mval, 0)
+    is_sp_byte = batch == 0x20
+    KIND_POOL, KIND_RAW, KIND_FFFD, KIND_WS = 0, 1, 2, 3
+    kind = jnp.where(
+        matched, KIND_POOL,
+        jnp.where(valid_utf8 & is_sp_byte, KIND_WS,
+                  jnp.where(valid_utf8, KIND_RAW, KIND_FFFD)))
+    wsl = ws_len if escape_whitespaces else 1
+    # emission length (escaped), before leading-space strip
+    emit0 = jnp.where(
+        matched, trie._gather(v_esc_len, vsafe),
+        jnp.where(valid_utf8,
+                  jnp.where(is_sp_byte, wsl, char_len), 3))
+    lead_sp = jnp.where(matched, trie._gather(v_lead_sp, vsafe),
+                        jnp.where(valid_utf8 & is_sp_byte, 1, 0))
+    all_sp = jnp.where(matched, trie._gather(v_all_sp, vsafe),
+                       valid_utf8 & is_sp_byte)
+    ends_sp = jnp.where(matched, trie._gather(v_ends_sp, vsafe),
+                        valid_utf8 & is_sp_byte)
+    esc_off = jnp.where(matched, trie._gather(v_esc_off, vsafe), 0)
+
+    # -- chunk scan: walk the chain, carrying is_prev_space ------------------
+    rows = jnp.arange(B)
+
+    def chunk_step(carry, _):
+        p, prev_sp = carry
+        active = p < lengths
+        psafe = jnp.minimum(p, N - 1)
+        k = jnp.where(active & prev_sp, lead_sp[rows, psafe], 0)
+        c_kind = kind[rows, psafe]
+        c_emit0 = emit0[rows, psafe]
+        c_emit = jnp.maximum(c_emit0 - k * wsl, 0)
+        c_src = jnp.where(c_kind == KIND_POOL,
+                          esc_off[rows, psafe] + k * wsl,
+                          psafe)  # raw/fffd read from input / const
+        c_sp = all_sp[rows, psafe]
+        c_ends = ends_sp[rows, psafe]
+        if remove_extra_whitespaces:
+            # deletion rules (empty replacement) leave is_prev_space
+            # untouched (normalizer.cc:165 `if (!sp.empty())`)
+            upd = jnp.where(c_emit0 == 0, prev_sp,
+                            c_ends | (c_sp & prev_sp))
+        else:
+            upd = jnp.zeros_like(prev_sp)
+        new_prev = jnp.where(active, upd, prev_sp)
+        new_p = jnp.where(active, p + cons[rows, psafe], p)
+        emit = jnp.where(active, c_emit, 0)
+        return (new_p, new_prev), (emit, c_kind, c_src)
+
+    prev0 = jnp.full((B,), bool(remove_extra_whitespaces))
+    (_, _), (emits, kinds, srcs) = jax.lax.scan(
+        chunk_step, (jnp.zeros(B, jnp.int32), prev0), None, length=N)
+    emits = emits.T   # [B, T] chunk emission byte counts
+    kinds = kinds.T
+    srcs = srcs.T
+
+    # -- assembly ------------------------------------------------------------
+    dummy = wsl if add_dummy_prefix and not suffix else 0
+    offs = jnp.cumsum(emits, axis=1, dtype=jnp.int32) - emits + dummy
+    total = offs[:, -1] + emits[:, -1]
+
+    out = jnp.full((B, n_out + 1), 0, jnp.uint8)
+    if dummy:
+        for j in range(wsl):
+            out = out.at[:, j].set(ws_arr[j])
+    R = max(max_rep_len, 4)
+    fffd_pad = jnp.concatenate(
+        [fffd_arr, jnp.zeros(max(R - 3, 1), jnp.uint8)])
+    ws_pad = jnp.concatenate(
+        [ws_arr, jnp.zeros(max(R - wsl, 1), jnp.uint8)])
+    batch_pad = jnp.concatenate([batch, jnp.zeros((B, R), jnp.uint8)],
+                                axis=1)
+    for j in range(R):
+        write = j < emits
+        # source byte for emission byte j of each chunk
+        pool_b = trie._gather(esc_pool, jnp.minimum(
+            srcs + j, len(esc_pool) - 1))
+        raw_idx = jnp.clip(srcs + j, 0, N + R - 1)
+        raw_b = trie._taa(batch_pad, raw_idx)
+        val = jnp.where(
+            kinds == KIND_POOL, pool_b,
+            jnp.where(kinds == KIND_RAW, raw_b,
+                      jnp.where(kinds == KIND_FFFD, fffd_pad[j],
+                                ws_pad[j])))
+        col = jnp.where(write, jnp.minimum(offs + j, n_out), n_out)
+        out = trie._scatter_set(out, jnp.broadcast_to(rows[:, None],
+                                                      col.shape), col,
+                                jnp.where(write, val,
+                                          out[:, n_out:n_out + 1]))
+    # rows with zero input are empty regardless of dummy prefix
+    total = jnp.where(lengths > 0, total, 0)
+
+    # -- trailing whitespace trim (remove_extra_whitespaces) ------------------
+    if remove_extra_whitespaces:
+        # ws-token run matching via log-doubling: R0[e] = pattern ends at e
+        e_idx = jnp.arange(n_out + 1, dtype=jnp.int32)[None, :]
+        match = jnp.ones((B, n_out + 1), bool)
+        for j in range(wsl):
+            src = jnp.clip(e_idx - wsl + j, 0, n_out)
+            bytes_j = trie._taa(out, jnp.broadcast_to(src, out.shape))
+            match &= (bytes_j == ws_arr[j]) & (e_idx >= wsl)
+        # Rj[e]: 2^j ws-tokens end at e
+        levels = []
+        cur = match
+        step = wsl
+        max_tokens = (n_out // wsl) + 1
+        while step <= n_out:
+            levels.append((cur, step))
+            src = jnp.clip(e_idx - step, 0, n_out)
+            cur = cur & trie._taa(cur, jnp.broadcast_to(src, cur.shape))
+            step *= 2
+        # greedy strip from the end
+        end = total
+        for lev_match, lev_step in reversed(levels):
+            hit = trie._taa(
+                lev_match, jnp.clip(end, 0, n_out)[:, None])[:, 0]
+            end = jnp.where(hit & (end >= lev_step), end - lev_step, end)
+        total = end
+
+    if suffix and add_dummy_prefix:
+        # all-space rows under remove_extra_whitespaces stay empty (the
+        # reference's leading-space pre-loop returns early,
+        # normalizer.cc:103-121)
+        put = lengths > 0
+        if remove_extra_whitespaces:
+            put = put & (total > 0)
+        for j in range(wsl):
+            out = out.at[rows, jnp.where(put, jnp.minimum(total + j, n_out),
+                                         n_out)].set(ws_arr[j], mode="drop")
+        total = jnp.where(put, total + wsl, total)
+
+    return out[:, :n_out], total
+
+
+class BatchNormalizer:
+    """Host wrapper around the jitted device normalizer."""
+
+    def __init__(self, spec, treat_whitespace_as_suffix: bool = False):
+        self.t = NormalizerTables(spec, treat_whitespace_as_suffix)
+
+    def normalize(self, batch: np.ndarray, lengths: np.ndarray):
+        """batch uint8[B, N] raw bytes -> (out uint8[B, n_out], len[B])."""
+        t = self.t
+        n_out = t.out_width(batch.shape[1])
+        return normalize_batch(
+            t.units, t.esc_pool, t.v_esc_off, t.v_esc_len, t.v_lead_sp,
+            t.v_all_sp, t.v_ends_sp, t.ws_arr, t.fffd_arr,
+            jnp.asarray(batch), jnp.asarray(lengths),
+            max_rule_len=t.max_rule_len, root_state=t.root_state,
+            n_out=n_out, ws_len=t.ws_len, max_rep_len=t.max_rep_len,
+            add_dummy_prefix=t.add_dummy_prefix,
+            remove_extra_whitespaces=t.remove_extra_whitespaces,
+            escape_whitespaces=t.escape_whitespaces, suffix=t.suffix)

@@ -1,0 +1,171 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""End-to-end device tokenizer: normalize + segment in one jitted program.
+
+The full reference encode hot path (sentencepiece_processor.cc:562-576 =
+Normalize → Model::Encode) as a single XLA program over a padded batch:
+raw UTF-8 bytes in, token ids out. Host work is reduced to numpy packing
+of the input lines and unpadding of the results.
+
+Rows whose normalized form overflows the static encode width (pathological
+expansion; the charsmap worst case is ~13 bytes out per byte in) are
+detected on device and re-encoded through the exact host path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import normalize as tpu_normalize
+from .encode import unigram_encode_batch
+
+# Persistent compilation cache: these programs are large (multi-minute XLA
+# compiles on TPU); caching makes every process after the first fast.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/sentencepiece_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax
+    pass
+
+
+def pack_lines(lines: Sequence[bytes], width: int, pad_rows_to: int = 8
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized numpy packing of byte strings into a padded matrix."""
+    B = len(lines)
+    Bp = pad_rows_to
+    while Bp < B:
+        Bp *= 2
+    lens = np.fromiter((min(len(l), width) for l in lines), np.int32,
+                       count=B)
+    arr = np.zeros((Bp, width), np.uint8)
+    if B:
+        concat = np.frombuffer(
+            b"".join(l[:width] for l in lines), np.uint8)
+        starts = np.zeros(B, np.int64)
+        starts[1:] = np.cumsum(lens[:-1])
+        flat_idx = (np.repeat(np.arange(B, dtype=np.int64) * width, lens)
+                    + np.arange(len(concat), dtype=np.int64)
+                    - np.repeat(starts, lens))
+        arr.reshape(-1)[flat_idx] = concat
+    out_lens = np.zeros(Bp, np.int32)
+    out_lens[:B] = lens
+    return arr, out_lens
+
+
+class TpuTokenizer:
+    """Raw text -> ids entirely on device (the TF EncodeDense analog,
+    tensorflow/sentencepiece_processor_ops.cc:387, with the model itself
+    running on the TPU)."""
+
+    BUCKETS = (128, 512, 2048, 4096)
+
+    def __init__(self, processor, add_bos=False, add_eos=False,
+                 reverse=False, pad_id: Optional[int] = None):
+        from .encode import UnigramBatchEncoder
+
+        self.processor = processor
+        self.enc = UnigramBatchEncoder(processor, add_bos=add_bos,
+                                       add_eos=add_eos, reverse=reverse,
+                                       pad_id=pad_id)
+        ts = processor.model_proto.trainer_spec
+        suffix = bool(ts.treat_whitespace_as_suffix) if ts else False
+        self.norm = tpu_normalize.NormalizerTables(
+            processor.model_proto.normalizer_spec, suffix)
+        self._fns = {}
+
+    def _pipeline_fn(self, n_in: int):
+        """Build the fused jitted pipeline for one input width."""
+        if n_in in self._fns:
+            return self._fns[n_in]
+        t = self.norm
+        enc = self.enc
+        # static encode width: 2x input + headroom. The normalizer writes
+        # DIRECTLY into this narrow width (overflowing bytes are dropped by
+        # the scatter); rows whose true normalized length exceeds it are
+        # flagged and re-encoded on the host. This keeps the device buffers
+        # ~20x smaller than the theoretical worst-case expansion.
+        w_enc = 2 * n_in + 8
+
+        # Two separate dispatches of the ALREADY-JITTED stage functions with
+        # the tables passed as explicit arguments. Do NOT wrap them in
+        # another jit closing over the table arrays: closed-over device
+        # arrays get baked into the trace as XLA constants, which explodes
+        # compile time (minutes) and adds ~100ms/call of constant
+        # rematerialization.
+        def fn(batch, lengths):
+            norm_out, norm_len = tpu_normalize.normalize_batch(
+                t.units, t.esc_pool, t.v_esc_off, t.v_esc_len, t.v_lead_sp,
+                t.v_all_sp, t.v_ends_sp, t.ws_arr, t.fffd_arr,
+                batch, lengths,
+                max_rule_len=t.max_rule_len, root_state=t.root_state,
+                n_out=w_enc, ws_len=t.ws_len, max_rep_len=t.max_rep_len,
+                add_dummy_prefix=t.add_dummy_prefix,
+                remove_extra_whitespaces=t.remove_extra_whitespaces,
+                escape_whitespaces=t.escape_whitespaces, suffix=t.suffix)
+            overflow = norm_len > w_enc
+            enc_len = jnp.minimum(norm_len, w_enc)
+            ids, n_ids = unigram_encode_batch(
+                enc.units, enc.lat_score_table, norm_out, enc_len,
+                enc.unk_score,
+                max_depth=enc.max_depth, unk_id=enc.unk_id,
+                root_state=enc.root_state,
+                add_bos=enc.add_bos, add_eos=enc.add_eos,
+                reverse=enc.reverse, bos_id=enc.bos_id, eos_id=enc.eos_id,
+                pad_id=enc.pad_id)
+            return ids, n_ids, overflow
+
+        self._fns[n_in] = fn
+        return fn
+
+    def encode_to_padded(self, lines: Sequence[bytes], width: int
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        arr, lens = pack_lines(lines, width)
+        fn = self._pipeline_fn(width)
+        ids, n_ids, overflow = fn(jnp.asarray(arr), jnp.asarray(lens))
+        return ids, n_ids, overflow
+
+    def encode(self, texts: Sequence) -> List[List[int]]:
+        """Ragged ids per input text; inputs bucketed by raw byte length.
+
+        All device work is dispatched before any result is read back:
+        host<->device readbacks can stall subsequent dispatches on some
+        interconnects, so the dispatch wave and the download wave are kept
+        separate."""
+        raw = [t.encode("utf-8", "surrogateescape") if isinstance(t, str)
+               else bytes(t) for t in texts]
+        order = sorted(range(len(raw)), key=lambda i: len(raw[i]))
+        results: List[Optional[List[int]]] = [None] * len(raw)
+        i = 0
+        MAXB = 4096
+        pending = []  # (group, bucket, device results)
+        while i < len(order):
+            blen = len(raw[order[i]])
+            bucket = next((b for b in self.BUCKETS if blen <= b),
+                          self.BUCKETS[-1])
+            group = []
+            while (i < len(order) and len(group) < MAXB
+                   and len(raw[order[i]]) <= bucket):
+                group.append(order[i])
+                i += 1
+            pending.append((group, bucket,
+                            self.encode_to_padded(
+                                [raw[g] for g in group], bucket)))
+        for group, bucket, (ids, n_ids, overflow) in pending:
+            ids = np.asarray(ids)
+            n_ids = np.asarray(n_ids)
+            overflow = np.asarray(overflow)
+            for j, gi in enumerate(group):
+                if overflow[j] or len(raw[gi]) > bucket:
+                    results[gi] = self.processor.encode_as_ids(
+                        raw[gi].decode("utf-8", "surrogateescape"))
+                else:
+                    results[gi] = ids[j, :n_ids[j]].tolist()
+        return results  # type: ignore[return-value]

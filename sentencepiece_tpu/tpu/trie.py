@@ -50,6 +50,25 @@ def _gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.optimization_barrier(out)
 
 
+def _scatter_set(target: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
+                 values: jnp.ndarray) -> jnp.ndarray:
+    """Out-of-line 2D scatter-set with optimization barriers (same XLA
+    fusion pathology as _gather: fused scatters serialize and explode
+    compile time)."""
+    rows = jax.lax.optimization_barrier(rows)
+    cols = jax.lax.optimization_barrier(cols)
+    values = jax.lax.optimization_barrier(values)
+    out = target.at[rows, cols].set(values, mode="drop")
+    return jax.lax.optimization_barrier(out)
+
+
+def _taa(arr: jnp.ndarray, idx: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Out-of-line take_along_axis (barriered, like _gather)."""
+    idx = jax.lax.optimization_barrier(idx)
+    out = jnp.take_along_axis(arr, idx, axis=axis)
+    return jax.lax.optimization_barrier(out)
+
+
 def step(units: jnp.ndarray, state: jnp.ndarray, c: jnp.ndarray,
          alive: jnp.ndarray):
     """One commonPrefixSearch step at every lane simultaneously.

@@ -22,10 +22,20 @@ import numpy as np
 
 
 def suffix_array(arr: np.ndarray) -> np.ndarray:
-    """SA of int array via prefix doubling (unique, matches sais output)."""
+    """SA of int array; native SA-IS when available, else numpy prefix
+    doubling (the SA is unique, so both match sais byte for byte)."""
     n = len(arr)
     if n == 0:
         return np.zeros(0, np.int64)
+    try:
+        from .. import native
+
+        if int(arr.max()) < (1 << 30):
+            sa = native.sais(arr, int(arr.max()) + 1)
+            if sa is not None:
+                return sa.astype(np.int64)
+    except Exception:
+        pass
     rank = np.unique(arr, return_inverse=True)[1].astype(np.int64)
     sa = np.argsort(rank, kind="stable")
     k = 1
