@@ -1,0 +1,338 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Batched BPE encode on TPU: vectorized greedy merge loop.
+
+TPU-native form of reference src/bpe_model.cc:37-199. The reference keeps a
+priority queue of candidate pairs over a doubly-linked symbol list; popping
+the agenda always yields the CURRENT best (score desc, then leftmost) pair
+because stale entries are revalidated against the symbol list. Re-expressed
+densely:
+
+  * symbols live in fixed char-indexed arrays (sym / alive / prev / next),
+    the linked list becomes index arrays;
+  * mergeability is a host-precomputed pair table over a compact "symbol
+    universe" (all vocab pieces + every single char occurring in a piece):
+    key = left*U + right, binary-searched on device. Every runtime symbol
+    is a vocab piece or a single input char, so the table is exhaustive;
+  * each loop step merges ONE pair per row — argmax over cached per-position
+    pair scores with first-win ties reproduces the agenda pop order exactly
+    (score desc, then leftmost; SymbolPairComparator bpe_model.cc:57-60);
+  * per step only the two pairs adjacent to the merge point change, so the
+    score cache is updated with O(1) lookups per row; the loop runs a
+    static L-1 steps with converged rows masking to no-ops.
+
+Models with USER_DEFINED or UNUSED pieces use the exact host path instead
+(PrefixMatcher freezing and rev_merge resegmentation, bpe_model.cc:84-131,
+171-189); the wrapper detects and falls back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import trie
+from .encode import NEG_INF
+
+
+def build_pair_tables(model):
+    """Host precompute. Returns None when the model needs the host path."""
+    from ..proto.spec import PieceType
+
+    pieces = model._piece_bytes
+    types = model.types
+    uni: dict = {}
+
+    def intern(s: bytes) -> int:
+        if s not in uni:
+            uni[s] = len(uni)
+        return uni[s]
+
+    vocab_strs = {}
+    for i, p in enumerate(pieces):
+        t = int(types[i])
+        if t == PieceType.NORMAL:
+            if p not in vocab_strs:
+                vocab_strs[p] = i
+            intern(p)
+    for p in list(vocab_strs):
+        for ch in p.decode("utf-8", "surrogateescape"):
+            intern(ch.encode("utf-8", "surrogateescape"))
+    U = len(uni)
+    if U >= 46341:  # key = l*U + r must fit int32
+        return None
+
+    sym_id = np.full(U, -1, np.int32)
+    for s, u in uni.items():
+        sym_id[u] = vocab_strs.get(s, -1)
+    scores = model.scores
+
+    entries = {}
+    for p, pid in vocab_strs.items():
+        s = p.decode("utf-8", "surrogateescape")
+        if len(s) < 2:
+            continue
+        for i in range(1, len(s)):
+            a = s[:i].encode("utf-8", "surrogateescape")
+            b = s[i:].encode("utf-8", "surrogateescape")
+            ia = uni.get(a)
+            ib = uni.get(b)
+            if ia is None or ib is None:
+                continue
+            # halves must be formable symbols: vocab piece or single char
+            if (sym_id[ia] < 0 and i > 1) or (sym_id[ib] < 0
+                                              and len(s) - i > 1):
+                continue
+            entries[ia * U + ib] = (uni[p], float(scores[pid]))
+    skeys = sorted(entries)
+    keys = np.array(skeys, np.int32)
+    new_sym = np.array([entries[k][0] for k in skeys], np.int32)
+    pair_score = np.array([entries[k][1] for k in skeys], np.float32)
+
+    cp_to_sym = np.full(0x110000, -1, np.int32)
+    for s, u in uni.items():
+        dec = s.decode("utf-8", "surrogateescape")
+        if len(dec) == 1:
+            cp_to_sym[ord(dec)] = u
+    return keys, new_sym, pair_score, cp_to_sym, sym_id, U
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("universe", "max_merges", "unk_id", "add_bos",
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
+                     cps, lengths, *, universe: int, max_merges: int,
+                     unk_id: int, add_bos: bool = False,
+                     add_eos: bool = False, reverse: bool = False,
+                     bos_id: int = 1, eos_id: int = 2, pad_id: int = 0):
+    """cps int32[B, L] codepoints per char position; lengths in chars.
+
+    Returns (ids int32[B, L+2], out_len int32[B])."""
+    B, L = cps.shape
+    rows = jnp.arange(B)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+    n_pairs = max(len(pair_keys), 1)
+
+    sym = trie._gather(cp_to_sym,
+                       jnp.clip(cps, 0, 0x10FFFF))
+    sym = jnp.where(in_range, sym, -1)
+    nxt = jnp.broadcast_to(pos + 1, (B, L)).astype(jnp.int32)
+    prv = jnp.broadcast_to(pos - 1, (B, L)).astype(jnp.int32)
+
+    def pair_lookup(l_sym, r_sym):
+        """(score, new_sym) for candidate pairs; NEG_INF when not a merge."""
+        valid = (l_sym >= 0) & (r_sym >= 0)
+        key = jnp.where(valid, l_sym * universe + r_sym, 0)
+        idx = jnp.clip(jnp.searchsorted(pair_keys, key), 0, n_pairs - 1)
+        hit = trie._gather(pair_keys, idx)
+        found = valid & (hit == key)
+        sc = jnp.where(found, trie._gather(pair_score, idx),
+                       jnp.float32(NEG_INF))
+        ns = jnp.where(found, trie._gather(pair_new, idx), -1)
+        return sc, ns
+
+    # initial pair cache: pair (p, p+1)
+    r_sym0 = jnp.concatenate([sym[:, 1:], jnp.full((B, 1), -1, sym.dtype)],
+                             axis=1)
+    psc, pnew = pair_lookup(sym, r_sym0)
+
+    def step(state, _):
+        sym, psc, pnew, nxt, prv = state
+        p = jnp.argmax(psc, axis=1).astype(jnp.int32)  # first max: leftmost
+        best = trie._taa(psc, p[:, None])[:, 0]
+        act = best > NEG_INF / 2
+        psafe = jnp.where(act, p, 0)
+        r = trie._taa(nxt, psafe[:, None])[:, 0]
+        rsafe = jnp.clip(r, 0, L - 1)
+        new_s = trie._taa(pnew, psafe[:, None])[:, 0]
+        # merge: sym[p] = new symbol; drop r from the list
+        sym = trie._scatter_set(
+            sym, rows, jnp.where(act, psafe, L),
+            jnp.where(act, new_s, 0))
+        rr = trie._taa(nxt, rsafe[:, None])[:, 0]  # nxt[r]
+        nxt = trie._scatter_set(nxt, rows, jnp.where(act, psafe, L),
+                                jnp.where(act, rr, 0))
+        rr_safe = jnp.clip(rr, 0, L - 1)
+        prv = trie._scatter_set(
+            prv, rows,
+            jnp.where(act & (rr < L), rr_safe, L),
+            jnp.where(act, psafe, 0))
+        # dead pair at r
+        psc = trie._scatter_set(psc, rows, jnp.where(act, rsafe, L),
+                                jnp.full((B,), NEG_INF, jnp.float32))
+        pnew = trie._scatter_set(pnew, rows, jnp.where(act, rsafe, L),
+                                 jnp.full((B,), -1, jnp.int32))
+        # recompute pair (p, nxt[p]) and (prv[p], p)
+        lp = trie._taa(prv, psafe[:, None])[:, 0]
+        lp_safe = jnp.clip(lp, 0, L - 1)
+        sym_p = trie._taa(sym, psafe[:, None])[:, 0]
+        sym_rr = jnp.where(rr < L, trie._taa(sym, rr_safe[:, None])[:, 0],
+                           -1)
+        sym_lp = jnp.where(lp >= 0, trie._taa(sym, lp_safe[:, None])[:, 0],
+                           -1)
+        sc2, ns2 = pair_lookup(
+            jnp.stack([sym_p, sym_lp], axis=1),
+            jnp.stack([sym_rr, sym_p], axis=1))
+        psc = trie._scatter_set(psc, rows, jnp.where(act, psafe, L),
+                                sc2[:, 0])
+        pnew = trie._scatter_set(pnew, rows, jnp.where(act, psafe, L),
+                                 ns2[:, 0])
+        psc = trie._scatter_set(
+            psc, rows, jnp.where(act & (lp >= 0), lp_safe, L), sc2[:, 1])
+        pnew = trie._scatter_set(
+            pnew, rows, jnp.where(act & (lp >= 0), lp_safe, L), ns2[:, 1])
+        return (sym, psc, pnew, nxt, prv), None
+
+    (sym, psc, pnew, nxt, prv), _ = jax.lax.scan(
+        step, (sym, psc, pnew, nxt, prv), None, length=max_merges)
+
+    # emit: alive symbols in order. Position 0 is never removed (a merge
+    # removes its RIGHT half); any other position p is alive iff the list
+    # is consistent there: nxt[prv[p]] == p (removed slots keep a stale prv
+    # whose nxt has moved past them).
+    nxt_of_prv = jnp.where(
+        jnp.broadcast_to(pos, (B, L)) == 0, 0,
+        trie._taa(nxt, jnp.clip(prv, 0, L - 1)))
+    alive = in_range & ((pos == 0) | (nxt_of_prv == pos))
+
+    usafe = jnp.maximum(sym, 0)
+    out_id = jnp.where(sym >= 0, trie._gather(sym_to_id, usafe), -1)
+    out_id = jnp.where(out_id >= 0, out_id, unk_id)
+
+    # compact + adjacent-UNK merge + extra options
+    # (mirrors sentencepiece_processor.cc:506-521, 945-979)
+    t_idx = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
+    T0 = jnp.sum(alive, axis=1, dtype=jnp.int32)
+    seq = jnp.full((B, L + 1), -1, jnp.int32)
+    seq = trie._scatter_set(seq, jnp.broadcast_to(rows[:, None], (B, L)),
+                            jnp.where(alive, t_idx, L),
+                            jnp.where(alive, out_id, -1))
+    seq = seq[:, :L]
+    t = jnp.arange(L, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate([jnp.full((B, 1), -1, seq.dtype), seq[:, :-1]],
+                           axis=1)
+    keep2 = (t < T0[:, None]) & ~((seq == unk_id) & (prev == unk_id))
+    newidx = jnp.cumsum(keep2, axis=1, dtype=jnp.int32) - 1
+    M = L + 2
+    out = jnp.full((B, M), pad_id, jnp.int32)
+    out = trie._scatter_set(out, jnp.broadcast_to(rows[:, None], (B, L)),
+                            jnp.where(keep2, newidx, M - 1),
+                            jnp.where(keep2, seq, pad_id))
+    out = out.at[:, M - 1].set(pad_id)
+    newT = jnp.sum(keep2, axis=1, dtype=jnp.int32)
+
+    tt = jnp.arange(M, dtype=jnp.int32)[None, :]
+    if reverse:
+        src = jnp.clip(newT[:, None] - 1 - tt, 0, M - 1)
+        rev = jnp.take_along_axis(out, src, axis=1)
+        out = jnp.where(tt < newT[:, None], rev, pad_id)
+    if add_bos:
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), bos_id, jnp.int32), out[:, :M - 1]], axis=1)
+        out = jnp.where(tt <= newT[:, None], shifted, pad_id)
+        out = out.at[:, 0].set(bos_id)
+        newT = newT + 1
+    if add_eos:
+        out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
+        newT = newT + 1
+        out = jnp.where(tt < newT[:, None], out, pad_id)
+    return out, newT
+
+
+class BpeBatchEncoder:
+    """Host wrapper: normalize (host), codepoint-split, device merge loop.
+
+    Exact host-path fallback for models with user-defined or unused pieces
+    (PrefixMatcher freezing / rev_merge resegmentation)."""
+
+    BUCKETS = (128, 512, 2048)
+    MAX_BATCH = 4096
+
+    def __init__(self, processor, add_bos=False, add_eos=False,
+                 reverse=False, pad_id: Optional[int] = None):
+        from ..proto.spec import PieceType
+
+        model = processor.model
+        self.processor = processor
+        self.model = model
+        types = model.types
+        self.host_only = bool(((types == PieceType.USER_DEFINED)
+                               | (types == PieceType.UNUSED)).any())
+        tables = None if self.host_only else build_pair_tables(model)
+        if tables is None:
+            self.host_only = True
+        else:
+            keys, new_sym, pair_score, cp_to_sym, sym_id, U = tables
+            self.pair_keys = jnp.asarray(keys)
+            self.pair_new = jnp.asarray(new_sym)
+            self.pair_score = jnp.asarray(pair_score)
+            self.cp_to_sym = jnp.asarray(cp_to_sym)
+            self.sym_to_id = jnp.asarray(sym_id)
+            self.U = U
+        self.unk_id = model.unk_id
+        self.add_bos = add_bos
+        self.add_eos = add_eos
+        self.reverse = reverse
+        self.bos_id = processor.bos_id()
+        self.eos_id = processor.eos_id()
+        self.pad_id = pad_id if pad_id is not None else max(
+            processor.pad_id(), 0)
+
+    def _device_encode(self, cps: np.ndarray, lens: np.ndarray):
+        return bpe_encode_batch(
+            self.pair_keys, self.pair_new, self.pair_score, self.cp_to_sym,
+            self.sym_to_id, jnp.asarray(cps), jnp.asarray(lens),
+            universe=self.U, max_merges=cps.shape[1] - 1,
+            unk_id=self.unk_id, add_bos=self.add_bos, add_eos=self.add_eos,
+            reverse=self.reverse, bos_id=self.bos_id, eos_id=self.eos_id,
+            pad_id=self.pad_id)
+
+    def encode(self, texts) -> List[List[int]]:
+        from ..utils.unicode import utf8_to_unicode_text
+
+        if self.host_only:
+            return [self.processor.encode_as_ids(t) for t in texts]
+        norm = self.processor.normalizer
+        cps_list = [utf8_to_unicode_text(norm.normalize(t)[0])
+                    for t in texts]
+        order = sorted(range(len(cps_list)), key=lambda i: len(cps_list[i]))
+        results: List[Optional[List[int]]] = [None] * len(cps_list)
+        i = 0
+        pending = []
+        while i < len(order):
+            clen = len(cps_list[order[i]])
+            bucket = next((b for b in self.BUCKETS if clen <= b),
+                          self.BUCKETS[-1])
+            group = []
+            while (i < len(order) and len(group) < self.MAX_BATCH
+                   and len(cps_list[order[i]]) <= bucket):
+                group.append(order[i])
+                i += 1
+            B = len(group)
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            arr = np.zeros((Bp, bucket), np.int32)
+            lens = np.zeros(Bp, np.int32)
+            for j, gi in enumerate(group):
+                c = cps_list[gi][:bucket]
+                arr[j, :len(c)] = c
+                lens[j] = len(c)
+            pending.append((group, bucket, self._device_encode(arr, lens)))
+        for group, bucket, (ids, n_ids) in pending:
+            ids = np.asarray(ids)
+            n_ids = np.asarray(n_ids)
+            for j, gi in enumerate(group):
+                if len(cps_list[gi]) > bucket:
+                    results[gi] = self.processor.encode_as_ids(texts[gi])
+                else:
+                    results[gi] = ids[j, :n_ids[j]].tolist()
+        return results  # type: ignore[return-value]

@@ -70,12 +70,24 @@ class TpuTokenizer:
     def __init__(self, processor, add_bos=False, add_eos=False,
                  reverse=False, pad_id: Optional[int] = None):
         from .encode import UnigramBatchEncoder
+        from ..proto.spec import ModelType
 
         self.processor = processor
-        self.enc = UnigramBatchEncoder(processor, add_bos=add_bos,
-                                       add_eos=add_eos, reverse=reverse,
-                                       pad_id=pad_id)
         ts = processor.model_proto.trainer_spec
+        mt = ts.model_type if ts else ModelType.UNIGRAM
+        self.model_type = mt
+        if mt == ModelType.BPE:
+            from .bpe_encode import BpeBatchEncoder
+
+            self._bpe = BpeBatchEncoder(processor, add_bos=add_bos,
+                                        add_eos=add_eos, reverse=reverse,
+                                        pad_id=pad_id)
+            self.enc = None
+        else:
+            self._bpe = None
+            self.enc = UnigramBatchEncoder(processor, add_bos=add_bos,
+                                           add_eos=add_eos, reverse=reverse,
+                                           pad_id=pad_id)
         suffix = bool(ts.treat_whitespace_as_suffix) if ts else False
         self.norm = tpu_normalize.NormalizerTables(
             processor.model_proto.normalizer_spec, suffix)
@@ -139,6 +151,9 @@ class TpuTokenizer:
         host<->device readbacks can stall subsequent dispatches on some
         interconnects, so the dispatch wave and the download wave are kept
         separate."""
+        if self._bpe is not None:
+            # BPE: host normalize + codepoint split, device merge loop
+            return self._bpe.encode(list(texts))
         raw = [t.encode("utf-8", "surrogateescape") if isinstance(t, str)
                else bytes(t) for t in texts]
         order = sorted(range(len(raw)), key=lambda i: len(raw[i]))
