@@ -208,13 +208,15 @@ class DenseLattice:
         begin, clen, scores = self.begin, self.clen, self.scores
         n = len(begin)
         BOS, EOS = n, n + 1
-        # Viterbi backtrace scores (h(x)); BOS bt=0, EOS bt=best at L.
+        # Viterbi backtrace scores (h(x)) in float32, like the reference
+        # (Node::backtrace_score is float): fx tie-ordering is observable.
+        f32 = np.float32
         best_score = np.full(L + 1, -np.inf, dtype=np.float64)
         best_score[0] = 0.0
         bt = np.zeros(n + 2, dtype=np.float64)
         for k in range(n):
             b = int(begin[k])
-            s = best_score[b] + float(scores[k])
+            s = float(f32(best_score[b] + float(scores[k])))
             bt[k] = s
             e = b + int(clen[k])
             if s > best_score[e]:
@@ -228,22 +230,25 @@ class DenseLattice:
         for k in range(n):
             ends_at[int(begin[k]) + int(clen[k])].append(k)
 
-        # Hypothesis: (node, parent_hyp, fx, gx); agenda = max-heap on fx.
-        counter = 0
+        # Hypothesis: (node, parent_hyp, fx, gx); agenda emulates the
+        # reference's std::priority_queue EXACTLY, including equal-fx pop
+        # order (unigram_model.cc:391-405 + libstdc++ heap mechanics),
+        # because n-best tie ordering is observable output.
+        from ..utils.stdheap import StdPriorityQueue
+
         hyps: List[Tuple[int, Optional[int], float, float]] = []
-        agenda: List[Tuple[float, int, int]] = []  # (-fx, counter, hyp_idx)
+        agenda: StdPriorityQueue = StdPriorityQueue(
+            lambda a, b: hyps[a][2] < hyps[b][2])
 
         def push(node: int, parent: Optional[int], fx: float, gx: float):
-            nonlocal counter
             hyps.append((node, parent, fx, gx))
-            heapq.heappush(agenda, (-fx, counter, len(hyps) - 1))
-            counter += 1
+            agenda.push(len(hyps) - 1)
 
         push(EOS, None, node_score[EOS], node_score[EOS])
         results: List[List[int]] = []
         K_MAX_AGENDA, K_MIN_AGENDA = 100000, 512
-        while agenda:
-            _, _, hi = heapq.heappop(agenda)
+        while len(agenda):
+            hi = agenda.pop()
             node, parent, fx, gx = hyps[hi]
             if node == BOS:
                 path = []
@@ -258,11 +263,18 @@ class DenseLattice:
                     break
                 continue
             for l in ends_at[int(node_begin[node])]:
-                push(l, hi, bt[l] + gx, node_score[l] + gx)
+                # float32 adds (Hypothesis::fx/gx are float)
+                push(l, hi, float(np.float32(bt[l] + gx)),
+                     float(np.float32(node_score[l] + gx)))
             if len(agenda) >= K_MAX_AGENDA:
+                # shrink: pop the top into a fresh agenda
+                # (unigram_model.cc:450-461)
                 keep = min(K_MIN_AGENDA, nbest_size * 10)
-                agenda = heapq.nsmallest(keep, agenda)
-                heapq.heapify(agenda)
+                new_agenda = StdPriorityQueue(
+                    lambda a, b: hyps[a][2] < hyps[b][2])
+                for _ in range(min(keep, len(agenda))):
+                    new_agenda.push(agenda.pop())
+                agenda = new_agenda
         return results
 
     # -- sampling -------------------------------------------------------------

@@ -1,0 +1,89 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""libstdc++-exact binary heap (std::priority_queue emulation).
+
+The reference's n-best search pops hypotheses from a
+``std::priority_queue<Hypothesis*, vector, fx-less>`` (unigram_model.cc:
+391-405). Among EQUAL fx values the pop order is determined by libstdc++'s
+``__push_heap`` / ``__adjust_heap`` mechanics, and the reference's n-best
+output order depends on it — so we reproduce those algorithms verbatim
+(max-heap with a strict less-than comparator, sift-up on push; pop moves
+the last element into the hole via __adjust_heap's prefer-second-child
+sift-down followed by a sift-up).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, TypeVar
+
+T = TypeVar("T")
+
+
+class StdPriorityQueue:
+    """std::priority_queue with libstdc++ heap semantics.
+
+    ``less(a, b)`` is the comparator (strict weak ordering); the TOP is the
+    maximum element under it.
+    """
+
+    def __init__(self, less: Callable[[T, T], bool]):
+        self._v: List[T] = []
+        self._less = less
+
+    def __len__(self) -> int:
+        return len(self._v)
+
+    def top(self) -> T:
+        return self._v[0]
+
+    def push(self, value: T) -> None:
+        # std::push_heap: sift up while parent < value
+        v = self._v
+        v.append(value)
+        hole = len(v) - 1
+        top = 0
+        while hole > top and self._less(v[(hole - 1) // 2], value):
+            v[hole] = v[(hole - 1) // 2]
+            hole = (hole - 1) // 2
+        v[hole] = value
+
+    def pop(self) -> T:
+        # std::pop_heap + pop_back
+        v = self._v
+        result = v[0]
+        value = v.pop()
+        if v:
+            self._adjust_heap(0, len(v), value)
+        return result
+
+    def _adjust_heap(self, hole: int, length: int, value: T) -> None:
+        """libstdc++ __adjust_heap: sift the hole down along the larger
+        child (preferring the SECOND child on ties), then sift ``value``
+        up from the final hole (__push_heap)."""
+        v = self._v
+        top = hole
+        second = hole
+        while second < (length - 1) // 2:
+            second = 2 * (second + 1)
+            if self._less(v[second], v[second - 1]):
+                second -= 1
+            v[hole] = v[second]
+            hole = second
+        if length % 2 == 0 and second == (length - 2) // 2:
+            second = 2 * (second + 1)
+            v[hole] = v[second - 1]
+            hole = second - 1
+        # __push_heap(first, hole, top, value)
+        while hole > top and self._less(v[(hole - 1) // 2], value):
+            v[hole] = v[(hole - 1) // 2]
+            hole = (hole - 1) // 2
+        v[hole] = value
+
+    def to_sorted_desc(self) -> List[T]:
+        """Pop everything (heap order)."""
+        out = []
+        while self._v:
+            out.append(self.pop())
+        return out

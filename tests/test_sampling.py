@@ -1,0 +1,97 @@
+"""N-best and subword-regularization sampling conformance.
+
+* N-best: byte-identical to the reference `spm_encode
+  --output_format=nbest_id`, INCLUDING equal-score tie ordering (the agenda
+  emulates libstdc++'s std::priority_queue heap mechanics exactly —
+  utils/stdheap.py).
+* Sampling: the reference draws from a thread_local mt19937 seeded by
+  random_device (util.cc:379-382) — unreproducible by design. Our PRNG
+  contract: a caller-supplied (or utils.rng default) numpy Generator drives
+  `std::discrete_distribution`-equivalent categorical draws over the exact
+  forward-filtered lattice distribution. The tests verify the contract
+  statistically: empirical segmentation frequencies must converge to the
+  exact lattice probabilities.
+"""
+
+import math
+from collections import Counter
+
+import numpy as np
+
+
+def test_nbest_fixture(fixtures_dir, botchan_path):
+    from sentencepiece_tpu import SentencePieceProcessor
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    raw = open(botchan_path, "rb").read().split(b"\n")[:100]
+    want = open(fixtures_dir / "unigram_en_nbest5.txt").read().splitlines()
+    got = []
+    for line in raw:
+        for ids in sp.nbest_encode_as_ids(
+                line.decode("utf-8", "surrogateescape"), 5):
+            got.append(" ".join(map(str, ids)))
+    assert got == want
+
+
+def test_sample_distribution_matches_lattice():
+    """Empirical sample frequencies ~ exact path probabilities (theta=1)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    text = "apple"
+    # exact path probabilities from the 20-best (covers ~all mass)
+    nbests = sp.model.nbest_encode(
+        sp.normalizer.normalize(text)[0], 20)
+    logZ = None
+    probs = {}
+    scores = [s for _, s in nbests]
+    m = max(scores)
+    Z = sum(math.exp(s - m) for s in scores)
+    for result, s in nbests:
+        key = tuple(pid for _, pid in result)
+        probs[key] = math.exp(s - m) / Z
+
+    rng = np.random.default_rng(1234)
+    n = 3000
+    counts = Counter()
+    for _ in range(n):
+        ids = tuple(sp.sample_encode_as_ids(text, -1, 1.0, rng=rng))
+        counts[ids] += 1
+    # compare the top few segmentations
+    top = sorted(probs.items(), key=lambda kv: -kv[1])[:4]
+    for key, p in top:
+        emp = counts.get(key, 0) / n
+        assert abs(emp - p) < 0.04, (key, p, emp)
+
+
+def test_sample_alpha_sharpens():
+    """Large alpha (theta) concentrates on the Viterbi segmentation."""
+    from sentencepiece_tpu import SentencePieceProcessor
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    text = "apple pie"
+    viterbi = tuple(sp.encode_as_ids(text))
+    rng = np.random.default_rng(7)
+    hits = sum(
+        tuple(sp.sample_encode_as_ids(text, -1, 50.0, rng=rng)) == viterbi
+        for _ in range(50))
+    assert hits >= 48
+
+
+def test_sample_nbest_mode():
+    """nbest_size > 1: sample from the n-best list
+    (sentencepiece_processor.cc:636-646)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    rng = np.random.default_rng(3)
+    seen = set()
+    for _ in range(60):
+        seen.add(tuple(sp.sample_encode_as_ids("apple", 5, 0.5, rng=rng)))
+    nbest = {tuple(ids) for ids in sp.nbest_encode_as_ids("apple", 5)}
+    assert seen <= nbest
+    assert len(seen) >= 2
