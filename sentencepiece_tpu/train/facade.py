@@ -138,6 +138,7 @@ def populate_normalizer_spec(normalizer_spec: NormalizerSpec) -> None:
 def train(args: Optional[str] = None,
           trainer_spec: Optional[TrainerSpec] = None,
           normalizer_spec: Optional[NormalizerSpec] = None,
+          engine: str = "exact",
           **kwargs) -> ModelProto:
     """Train a model from a flag string, kwargs, or explicit specs
     (sentencepiece_trainer.cc:44-67, 148-154). Returns the ModelProto (the
@@ -167,6 +168,10 @@ def train(args: Optional[str] = None,
     trainer_cls = _TRAINERS.get(trainer_spec.model_type)
     if trainer_cls is None:
         raise ValueError(f"unknown model_type: {trainer_spec.model_type}")
+    if trainer_spec.model_type == ModelType.UNIGRAM:
+        # engine="device": batched lattice EM over the jax device mesh
+        return trainer_cls(trainer_spec, normalizer_spec,
+                           engine=engine).train()
     return trainer_cls(trainer_spec, normalizer_spec).train()
 
 

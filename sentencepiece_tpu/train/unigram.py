@@ -97,9 +97,17 @@ class _WordLattice:
 
 
 class Trainer(TrainerInterface):
-    def __init__(self, trainer_spec, normalizer_spec):
+    """``engine="exact"`` (default): float32-exact host EM — byte-identical
+    trained vocab vs the reference. ``engine="device"``: batched lattice EM
+    on the jax device mesh (tpu/em.py) — the scale path; data-parallel over
+    words with psum count reduction, piece scores within float tolerance of
+    the exact engine (different reduction order)."""
+
+    def __init__(self, trainer_spec, normalizer_spec, engine: str = "exact"):
         super().__init__(trainer_spec, normalizer_spec)
         self.desired_vocab_size = int(trainer_spec.vocab_size * 1.1)
+        assert engine in ("exact", "device")
+        self.engine = engine
 
     # -- seed pieces (unigram_model_trainer.cc:124-225) ------------------------
     def make_seed_sentence_pieces(self) -> List[Tuple[str, float]]:
@@ -568,12 +576,17 @@ class Trainer(TrainerInterface):
                     seed_to_cur[si] = i
             return scores, seed_to_cur
 
+        if self.engine == "device":
+            dev = _DeviceEM(self, seed_pieces)
         while True:
             for it in range(ts.num_sub_iterations):
-                scores, seed_to_cur = make_maps(pieces)
-                expected, obj, ntok = self._run_estep_host(
-                    pieces, scores, seed_to_cur, tables)
-                pieces = self._run_mstep(pieces, expected)
+                if self.engine == "device":
+                    pieces, obj, ntok = dev.em_step(pieces)
+                else:
+                    scores, seed_to_cur = make_maps(pieces)
+                    expected, obj, ntok = self._run_estep_host(
+                        pieces, scores, seed_to_cur, tables)
+                    pieces = self._run_mstep(pieces, expected)
                 log.info("EM sub_iter=%d size=%d obj=%s num_tokens=%d "
                          "num_tokens/piece=%.4f", it, len(pieces), obj, ntok,
                          ntok / max(len(pieces), 1))
@@ -585,3 +598,76 @@ class Trainer(TrainerInterface):
 
         self.final_pieces = self._finalize(pieces)
         return self.save()
+
+
+class _DeviceEM:
+    """Sharded device E/M-step driver for the unigram trainer.
+
+    Replaces the reference E-step thread pool
+    (unigram_model_trainer.cc:237-287) with tpu/em.py: word lattices built
+    once against the seed vocab, corpus data-parallel over the device mesh,
+    expected counts reduced with psum over the mesh axis (SURVEY.md §2.9)."""
+
+    def __init__(self, trainer: Trainer, seed_pieces):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from ..tpu import em
+
+        self.em = em
+        self.seed_pieces = seed_pieces
+        self.seed_index = {w: i for i, (w, _) in enumerate(seed_pieces)}
+        n_dev = len(jax.devices())
+        words = trainer.sentences
+        W = len(words)
+        Wp = -(-max(W, 1) // n_dev) * n_dev
+        max_len = trainer.trainer_spec.max_sentencepiece_length
+        lat, lens, freqs = em.build_word_lattices(
+            words, self.seed_index, max_len, pad_words_to=Wp)
+        self.all_freq = float(sum(f for _, f in words))
+        self.num_seed = len(seed_pieces)
+        self.mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
+        shard = NamedSharding(self.mesh, P("dp"))
+        rep = NamedSharding(self.mesh, P())
+        self.lat = jax.device_put(jnp.asarray(lat), shard)
+        self.lens = jax.device_put(jnp.asarray(lens), shard)
+        self.freqs = jax.device_put(jnp.asarray(freqs), shard)
+        self._rep = rep
+        num_seed = self.num_seed
+
+        import functools as ft
+        from jax import shard_map
+
+        @jax.jit
+        @ft.partial(shard_map, mesh=self.mesh,
+                    in_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
+                    out_specs=(P(), P(), P()), check_vma=False)
+        def _estep(lat_s, lens_s, freqs_s, score_table, alive_mask):
+            return em.estep(lat_s, lens_s, freqs_s, score_table, alive_mask,
+                            num_seed=num_seed, axis_name="dp")
+
+        self._estep_fn = _estep
+
+    def em_step(self, pieces):
+        import jax.numpy as jnp
+        import jax
+
+        # map current pieces onto seed-indexed state
+        scores = np.full(self.num_seed, self.em.NEG_INF, np.float32)
+        alive = np.zeros(self.num_seed, bool)
+        for w, sc in pieces:
+            si = self.seed_index.get(w)
+            if si is not None:
+                scores[si] = sc
+                alive[si] = True
+        sc_d = jax.device_put(jnp.asarray(scores), self._rep)
+        al_d = jax.device_put(jnp.asarray(alive), self._rep)
+        expected, obj, ntok = self._estep_fn(
+            self.lat, self.lens, self.freqs, sc_d, al_d)
+        new_scores, new_alive = self.em.mstep(expected, al_d)
+        new_scores = np.asarray(new_scores)
+        new_alive = np.asarray(new_alive)
+        new_pieces = [(self.seed_pieces[i][0], float(new_scores[i]))
+                      for i in range(self.num_seed) if new_alive[i]]
+        return (new_pieces, float(np.asarray(obj)) / self.all_freq,
+                int(np.asarray(ntok)))
