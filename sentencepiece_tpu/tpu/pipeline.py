@@ -76,18 +76,20 @@ class TpuTokenizer:
         ts = processor.model_proto.trainer_spec
         mt = ts.model_type if ts else ModelType.UNIGRAM
         self.model_type = mt
+        self._bpe = None
+        self.enc = None
+        self._host_opts = (add_bos, add_eos, reverse)
         if mt == ModelType.BPE:
             from .bpe_encode import BpeBatchEncoder
 
             self._bpe = BpeBatchEncoder(processor, add_bos=add_bos,
                                         add_eos=add_eos, reverse=reverse,
                                         pad_id=pad_id)
-            self.enc = None
-        else:
-            self._bpe = None
+        elif mt == ModelType.UNIGRAM:
             self.enc = UnigramBatchEncoder(processor, add_bos=add_bos,
                                            add_eos=add_eos, reverse=reverse,
                                            pad_id=pad_id)
+        # WORD/CHAR segmentation is trivial; those models use the host path
         suffix = bool(ts.treat_whitespace_as_suffix) if ts else False
         self.norm = tpu_normalize.NormalizerTables(
             processor.model_proto.normalizer_spec, suffix)
@@ -154,6 +156,15 @@ class TpuTokenizer:
         if self._bpe is not None:
             # BPE: host normalize + codepoint split, device merge loop
             return self._bpe.encode(list(texts))
+        if self.enc is None:
+            # word/char models: trivial segmentation, host path
+            add_bos, add_eos, reverse = self._host_opts
+            opts = ":".join(o for o, f in
+                            [("reverse", reverse), ("bos", add_bos),
+                             ("eos", add_eos)] if f)
+            if opts:
+                self.processor.set_encode_extra_options(opts)
+            return [self.processor.encode_as_ids(t) for t in texts]
         raw = [t.encode("utf-8", "surrogateescape") if isinstance(t, str)
                else bytes(t) for t in texts]
         order = sorted(range(len(raw)), key=lambda i: len(raw[i]))
@@ -184,3 +195,51 @@ class TpuTokenizer:
                 else:
                     results[gi] = ids[j, :n_ids[j]].tolist()
         return results  # type: ignore[return-value]
+
+    # -- TF-ops-analog surfaces (tensorflow/sentencepiece_processor_ops.cc) --
+    def encode_dense(self, texts: Sequence
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """(ids padded with pad_id, sequence lengths) — the
+        SentencepieceEncodeDense analog (ops.cc:387,486-530)."""
+        ragged = self.encode(texts)
+        B = len(ragged)
+        T = max((len(r) for r in ragged), default=1)
+        pad = (self.enc.pad_id if self.enc is not None
+               else self._bpe.pad_id if self._bpe is not None else 0)
+        out = np.full((B, T), pad, np.int32)
+        lens = np.zeros(B, np.int32)
+        for i, r in enumerate(ragged):
+            out[i, :len(r)] = r
+            lens[i] = len(r)
+        return out, lens
+
+    def encode_sparse(self, texts: Sequence
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(indices [n,2], values [n], dense_shape [2]) — the
+        SentencepieceEncodeSparse analog (ops.cc:531-580)."""
+        ragged = self.encode(texts)
+        indices = []
+        values = []
+        maxlen = 0
+        for i, r in enumerate(ragged):
+            maxlen = max(maxlen, len(r))
+            for j, v in enumerate(r):
+                indices.append((i, j))
+                values.append(v)
+        return (np.asarray(indices, np.int64).reshape(-1, 2),
+                np.asarray(values, np.int32),
+                np.asarray([len(ragged), maxlen], np.int64))
+
+    def sample_encode(self, texts: Sequence, nbest_size: int, alpha: float,
+                      rng=None) -> List[List[int]]:
+        """Per-row sampled segmentation — the TF ops' nbest_size/alpha
+        attribute path (ops.cc:244-305). Subword regularization draws run
+        on the host lattice under the documented numpy PRNG contract."""
+        return [self.processor.sample_encode_as_ids(t, nbest_size, alpha,
+                                                    rng=rng)
+                for t in texts]
+
+    def decode(self, ids_batch: Sequence[Sequence[int]]) -> List[str]:
+        """Batched detokenization — the SentencepieceDecode analog
+        (ops.cc:581-643)."""
+        return [self.processor.decode_ids(list(ids)) for ids in ids_batch]
