@@ -1,0 +1,259 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Device BPE training: segmented pair-count + merge loop on the mesh.
+
+TPU-native form of the reference BPE trainer's inner machinery
+(bpe_model_trainer.cc): the lazily-maintained pair-position sets and
+active-symbol heap become, per merge step,
+
+  1. a dense pair-count histogram over the (growing) symbol universe,
+     scatter-added from every adjacent pair in the corpus shard — with the
+     reference's overlap dedup ("AAA" counts ONE "AA",
+     bpe_model_trainer.cc:85-116) via even-offset-in-run masking;
+  2. `jax.lax.psum` of the histogram over the data-parallel mesh axis (the
+     multi-host reduction of SURVEY.md §2.9: corpus sharded by words,
+     merge decisions replicated);
+  3. argmax with exact integer-safe tie-breaks (freq desc, then combined
+     length asc, then smallest pair key) over a validity matrix derived
+     from per-symbol attributes — length, whitespace structure, and
+     unicode-script class (the IsValidSentencePiece rules,
+     trainer_interface.cc:178-267);
+  4. vectorized merge application at non-overlapping occurrences plus a
+     compaction so adjacency stays position+1.
+
+The merge SEQUENCE (l, r universe ids per step) is the only readback;
+piece strings are reconstructed on the host. This is the scale engine —
+the host trainer (train/bpe.py) stays the byte-exact conformance engine.
+
+Documented deviations from the reference: equal-(freq, length) ties
+resolve by smallest pair key rather than merged-string byte order, and
+counts are always exact (the reference's active-set cache only
+approximates them between refreshes). Universe (alphabet + merges) is
+bounded by the dense histogram to ~4k symbols; bigger runs use the host
+engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import trie
+
+SCRIPT_ANY = -1
+SCRIPT_MIXED = -2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("universe", "n_merges", "max_piece_len", "axis_name"))
+def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
+                     sym_ws_inner0, sym_script0, sym_valid0, *,
+                     universe: int, n_merges: int, max_piece_len: int,
+                     axis_name: Optional[str] = None):
+    """Run the merge loop. Returns (merge_l, merge_r, merge_freq) arrays of
+    length n_merges; entries are -1 / 0 once no valid pair remains.
+
+    sym0 int32[W, L]: per-char symbol ids (-1 pad); freqs f32[W];
+    first_new_id: universe id assigned to the first merge product.
+    Per-symbol attribute vectors are sized [universe].
+    """
+    W, L = sym0.shape
+    U = universe
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def run_parity(flag):
+        """parity of position within each maximal run of True `flag`
+        (via cumulative max of run-start positions)."""
+        starts = jnp.where(flag, -1, pos)
+        run_start = jax.lax.associative_scan(jnp.maximum, starts, axis=1)
+        return ((pos - run_start) % 2) == 0
+
+    def histogram(sym):
+        nxt_sym = jnp.concatenate(
+            [sym[:, 1:], jnp.full((W, 1), -1, sym.dtype)], axis=1)
+        pair_ok = (sym >= 0) & (nxt_sym >= 0)
+        same_prev = jnp.concatenate(
+            [jnp.zeros((W, 1), bool), sym[:, 1:] == sym[:, :-1]], axis=1)
+        in_run = pair_ok & (sym == nxt_sym)
+        counted = pair_ok & jnp.where(in_run, run_parity(same_prev), True)
+        key = jnp.where(counted, sym * U + nxt_sym, U * U)
+        w = jnp.broadcast_to(freqs[:, None], (W, L))
+        flat_key = jax.lax.optimization_barrier(key.reshape(-1))
+        flat_w = jax.lax.optimization_barrier(
+            jnp.where(counted, w, 0.0).reshape(-1))
+        counts = jnp.zeros(U * U + 1, jnp.float32).at[flat_key].add(
+            flat_w, mode="drop")
+        return jax.lax.optimization_barrier(counts[:U * U])
+
+    def step(carry, _):
+        (sym, s_len, s_wsp, s_wsi, s_scr, s_val, next_id) = carry
+        counts = histogram(sym)
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+        len_l = s_len[:, None]
+        len_r = s_len[None, :]
+        ok = (s_val[:, None] & s_val[None, :]
+              & ((len_l + len_r) <= max_piece_len)
+              # '▁' allowed only as piece prefix (prefix mode,
+              # split_by_whitespace=true; trainer_interface.cc:222-240)
+              & ~s_wsi[:, None] & ~s_wsp[None, :] & ~s_wsi[None, :])
+        scr_l = s_scr[:, None]
+        scr_r = s_scr[None, :]
+        compat = (((scr_l == SCRIPT_ANY) | (scr_r == SCRIPT_ANY)
+                   | (scr_l == scr_r))
+                  & (scr_l != SCRIPT_MIXED) & (scr_r != SCRIPT_MIXED))
+        ok = (ok & compat).reshape(-1)
+        cnt2 = jnp.where(ok, counts, 0.0)
+        # exact tie-break in two passes (single-pass composites lose
+        # integer precision in float32): freq desc -> len asc -> key asc
+        m = jnp.max(cnt2)
+        at_max = cnt2 >= m
+        neg_len = jnp.where(at_max,
+                            -(len_l + len_r).astype(jnp.float32).reshape(-1),
+                            -jnp.inf)
+        best = jnp.argmax(neg_len).astype(jnp.int32)  # first max: min key
+        active = m > 0.5
+        bl = best // U
+        br = best % U
+
+        nxt_sym = jnp.concatenate(
+            [sym[:, 1:], jnp.full((W, 1), -1, sym.dtype)], axis=1)
+        hit = active & (sym == bl) & (nxt_sym == br)
+        same_prev_hit = jnp.concatenate(
+            [jnp.zeros((W, 1), bool), hit[:, :-1]], axis=1) & hit
+        apply = hit & jnp.where(bl == br, run_parity(same_prev_hit), True)
+        sym = jnp.where(apply, next_id, sym)
+        kill = jnp.concatenate(
+            [jnp.zeros((W, 1), bool), apply[:, :-1]], axis=1)
+        sym = jnp.where(kill, -1, sym)
+        # compact so adjacency stays +1
+        alive = sym >= 0
+        tgt = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
+        rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+        new_sym = jnp.full((W, L + 1), -1, jnp.int32)
+        new_sym = trie._scatter_set(
+            new_sym, jnp.broadcast_to(rows, (W, L)),
+            jnp.where(alive, tgt, L), jnp.where(alive, sym, -1))
+        sym = new_sym[:, :L]
+
+        s_len = s_len.at[next_id].set(
+            jnp.where(active, s_len[bl] + s_len[br], 0))
+        s_wsp = s_wsp.at[next_id].set(jnp.where(active, s_wsp[bl], False))
+        s_wsi = s_wsi.at[next_id].set(
+            jnp.where(active, s_wsi[bl] | s_wsp[br] | s_wsi[br], False))
+        new_scr = jnp.where(
+            s_scr[bl] == SCRIPT_ANY, s_scr[br],
+            jnp.where(s_scr[br] == SCRIPT_ANY, s_scr[bl],
+                      jnp.where(s_scr[bl] == s_scr[br], s_scr[bl],
+                                SCRIPT_MIXED)))
+        s_scr = s_scr.at[next_id].set(jnp.where(active, new_scr, 0))
+        s_val = s_val.at[next_id].set(active)
+        out = (jnp.where(active, bl, -1), jnp.where(active, br, -1),
+               jnp.where(active, m, 0.0))
+        return ((sym, s_len, s_wsp, s_wsi, s_scr, s_val,
+                 next_id + jnp.where(active, 1, 0)), out)
+
+    carry0 = (sym0, sym_len0, sym_ws_prefix0, sym_ws_inner0, sym_script0,
+              sym_valid0, jnp.asarray(first_new_id, jnp.int32))
+    (_, (ml, mr, mf)) = jax.lax.scan(step, carry0, None, length=n_merges)
+    return ml, mr, mf
+
+
+def train_device_bpe(trainer, n_merges: int):
+    """Host driver: build char symbols + attributes, run the device loop
+    over the mesh, reconstruct merged piece strings in merge order."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import shard_map
+    from .em import NEG_INF  # noqa: F401  (module dependency ordering)
+    from ..train.interface import UNK_CHAR
+    from ..utils import unicode_script
+
+    words = trainer.sentences
+    ts = trainer.trainer_spec
+    # alphabet = chars of the corpus, universe ids 0..A-1
+    chars = sorted({c for w, _ in words for c in w})
+    char_id = {c: i for i, c in enumerate(chars)}
+    A = len(chars)
+    U = A + n_merges
+    if U >= 4096:
+        return None  # dense histogram too large; host engine instead
+
+    n_dev = len(jax.devices())
+    W = len(words)
+    Wp = -(-max(W, 1) // n_dev) * n_dev
+    L = max((len(w) for w, _ in words), default=1)
+    sym = np.full((Wp, L), -1, np.int32)
+    freqs = np.zeros(Wp, np.float32)
+    for i, (w, f) in enumerate(words):
+        sym[i, :len(w)] = [char_id[c] for c in w]
+        freqs[i] = f
+
+    han = unicode_script.script_id("Han")
+    hira = unicode_script.script_id("Hiragana")
+    kata = unicode_script.script_id("Katakana")
+    s_len = np.zeros(U, np.int32)
+    s_wsp = np.zeros(U, bool)
+    s_wsi = np.zeros(U, bool)
+    s_scr = np.zeros(U, np.int32)
+    s_val = np.zeros(U, bool)
+    for c, i in char_id.items():
+        cp = ord(c)
+        s_len[i] = 1
+        s_wsp[i] = cp == 0x2581
+        s_val[i] = cp not in (UNK_CHAR, 0, 9, 0x20)
+        if cp == 0x2581:
+            scr = SCRIPT_ANY
+        else:
+            scr = unicode_script.get_script(cp)
+            if scr in (hira, kata) or cp == 0x30FC:
+                scr = han
+            if not ts.split_by_number and 0x30 <= cp <= 0x39:
+                scr = SCRIPT_ANY
+            if not ts.split_by_unicode_script:
+                scr = SCRIPT_ANY
+        s_scr[i] = scr
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
+    shard = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    sym_d = jax.device_put(jnp.asarray(sym), shard)
+    freqs_d = jax.device_put(jnp.asarray(freqs), shard)
+
+    import functools as ft
+
+    @jax.jit
+    @ft.partial(shard_map, mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P()), check_vma=False)
+    def run(sym_s, freqs_s, fni, sl, swp, swi, ssc, sva):
+        return bpe_train_merges(
+            sym_s, freqs_s, fni, sl, swp, swi, ssc, sva,
+            universe=U, n_merges=n_merges,
+            max_piece_len=ts.max_sentencepiece_length, axis_name="dp")
+
+    ml, mr, mf = run(sym_d, freqs_d,
+                     jax.device_put(jnp.int32(A), rep),
+                     jax.device_put(jnp.asarray(s_len), rep),
+                     jax.device_put(jnp.asarray(s_wsp), rep),
+                     jax.device_put(jnp.asarray(s_wsi), rep),
+                     jax.device_put(jnp.asarray(s_scr), rep),
+                     jax.device_put(jnp.asarray(s_val), rep))
+    ml = np.asarray(ml)
+    mr = np.asarray(mr)
+    # reconstruct strings
+    strings = list(chars) + [None] * n_merges
+    out = []
+    for k in range(n_merges):
+        if ml[k] < 0:
+            break
+        s = strings[ml[k]] + strings[mr[k]]
+        strings[A + k] = s
+        out.append(s)
+    return out

@@ -74,8 +74,16 @@ def _decode_pos(n: int) -> Tuple[int, int, int]:
 
 
 class Trainer(TrainerInterface):
-    def __init__(self, trainer_spec, normalizer_spec):
+    """``engine="exact"`` (default): host merge loop, byte-identical vocab
+    vs the reference. ``engine="device"``: dense pair-count histogram +
+    merge loop on the jax device mesh with psum reduction
+    (tpu/bpe_train.py) — the scale path; falls back to exact when the
+    symbol universe exceeds the dense-histogram bound."""
+
+    def __init__(self, trainer_spec, normalizer_spec, engine: str = "exact"):
         super().__init__(trainer_spec, normalizer_spec)
+        assert engine in ("exact", "device")
+        self.engine = engine
         self._cache: Dict = {}
         self._active: Set[_Symbol] = set()
         self._symbols: List[List[Optional[_Symbol]]] = []
@@ -205,6 +213,28 @@ class Trainer(TrainerInterface):
         assert vocab_size >= 0, "vocab_size too small for alphabet"
         dup = set()
         assert not self.final_pieces
+
+        if self.engine == "device":
+            from ..tpu import bpe_train
+
+            merged = bpe_train.train_device_bpe(
+                self, n_merges=vocab_size + 64)
+            if merged is not None:
+                for s in merged:
+                    if s in dup:
+                        continue
+                    dup.add(s)
+                    self.final_pieces.append(
+                        (s, -float(len(self.final_pieces))))
+                    if len(self.final_pieces) >= vocab_size:
+                        break
+                for cp, _freq in sorted_freq_desc(
+                        self.required_chars.items()):
+                    self.final_pieces.append(
+                        (chr(cp), -float(len(self.final_pieces))))
+                return self.save()
+            log.warning("device BPE engine unavailable for this corpus "
+                        "size; using the exact host engine")
 
         while len(self.final_pieces) < vocab_size:
             if len(self.final_pieces) % 100 == 0:

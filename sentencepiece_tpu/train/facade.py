@@ -168,8 +168,8 @@ def train(args: Optional[str] = None,
     trainer_cls = _TRAINERS.get(trainer_spec.model_type)
     if trainer_cls is None:
         raise ValueError(f"unknown model_type: {trainer_spec.model_type}")
-    if trainer_spec.model_type == ModelType.UNIGRAM:
-        # engine="device": batched lattice EM over the jax device mesh
+    if trainer_spec.model_type in (ModelType.UNIGRAM, ModelType.BPE):
+        # engine="device": mesh-parallel EM / pair-count loops
         return trainer_cls(trainer_spec, normalizer_spec,
                            engine=engine).train()
     return trainer_cls(trainer_spec, normalizer_spec).train()
