@@ -139,6 +139,7 @@ def train(args: Optional[str] = None,
           trainer_spec: Optional[TrainerSpec] = None,
           normalizer_spec: Optional[NormalizerSpec] = None,
           engine: str = "exact",
+          checkpoint_path: Optional[str] = None,
           **kwargs) -> ModelProto:
     """Train a model from a flag string, kwargs, or explicit specs
     (sentencepiece_trainer.cc:44-67, 148-154). Returns the ModelProto (the
@@ -168,8 +169,11 @@ def train(args: Optional[str] = None,
     trainer_cls = _TRAINERS.get(trainer_spec.model_type)
     if trainer_cls is None:
         raise ValueError(f"unknown model_type: {trainer_spec.model_type}")
-    if trainer_spec.model_type in (ModelType.UNIGRAM, ModelType.BPE):
-        # engine="device": mesh-parallel EM / pair-count loops
+    if trainer_spec.model_type == ModelType.UNIGRAM:
+        # engine="device": mesh-parallel EM; checkpoint_path: resumable EM
+        return trainer_cls(trainer_spec, normalizer_spec, engine=engine,
+                           checkpoint_path=checkpoint_path).train()
+    if trainer_spec.model_type == ModelType.BPE:
         return trainer_cls(trainer_spec, normalizer_spec,
                            engine=engine).train()
     return trainer_cls(trainer_spec, normalizer_spec).train()

@@ -103,11 +103,44 @@ class Trainer(TrainerInterface):
     words with psum count reduction, piece scores within float tolerance of
     the exact engine (different reduction order)."""
 
-    def __init__(self, trainer_spec, normalizer_spec, engine: str = "exact"):
+    def __init__(self, trainer_spec, normalizer_spec, engine: str = "exact",
+                 checkpoint_path: Optional[str] = None):
         super().__init__(trainer_spec, normalizer_spec)
         self.desired_vocab_size = int(trainer_spec.vocab_size * 1.1)
         assert engine in ("exact", "device")
         self.engine = engine
+        # Mid-train checkpointing (the reference has none — training
+        # reruns on failure, SURVEY.md §5): the EM outer loop state is just
+        # the piece list, so each round persists (pieces, round) and a
+        # restarted run resumes from it.
+        self.checkpoint_path = checkpoint_path
+
+    def _save_ckpt(self, pieces, rnd: int) -> None:
+        if not self.checkpoint_path:
+            return
+        import json
+
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"round": rnd,
+                       "pieces": [[w, float(s)] for w, s in pieces]}, f)
+        import os
+
+        os.replace(tmp, self.checkpoint_path)
+
+    def _load_ckpt(self):
+        if not self.checkpoint_path:
+            return None
+        import json
+        import os
+
+        if not os.path.exists(self.checkpoint_path):
+            return None
+        with open(self.checkpoint_path, encoding="utf-8") as f:
+            d = json.load(f)
+        log.info("Resuming EM from checkpoint round %d (%d pieces)",
+                 d["round"], len(d["pieces"]))
+        return d["round"], [(w, float(s)) for w, s in d["pieces"]]
 
     # -- seed pieces (unigram_model_trainer.cc:124-225) ------------------------
     def make_seed_sentence_pieces(self) -> List[Tuple[str, float]]:
@@ -552,12 +585,16 @@ class Trainer(TrainerInterface):
 
     # -- main loop (unigram_model_trainer.cc:539-603) ---------------------------
     def train(self) -> ModelProto:
+        from ..utils import profiling
+
         ts = self.trainer_spec
         assert ts.model_type == ModelType.UNIGRAM
         assert self.normalizer_spec.escape_whitespaces
-        self.load_sentences()
+        with profiling.phase("load_sentences"):
+            self.load_sentences()
 
-        pieces = self.make_seed_sentence_pieces()  # seed vocab
+        with profiling.phase("seed_pieces"):
+            pieces = self.make_seed_sentence_pieces()  # seed vocab
         seed_pieces = list(pieces)
         seed_index_of = {w: i for i, (w, _) in enumerate(seed_pieces)}
 
@@ -565,7 +602,8 @@ class Trainer(TrainerInterface):
             self.split_sentences_by_whitespace()
         log.info("Using %d sentences for EM training", len(self.sentences))
 
-        tables = self._build_word_tables(seed_pieces)
+        with profiling.phase("build_lattices"):
+            tables = self._build_word_tables(seed_pieces)
 
         def make_maps(cur_pieces):
             scores = [sc for _, sc in cur_pieces]
@@ -578,25 +616,34 @@ class Trainer(TrainerInterface):
 
         if self.engine == "device":
             dev = _DeviceEM(self, seed_pieces)
+        rnd = 0
+        ckpt = self._load_ckpt()
+        if ckpt is not None:
+            rnd, pieces = ckpt
         while True:
-            for it in range(ts.num_sub_iterations):
-                if self.engine == "device":
-                    pieces, obj, ntok = dev.em_step(pieces)
-                else:
-                    scores, seed_to_cur = make_maps(pieces)
-                    expected, obj, ntok = self._run_estep_host(
-                        pieces, scores, seed_to_cur, tables)
-                    pieces = self._run_mstep(pieces, expected)
-                log.info("EM sub_iter=%d size=%d obj=%s num_tokens=%d "
-                         "num_tokens/piece=%.4f", it, len(pieces), obj, ntok,
-                         ntok / max(len(pieces), 1))
+            with profiling.phase("em_round"):
+                for it in range(ts.num_sub_iterations):
+                    if self.engine == "device":
+                        pieces, obj, ntok = dev.em_step(pieces)
+                    else:
+                        scores, seed_to_cur = make_maps(pieces)
+                        expected, obj, ntok = self._run_estep_host(
+                            pieces, scores, seed_to_cur, tables)
+                        pieces = self._run_mstep(pieces, expected)
+                    log.info("EM sub_iter=%d size=%d obj=%s num_tokens=%d "
+                             "num_tokens/piece=%.4f", it, len(pieces), obj,
+                             ntok, ntok / max(len(pieces), 1))
             if len(pieces) <= self.desired_vocab_size:
                 break
-            scores, seed_to_cur = make_maps(pieces)
-            pieces = self._prune_pieces(pieces, scores, seed_to_cur, tables,
-                                        seed_index_of)
+            with profiling.phase("prune"):
+                scores, seed_to_cur = make_maps(pieces)
+                pieces = self._prune_pieces(pieces, scores, seed_to_cur,
+                                            tables, seed_index_of)
+            rnd += 1
+            self._save_ckpt(pieces, rnd)
 
-        self.final_pieces = self._finalize(pieces)
+        with profiling.phase("finalize"):
+            self.final_pieces = self._finalize(pieces)
         return self.save()
 
 
