@@ -1,0 +1,86 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Pallas TPU kernels for the lattice recurrences.
+
+The unigram lattice scans (Viterbi max-plus and forward logsumexp — the EM
+E-step hot loop, reference unigram_model.cc:222-261, 272-328) are banded
+recurrences over dense score arrays: pure shifted adds and reductions,
+which Mosaic lowers well. One kernel invocation runs the whole recurrence
+for a 128-word lane block entirely in VMEM; the K-deep alpha window is a
+loop-carried register value updated with `pltpu.roll`, so nothing bounces
+through HBM between positions.
+
+Mosaic constraints shaped the layout (lane-dim dynamic indexing must be
+128-aligned; there is no in-kernel reverse): WORDS live on the 128-lane
+axis, POSITIONS on the leading axis (dynamic row reads/writes are allowed
+there), and the piece-length axis sits on sublanes.
+
+(The trie-walk table lookups stay in XLA with barrier-isolated gathers —
+Mosaic's gather support cannot express XOR-addressed table walks; see
+docs/design.md.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _scan_kernel(sc_ref, out_ref, *, K: int, P: int, mode: str):
+    """sc_ref: [P, K, 128] scores (sc[p, k, w] = piece of len k+1 ending at
+    position p+1 of word w); out_ref: [P + 1, 128] alpha."""
+    out_ref[0, :] = jnp.zeros((LANES,), jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+    win0 = jnp.where(row_ids == 0, 0.0, NEG_INF)  # win[j] = alpha[p - j]
+
+    def body(p, win):
+        cand = win + sc_ref[p]          # [K, 128]
+        if mode == "viterbi":
+            red = jnp.max(cand, axis=0)
+        else:
+            m = jnp.max(cand, axis=0)
+            e = jnp.where(cand - m[None, :] > -60.0,
+                          jnp.exp(cand - m[None, :]), 0.0)
+            red = m + jnp.log(jnp.sum(e, axis=0))
+            red = jnp.where(m <= NEG_INF / 2, NEG_INF, red)
+        out_ref[p + 1, :] = red
+        rolled = pltpu.roll(win, shift=1, axis=0)
+        return jnp.where(row_ids == 0, red[None, :], rolled)
+
+    jax.lax.fori_loop(0, P, body, win0)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def lattice_scan_pallas(sc_end: jnp.ndarray, mode: str = "viterbi",
+                        interpret: bool = False) -> jnp.ndarray:
+    """alpha[W, P+1] for end-aligned scores sc_end[W, P, K] float32.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (for CPU
+    tests)."""
+    W, P, K = sc_end.shape
+    grid = (W + LANES - 1) // LANES
+    Wp = grid * LANES
+    # [W, P, K] -> [P, K, Wp]
+    sc_t = jnp.pad(sc_end.astype(jnp.float32), ((0, Wp - W), (0, 0), (0, 0)),
+                   constant_values=NEG_INF).transpose(1, 2, 0)
+    kern = functools.partial(_scan_kernel, K=K, P=P, mode=mode)
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((P, K, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((P + 1, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P + 1, Wp), jnp.float32),
+        interpret=interpret,
+    )(sc_t)
+    return out.T[:W]
