@@ -10,7 +10,7 @@ invocable as ``python -m sentencepiece_tpu.cli.spm_train --...`` or through
 the console helpers in setup.py.
 """
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 
 class Flags:

@@ -27,7 +27,6 @@ unigram_model.cc:535-604), followed by scans:
 
 from __future__ import annotations
 
-import heapq
 import math
 from typing import List, Optional, Tuple
 

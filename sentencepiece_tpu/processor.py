@@ -17,7 +17,7 @@ is the exact scalar engine and the conformance reference for it.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import numpy as np
 

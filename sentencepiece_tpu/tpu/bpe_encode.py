@@ -31,7 +31,7 @@ Models with USER_DEFINED or UNUSED pieces use the exact host path instead
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -171,7 +171,6 @@ def train_device_bpe(trainer, n_merges: int):
     over the mesh, reconstruct merged piece strings in merge order."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from jax import shard_map
-    from .em import NEG_INF  # noqa: F401  (module dependency ordering)
     from ..train.interface import UNK_CHAR
     from ..utils import unicode_script
 

@@ -31,7 +31,7 @@ The device path produces normalized bytes + lengths only; byte-alignment
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +48,6 @@ class NormalizerTables:
 
     def __init__(self, spec, treat_whitespace_as_suffix: bool = False):
         from ..normalizer import charsmap as charsmap_lib
-        from ..utils import darts
 
         self.add_dummy_prefix = bool(spec.add_dummy_prefix)
         self.remove_extra_whitespaces = bool(spec.remove_extra_whitespaces)

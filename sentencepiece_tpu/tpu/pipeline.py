@@ -16,7 +16,6 @@ detected on device and re-encoded through the exact host path.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax

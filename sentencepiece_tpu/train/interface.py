@@ -25,8 +25,7 @@ from ..proto.spec import (ModelProto, ModelType, NormalizerSpec, PieceType,
                           SelfTestData, SelfTestSample,
                           SentencePiece as SentencePieceProto, TrainerSpec)
 from ..utils import unicode_script
-from ..utils.unicode import (is_valid_codepoint, unicode_text_to_utf8,
-                             utf8_to_unicode_text)
+from ..utils.unicode import is_valid_codepoint
 
 log = logging.getLogger("sentencepiece_tpu.train")
 

@@ -63,3 +63,22 @@ def test_spm_train_cli_artifact(tmp_path):
     assert ids and sp.decode_ids(ids) == "I have a pen."
     ts = sp.model_proto.trainer_spec
     assert ts.has("num_threads") and ts.has("character_coverage")
+
+
+def test_self_test_embedding(tmp_path):
+    """--self_test_sample_size embeds (input, expected) samples that load
+    replays (trainer_interface.cc:538-548, sentencepiece_processor.cc:
+    137-154)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.train import SentencePieceTrainer
+
+    prefix = str(tmp_path / "st")
+    SentencePieceTrainer.Train(
+        f"--input={FIX / 'sub.txt'} --model_prefix={prefix} "
+        "--model_type=bpe --vocab_size=300 --hard_vocab_limit=false "
+        "--self_test_sample_size=10 --minloglevel=2")
+    sp = SentencePieceProcessor(prefix + ".model")  # replays self-test
+    std = sp.model_proto.self_test_data
+    assert std is not None and len(std.samples) == 10
+    for s in std.samples:
+        assert " ".join(sp.encode_as_pieces(s.input)) == s.expected
