@@ -6,16 +6,19 @@
 
 Exact-output host implementation of the greedy pair-merge loop:
 
-  * symbols interned per merge tree (reference interns by 64-bit
-    FingerprintCat of child fingerprints, bpe_model_trainer.cc:57; we intern
-    by the (left, right) intern-id pair — identical semantics minus hash
-    collisions);
+  * symbols interned by 64-bit FingerprintCat of child fingerprints in a
+    libstdc++-exact unordered_map emulation (bpe_model_trainer.cc:57;
+    utils/stdhashtable.py) — the map's iteration order feeds
+    UpdateActiveSymbols' partial_sort, whose equal-frequency cutoff
+    behavior is observable in the merge tail at large vocab sizes;
   * per-symbol position sets ordered by (sid, left, right)
     (std::set<uint64> of sid<<32|left<<16|right, bpe_model_trainer.h:84-101);
   * lazy ComputeFreq with overlap dedup — "AAA" counts one "AA" — and stale
     position erasure with overlap-tracker reset (cc:85-116);
-  * active set = top max(1000, 5% of cache) by freq, refreshed every 100
-    merges (cc:156-183, 234-237);
+  * active set = top max(1000, 5% of cache) by freq via a faithful
+    std::partial_sort port, refreshed every 100 merges (cc:156-183,
+    234-237); the argmax scan visits it in symbol-creation order
+    (standing in for std::set<Symbol*> pointer order);
   * best-pair tie-break: freq desc, then char-length asc, then UTF-8 string
     asc (cc:240-254);
   * merge applied at every stored position in ascending order, resetting
@@ -23,9 +26,8 @@ Exact-output host implementation of the greedy pair-merge loop:
   * piece score = -merge_rank (cc:269-270); required chars appended after
     the merge loop (cc:317-321).
 
-The device-parallel pair-count path for large corpora lives in
-sentencepiece_tpu.tpu.bpe_kernels; this module is the conformance engine
-and the small-corpus default.
+The device-parallel pair-count path lives in sentencepiece_tpu.tpu
+.bpe_train; this module is the byte-exact conformance engine.
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ import logging
 from typing import Dict, List, Optional, Set, Tuple
 
 from ..proto.spec import ModelProto, ModelType
+from ..utils.stdhashtable import StdUnorderedMap, fingerprint_cat
+from ..utils.stdheap import std_partial_sort
 from .interface import TrainerInterface, UNK_CHAR, sorted_freq_desc
 
 log = logging.getLogger("sentencepiece_tpu.train")
@@ -41,7 +45,7 @@ log = logging.getLogger("sentencepiece_tpu.train")
 
 class _Symbol:
     __slots__ = ("left", "right", "chars", "is_unk", "freq", "positions",
-                 "key")
+                 "key", "cidx")
 
     def __init__(self):
         self.left: Optional["_Symbol"] = None
@@ -50,7 +54,8 @@ class _Symbol:
         self.is_unk = False
         self.freq = 0
         self.positions: Set[int] = set()
-        self.key = None
+        self.key = None   # 64-bit fingerprint (reference Symbol::fp)
+        self.cidx = 0     # creation order (stands in for pointer order)
 
     @property
     def is_bigram(self) -> bool:
@@ -84,9 +89,15 @@ class Trainer(TrainerInterface):
         super().__init__(trainer_spec, normalizer_spec)
         assert engine in ("exact", "device")
         self.engine = engine
-        self._cache: Dict = {}
+        # symbols_cache_ emulates the reference's
+        # unordered_map<uint64, Symbol*> INCLUDING iteration order (see
+        # utils/stdhashtable.py): UpdateActiveSymbols' partial_sort cutoff
+        # among equal-frequency symbols observes it, and so therefore does
+        # the trained merge tail at large vocab sizes.
+        self._cache: StdUnorderedMap = StdUnorderedMap()
         self._active: Set[_Symbol] = set()
         self._symbols: List[List[Optional[_Symbol]]] = []
+        self._n_created = 0
 
     # -- symbol interning ------------------------------------------------------
     def _get_char_symbol(self, c: int) -> _Symbol:
@@ -98,15 +109,17 @@ class Trainer(TrainerInterface):
         s.is_unk = (c == UNK_CHAR)
         s.chars = (c,)
         s.freq = freq
-        s.key = c
-        self._cache[c] = s
+        s.key = c  # fp of a char symbol is the codepoint (cc:57-63)
+        s.cidx = self._n_created
+        self._n_created += 1
+        self._cache.insert(c, s)
         return s
 
     def _get_pair_symbol(self, left: Optional[_Symbol],
                          right: Optional[_Symbol]) -> Optional[_Symbol]:
         if left is None or right is None or left.is_unk or right.is_unk:
             return None
-        key = (left.key, right.key)
+        key = fingerprint_cat(left.key, right.key)
         s = self._cache.get(key)
         if s is not None:
             return s
@@ -118,7 +131,9 @@ class Trainer(TrainerInterface):
         s.right = right
         s.chars = chars
         s.key = key
-        self._cache[key] = s
+        s.cidx = self._n_created
+        self._n_created += 1
+        self._cache.insert(key, s)
         return s
 
     # -- lazy frequency (bpe_model_trainer.cc:85-116) ---------------------------
@@ -175,9 +190,11 @@ class Trainer(TrainerInterface):
             symbol.freq = 0
 
     def _update_active_symbols(self) -> None:
-        """Top max(1000, 5%·cache) bigrams by freq (cc:156-183). Ties at the
-        cutoff are broken deterministically (len asc, string asc; the
-        reference's partial_sort leaves them unspecified)."""
+        """Top max(1000, 5%·cache) bigrams by freq (cc:156-183), with the
+        reference's EXACT tie behavior: candidates enumerate in the
+        emulated unordered_map iteration order and go through a faithful
+        std::partial_sort (freq-desc comparator only), so WHICH
+        equal-frequency symbols survive the cutoff matches libstdc++."""
         symbols = []
         for s in self._cache.values():
             if s.is_bigram:
@@ -188,7 +205,7 @@ class Trainer(TrainerInterface):
             return
         k_min, k_ratio = 1000, 0.05
         size = min(max(k_min, int(len(self._cache) * k_ratio)), len(symbols))
-        symbols.sort(key=lambda s: (-s.freq, len(s.chars), s.utf8()))
+        std_partial_sort(symbols, size, lambda a, b: a.freq > b.freq)
         log.info("Updating active symbols. max_freq=%d min_freq=%d",
                  symbols[0].freq, symbols[size - 1].freq)
         self._active = set(symbols[:size])
@@ -241,7 +258,9 @@ class Trainer(TrainerInterface):
                 self._update_active_symbols()
             best: Optional[_Symbol] = None
             best_key = None
-            for symbol in self._active:
+            # std::set<Symbol*> iterates in pointer order; allocation
+            # order stands in for it (symbols are never freed mid-train)
+            for symbol in sorted(self._active, key=lambda s: s.cidx):
                 self._compute_freq(symbol)
                 key = (-symbol.freq, len(symbol.chars), symbol.utf8())
                 if best is None or key < best_key:
@@ -251,7 +270,7 @@ class Trainer(TrainerInterface):
                 break
             bs = best.to_string()
             if bs in dup:
-                self._cache.pop(best.key, None)
+                self._cache.erase(best.key)
                 self._active.discard(best)
                 continue
             dup.add(bs)
@@ -277,7 +296,7 @@ class Trainer(TrainerInterface):
                 self._add_new_pair(sid, prv, left)
                 self._add_new_pair(sid, left, nxt)
 
-            self._cache.pop(best.key, None)
+            self._cache.erase(best.key)
             self._active.discard(best)
 
         for cp, _freq in sorted_freq_desc(self.required_chars.items()):

@@ -87,3 +87,71 @@ class StdPriorityQueue:
         while self._v:
             out.append(self.pop())
         return out
+
+
+def _push_heap(v: List[T], hole: int, top: int, value: T,
+               less: Callable[[T, T], bool]) -> None:
+    while hole > top and less(v[(hole - 1) // 2], value):
+        v[hole] = v[(hole - 1) // 2]
+        hole = (hole - 1) // 2
+    v[hole] = value
+
+
+def _adjust_heap(v: List[T], first: int, hole: int, length: int, value: T,
+                 less: Callable[[T, T], bool]) -> None:
+    top = hole
+    second = hole
+    while second < (length - 1) // 2:
+        second = 2 * (second + 1)
+        if less(v[first + second], v[first + second - 1]):
+            second -= 1
+        v[first + hole] = v[first + second]
+        hole = second
+    if length % 2 == 0 and second == (length - 2) // 2:
+        second = 2 * (second + 1)
+        v[first + hole] = v[first + second - 1]
+        hole = second - 1
+    # __push_heap within [first, first+length)
+    while hole > top and less(v[first + (hole - 1) // 2], value):
+        v[first + hole] = v[first + (hole - 1) // 2]
+        hole = (hole - 1) // 2
+    v[first + hole] = value
+
+
+def std_partial_sort(v: List[T], middle: int,
+                     less: Callable[[T, T], bool]) -> None:
+    """Exact libstdc++ std::partial_sort(v.begin(), v.begin()+middle,
+    v.end(), less) — heap-select then sort-heap. The order of EQUAL
+    elements (and which of them survive the cutoff) matches libstdc++,
+    which the reference's UpdateActiveSymbols depends on
+    (bpe_model_trainer.cc:175-180)."""
+    n = len(v)
+    if n == 0:
+        return
+    # NOTE: middle == 0 is NOT a no-op in libstdc++ — __heap_select still
+    # runs its sift loop against v[0], swapping "better" elements into
+    # slot 0 one at a time; reproduced faithfully below.
+    middle = min(middle, n)
+    # __make_heap on [0, middle)
+    if middle >= 2:
+        parent = (middle - 2) // 2
+        while True:
+            value = v[parent]
+            _adjust_heap(v, 0, parent, middle, value, less)
+            if parent == 0:
+                break
+            parent -= 1
+    # __heap_select: sift smaller-than-top elements in
+    for i in range(middle, n):
+        if less(v[i], v[0]):
+            # __pop_heap(first, middle, i): move top to i, re-adjust
+            value = v[i]
+            v[i] = v[0]
+            _adjust_heap(v, 0, 0, middle, value, less)
+    # __sort_heap on [0, middle)
+    last = middle
+    while last > 1:
+        last -= 1
+        value = v[last]
+        v[last] = v[0]
+        _adjust_heap(v, 0, 0, last, value, less)
