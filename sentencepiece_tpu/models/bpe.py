@@ -11,6 +11,12 @@ Exact semantics reproduced:
   * stale agenda entries dropped by the size check (bpe_model.cc:148-151)
   * pieces flagged UNUSED by SetVocabulary are re-expanded recursively with
     the rev_merge table (bpe_model.cc:84-87, 171-189)
+
+Additionally implements BPE-dropout (Provilkov et al. 2019) as
+``sample_encode(theta=p)``: each valid popped merge is skipped with
+probability p, under the package PRNG contract (numpy Generator). The
+v0.1.82 reference has no BPE sampling; this matches the capability added
+to later SentencePiece releases.
 """
 
 from __future__ import annotations
@@ -23,6 +29,19 @@ from .base import EncodeResult, ModelBase
 
 class BpeModel(ModelBase):
     def encode(self, normalized: bytes) -> EncodeResult:
+        return self._encode_impl(normalized, 0.0, None)
+
+    def sample_encode(self, normalized: bytes, theta: float,
+                      rng=None) -> EncodeResult:
+        """BPE-dropout: theta = per-merge dropout probability."""
+        if rng is None:
+            from ..utils.rng import get_generator
+
+            rng = get_generator()
+        return self._encode_impl(normalized, float(theta), rng)
+
+    def _encode_impl(self, normalized: bytes, dropout_p: float,
+                     rng) -> EncodeResult:
         if not normalized:
             return []
         data = normalized
@@ -80,6 +99,8 @@ class BpeModel(ModelBase):
             if (sym_len[left] == 0 or right == -1 or sym_len[right] == 0
                     or sym_len[left] + sym_len[right] != size):
                 continue
+            if dropout_p > 0.0 and rng.random() < dropout_p:
+                continue  # BPE-dropout: skip this merge
             # Merge right into left.
             sym_len[left] += sym_len[right]
             nxt[left] = nxt[right]

@@ -95,3 +95,20 @@ def test_sample_nbest_mode():
     nbest = {tuple(ids) for ids in sp.nbest_encode_as_ids("apple", 5)}
     assert seen <= nbest
     assert len(seen) >= 2
+
+
+def test_bpe_dropout(fixtures_dir):
+    """BPE-dropout (sample_encode with theta = dropout prob): p=0 equals
+    deterministic encode; p>0 produces varied, lossless segmentations."""
+    from sentencepiece_tpu import SentencePieceProcessor
+
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
+    text = "undesirable circumstances"
+    base = sp.encode_as_pieces(text)
+    rng = np.random.default_rng(0)
+    assert sp.sample_encode_as_pieces(text, -1, 0.0, rng=rng) == base
+    seen = {tuple(sp.sample_encode_as_pieces(text, -1, 0.4, rng=rng))
+            for _ in range(25)}
+    assert len(seen) > 3
+    for seg in seen:
+        assert sp.decode_pieces(list(seg)) == text
