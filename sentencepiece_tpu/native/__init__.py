@@ -186,3 +186,99 @@ def sais(arr: np.ndarray, alphabet: int) -> Optional[np.ndarray]:
                  sa.ctypes.data_as(ctypes.c_void_p), n + 1, alphabet + 2)
     assert sa[0] == n
     return sa[1:].copy()
+
+
+def _estep_sig(lib):
+    if getattr(lib, "_estep_ready", False):
+        return
+    lib.spm_unigram_estep.restype = ctypes.c_int
+    lib.spm_unigram_estep.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_float, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)]
+    lib.spm_unigram_viterbi_paths.restype = ctypes.c_int
+    lib.spm_unigram_viterbi_paths.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p]
+    lib._estep_ready = True
+
+
+class UnigramEStepTables:
+    """Flattened word candidate tables shared by the native E-step and
+    Viterbi batch (built once per training run against the seed vocab)."""
+
+    def __init__(self, word_len, cand_off, cand_pos, cand_len, cand_sid,
+                 freqs):
+        self.word_len = np.ascontiguousarray(word_len, np.int32)
+        self.cand_off = np.ascontiguousarray(cand_off, np.int64)
+        self.cand_pos = np.ascontiguousarray(cand_pos, np.int32)
+        self.cand_len = np.ascontiguousarray(cand_len, np.int32)
+        self.cand_sid = np.ascontiguousarray(cand_sid, np.int32)
+        self.freqs = np.ascontiguousarray(freqs, np.int64)
+        self.n_words = len(self.word_len)
+
+
+def unigram_estep(tables: "UnigramEStepTables", seed_to_cur, scores,
+                  unk_score: float, num_threads: int):
+    """float32-exact E-step (native threads, reference merge order).
+    Returns (expected float32[num_cur], obj float, ntok int) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    _estep_sig(lib)
+    s2c = np.ascontiguousarray(seed_to_cur, np.int32)
+    sc = np.ascontiguousarray(scores, np.float32)
+    num_cur = len(sc)
+    expected = np.zeros(num_cur, np.float32)
+    obj = ctypes.c_float()
+    ntok = ctypes.c_int64()
+    all_freq = int(tables.freqs[:tables.n_words].sum())
+    rc = lib.spm_unigram_estep(
+        tables.n_words,
+        tables.word_len.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_off.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_pos.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_len.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_sid.ctypes.data_as(ctypes.c_void_p),
+        s2c.ctypes.data_as(ctypes.c_void_p),
+        sc.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_float(unk_score),
+        tables.freqs.ctypes.data_as(ctypes.c_void_p),
+        all_freq, num_threads, num_cur,
+        expected.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(obj), ctypes.byref(ntok))
+    if rc != 0:
+        return None
+    return expected, float(obj.value), int(ntok.value)
+
+
+def unigram_viterbi_paths(tables: "UnigramEStepTables", seed_to_cur, scores,
+                          unk_score: float):
+    """Viterbi piece-id paths per word: (ids int32[], offsets int64[W+1])."""
+    lib = _load()
+    if lib is None:
+        return None
+    _estep_sig(lib)
+    s2c = np.ascontiguousarray(seed_to_cur, np.int32)
+    sc = np.ascontiguousarray(scores, np.float32)
+    cap = int(tables.word_len.sum())
+    out_ids = np.zeros(max(cap, 1), np.int32)
+    out_off = np.zeros(tables.n_words + 1, np.int64)
+    rc = lib.spm_unigram_viterbi_paths(
+        tables.n_words,
+        tables.word_len.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_off.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_pos.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_len.ctypes.data_as(ctypes.c_void_p),
+        tables.cand_sid.ctypes.data_as(ctypes.c_void_p),
+        s2c.ctypes.data_as(ctypes.c_void_p),
+        sc.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_float(unk_score),
+        out_ids.ctypes.data_as(ctypes.c_void_p),
+        out_off.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out_ids, out_off

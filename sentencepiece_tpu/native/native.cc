@@ -18,6 +18,8 @@
 //     third_party/esaxx/sais.hxx for unigram seed extraction at scale).
 
 #include <cstdint>
+#include <unordered_map>
+#include <functional>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -69,114 +71,182 @@ static void trie_insert(std::vector<TrieNode> &nodes, const uint8_t *key,
   nodes[cur].value = value;
 }
 
+// DAWG hash-consing: canonicalize equal subtrees bottom-up so shared
+// suffixes occupy one set of child slots (darts-clone does the same via an
+// explicit DAWG; this is why its blobs are ~8x smaller than a plain trie
+// layout). Traversal semantics are unchanged: every incoming edge gets its
+// own unit whose offset points at the shared state's base.
 int64_t spm_darts_build(const uint8_t *keys, const int64_t *key_offs,
                         const int32_t *values, int64_t n_keys,
                         uint32_t **out_units) {
-  // explicit trie (keys must be sorted; sortedness not required for
-  // correctness here since children are label-ordered lists)
   std::vector<TrieNode> nodes(1);
   for (int64_t i = 0; i < n_keys; ++i) {
     int64_t off = key_offs[i], len = key_offs[i + 1] - key_offs[i];
     if (len <= 0) return -1;
     trie_insert(nodes, keys + off, len, values[i]);
   }
+  const int64_t N = (int64_t)nodes.size();
 
+  // post-order over the trie
+  std::vector<int32_t> post;
+  post.reserve(N);
+  {
+    std::vector<std::pair<int32_t, int32_t>> stack;  // (node, child cursor)
+    stack.push_back({0, nodes[0].first_child});
+    while (!stack.empty()) {
+      auto &top = stack.back();
+      if (top.second == -1) {
+        post.push_back(top.first);
+        stack.pop_back();
+        if (!stack.empty())
+          stack.back().second = nodes[stack.back().second].next_sibling;
+      } else {
+        stack.push_back({top.second, nodes[top.second].first_child});
+      }
+    }
+  }
+
+  // hash-cons: canonical id per signature
+  struct SigHash {
+    size_t operator()(const std::string &s) const {
+      return std::hash<std::string>()(s);
+    }
+  };
+  std::vector<int32_t> canon(N, -1);
+  std::unordered_map<std::string, int32_t> interned;
+  std::vector<std::vector<std::pair<uint8_t, int32_t>>> state_children;
+  std::vector<int32_t> state_value;   // -1 = not terminal
+  for (int32_t nid : post) {
+    std::string sig;
+    sig.reserve(16);
+    int32_t val = nodes[nid].terminal ? nodes[nid].value : -1;
+    sig.append((const char *)&val, 4);
+    std::vector<std::pair<uint8_t, int32_t>> kids;
+    for (int32_t ch = nodes[nid].first_child; ch != -1;
+         ch = nodes[ch].next_sibling)
+      kids.push_back({nodes[ch].label, canon[ch]});
+    // label-ascending for a canonical signature
+    for (size_t a = 1; a < kids.size(); ++a) {
+      auto v = kids[a];
+      size_t b = a;
+      while (b > 0 && kids[b - 1].first > v.first) {
+        kids[b] = kids[b - 1];
+        --b;
+      }
+      kids[b] = v;
+    }
+    for (auto &kv : kids) {
+      sig.push_back((char)kv.first);
+      sig.append((const char *)&kv.second, 4);
+    }
+    auto it = interned.find(sig);
+    if (it != interned.end()) {
+      canon[nid] = it->second;
+    } else {
+      int32_t sid = (int32_t)state_children.size();
+      interned.emplace(std::move(sig), sid);
+      state_children.push_back(std::move(kids));
+      state_value.push_back(val);
+      canon[nid] = sid;
+    }
+  }
+  const int32_t root = canon[0];
+  const int64_t S = (int64_t)state_children.size();
+
+  // base assignment per state + slot reservation
   size_t cap = 1024;
-  while (cap < nodes.size() * 2) cap <<= 1;
   std::vector<uint32_t> units(cap, 0);
   std::vector<bool> used(cap, false);
   std::vector<bool> base_taken(cap, false);
   used[0] = true;
-
   auto ensure = [&](size_t need) {
     while (need >= cap) {
-      size_t old = cap;
       cap <<= 1;
       units.resize(cap, 0);
       used.resize(cap, false);
       base_taken.resize(cap, false);
-      (void)old;
     }
   };
-
   const uint32_t kOffsetMaxSmall = 1u << 21;
   size_t search_hint = 1;
+  std::vector<uint32_t> state_base(S, 0);
+  std::vector<uint8_t> placed(S, 0);
 
-  // BFS placement
-  struct QItem { int32_t node; uint32_t pos; uint8_t entry_label; };
-  std::vector<QItem> queue;
-  queue.push_back({0, 0, 0});
-  for (size_t qi = 0; qi < queue.size(); ++qi) {
-    QItem it = queue[qi];
-    TrieNode &nd = nodes[it.node];
-    // collect labels: 0 first if terminal, then children label-ascending
+  // place states in post-order of the CANONICAL dag (children first is not
+  // required for base assignment, but keeps locality); root placed last
+  auto find_base = [&](const std::vector<std::pair<uint8_t, int32_t>> &kids,
+                       bool terminal) -> uint32_t {
     uint8_t labels[257];
     int nl = 0;
-    if (nd.terminal) labels[nl++] = 0;
-    {
-      uint8_t tmp[256];
-      int nt = 0;
-      for (int32_t ch = nd.first_child; ch != -1;
-           ch = nodes[ch].next_sibling)
-        tmp[nt++] = nodes[ch].label;
-      // sort ascending (labels are unique)
-      for (int a = 1; a < nt; ++a) {
-        uint8_t v = tmp[a];
-        int b = a - 1;
-        while (b >= 0 && tmp[b] > v) { tmp[b + 1] = tmp[b]; --b; }
-        tmp[b + 1] = v;
-      }
-      for (int a = 0; a < nt; ++a) labels[nl++] = tmp[a];
-    }
-    // find base
-    uint32_t base = 0;
+    if (terminal) labels[nl++] = 0;
+    for (auto &kv : kids) labels[nl++] = kv.first;
     for (size_t cand = search_hint;; ++cand) {
       ensure(cand + 256);
       if (base_taken[cand]) continue;
-      uint32_t off = (uint32_t)cand ^ it.pos;
-      bool enc = (off < kOffsetMaxSmall) ||
-                 (((off & 0xFF) == 0) && ((off >> 8) < kOffsetMaxSmall));
-      if (!enc) continue;
       bool ok = true;
       for (int a = 0; a < nl; ++a) {
         size_t slot = cand ^ labels[a];
         ensure(slot);
         if (used[slot]) { ok = false; break; }
       }
-      if (ok) { base = (uint32_t)cand; break; }
+      if (ok) return (uint32_t)cand;
     }
-    // advance hint past fully-used prefix
-    while (search_hint < cap && (used[search_hint] ||
-                                 base_taken[search_hint]))
-      ++search_hint;
+  };
+  for (int64_t sid = 0; sid < S; ++sid) {
+    bool terminal = state_value[sid] >= 0;
+    uint32_t base = find_base(state_children[sid], terminal);
     base_taken[base] = true;
-    for (int a = 0; a < nl; ++a) {
-      size_t slot = base ^ labels[a];
+    if (terminal) {
+      ensure(base);
+      used[base] = true;   // value leaf at base ^ 0
+      units[base] = 0x80000000u | (uint32_t)state_value[sid];
+    }
+    for (auto &kv : state_children[sid]) {
+      size_t slot = base ^ kv.first;
       ensure(slot);
       used[slot] = true;
     }
-    // write this node's unit
-    uint32_t off = it.pos ^ base;
-    uint32_t unit;
-    if (off < kOffsetMaxSmall) {
-      unit = off << 10;
-    } else {
-      unit = ((off >> 8) << 10) | (1u << 9);
-    }
-    if (nd.terminal) unit |= 1u << 8;
-    unit |= it.entry_label;
-    ensure(it.pos);
-    units[it.pos] = unit;
-    if (nd.terminal) {
-      units[base] = 0x80000000u | (uint32_t)nd.value;
-    }
-    for (int32_t ch = nd.first_child; ch != -1;
-         ch = nodes[ch].next_sibling) {
-      queue.push_back({ch, base ^ nodes[ch].label, nodes[ch].label});
+    state_base[sid] = base;
+    placed[sid] = 1;
+    while (search_hint < cap &&
+           (used[search_hint] || base_taken[search_hint]))
+      ++search_hint;
+  }
+  // write edge units: for each state, each child edge's unit lives at
+  // parent_base ^ label and points at the child's base
+  auto encode_offset = [&](uint32_t pos, uint32_t base) -> uint32_t {
+    uint32_t off = pos ^ base;
+    if (off < kOffsetMaxSmall) return off << 10;
+    return ((off >> 8) << 10) | (1u << 9);
+  };
+  for (int64_t sid = 0; sid < S; ++sid) {
+    uint32_t pbase = state_base[sid];
+    for (auto &kv : state_children[sid]) {
+      int32_t child = kv.second;
+      uint32_t slot = pbase ^ kv.first;
+      uint32_t off = slot ^ state_base[child];
+      // offset must be encodable; our slots/bases stay well inside 2^21
+      // for vocab-scale tries, but guard anyway
+      if (!((off < kOffsetMaxSmall) ||
+            (((off & 0xFF) == 0) && ((off >> 8) < kOffsetMaxSmall))))
+        return -2;
+      uint32_t unit = encode_offset(slot, state_base[child]);
+      if (state_value[child] >= 0) unit |= 1u << 8;
+      unit |= kv.first;
+      units[slot] = unit;
     }
   }
+  // root entry unit at slot 0
+  {
+    uint32_t off0 = 0u ^ state_base[root];
+    if (!((off0 < kOffsetMaxSmall) ||
+          (((off0 & 0xFF) == 0) && ((off0 >> 8) < kOffsetMaxSmall))))
+      return -2;
+    uint32_t unit = encode_offset(0, state_base[root]);
+    if (state_value[root] >= 0) unit |= 1u << 8;
+    units[0] = unit;
+  }
 
-  // top + pad to 256 boundary, filler 0xFFFFFFFF
   size_t top = 0;
   for (size_t i = 0; i < cap; ++i)
     if (used[i]) top = i + 1;
@@ -478,6 +548,285 @@ static void sais_core(const int32_t *T, int32_t *SA, int64_t n, int64_t K) {
 // Suffix array of int32 sequence with alphabet size K.
 void spm_sais(const int32_t *T, int32_t *SA, int64_t n, int64_t K) {
   sais_core(T, SA, n, K);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// unigram EM E-step + Viterbi batch (float32-exact trainer hot loops)
+// ---------------------------------------------------------------------------
+// Mirrors the reference RunEStep thread pool + Lattice::PopulateMarginal /
+// Viterbi (unigram_model_trainer.cc:237-287, unigram_model.cc:222-328) with
+// identical float semantics: C++ `float` expression evaluation IS the
+// reference semantics. Word candidate tables come pre-extracted against the
+// seed vocabulary (pos-major, length-ascending — trie match order).
+
+#include <cmath>
+#include <thread>
+
+namespace {
+
+static inline float lse_f(float x, float y, bool init) {
+  if (init) return y;
+  const float vmin = x < y ? x : y;
+  const float vmax = x < y ? y : x;
+  if (vmax > vmin + 50.0f) return vmax;
+  return vmax + log(exp(vmin - vmax) + 1.0);
+}
+
+struct WordTables {
+  const int32_t *word_len;
+  const int64_t *cand_off;
+  const int32_t *cand_pos;
+  const int32_t *cand_len;
+  const int32_t *cand_sid;
+  const int32_t *seed_to_cur;
+  const float *scores;
+  float unk_score;
+  const int64_t *freqs;
+};
+
+// Builds the per-word node list in reference insertion order and runs
+// forward/backward/expected + viterbi. Returns freq * Z; appends viterbi
+// token count to *ntok; expected[] accumulated (float += double).
+static float marginal_one(const WordTables &T, int64_t wi, float *expected,
+                          int64_t *ntok, std::vector<int> &n_pos,
+                          std::vector<int> &n_len, std::vector<int> &n_cur,
+                          std::vector<uint8_t> &n_unk,
+                          std::vector<float> &n_score,
+                          std::vector<float> &alpha, std::vector<float> &beta,
+                          std::vector<int> &ends_off,
+                          std::vector<int> &ends_nodes,
+                          std::vector<int> &begins_off,
+                          std::vector<int> &begins_nodes,
+                          std::vector<float> &best_score,
+                          std::vector<uint8_t> &best_has,
+                          std::vector<int> &best_node) {
+  const int L = T.word_len[wi];
+  if (L == 0) return 0.0f;
+  n_pos.clear(); n_len.clear(); n_cur.clear(); n_unk.clear();
+  n_score.clear();
+  const int64_t c0 = T.cand_off[wi], c1 = T.cand_off[wi + 1];
+  int64_t ci = c0;
+  for (int pos = 0; pos < L; ++pos) {
+    bool has_single = false;
+    while (ci < c1 && T.cand_pos[ci] == pos) {
+      int cur = T.seed_to_cur[T.cand_sid[ci]];
+      if (cur >= 0) {
+        n_pos.push_back(pos);
+        n_len.push_back(T.cand_len[ci]);
+        n_cur.push_back(cur);
+        n_unk.push_back(0);
+        n_score.push_back(T.scores[cur]);
+        if (T.cand_len[ci] == 1) has_single = true;
+      }
+      ++ci;
+    }
+    if (!has_single) {
+      n_pos.push_back(pos);
+      n_len.push_back(1);
+      n_cur.push_back(0);   // trainer-model UNK carries id 0
+      n_unk.push_back(1);
+      n_score.push_back(T.unk_score);
+    }
+  }
+  const int n = (int)n_pos.size();
+  const int BOS = n, EOS = n + 1;
+  alpha.assign(n + 2, 0.0f);
+  beta.assign(n + 2, 0.0f);
+  // ends_at / begins_at as CSR over positions 0..L
+  ends_off.assign(L + 2, 0);
+  begins_off.assign(L + 2, 0);
+  for (int k = 0; k < n; ++k) {
+    ends_off[n_pos[k] + n_len[k] + 1]++;
+    begins_off[n_pos[k] + 1]++;
+  }
+  ends_off[0 + 1] += 1;   // BOS ends at 0 (first)
+  begins_off[L + 1] += 1; // EOS begins at L (first)
+  for (int p = 0; p < L + 1; ++p) {
+    ends_off[p + 1] += ends_off[p];
+    begins_off[p + 1] += begins_off[p];
+  }
+  ends_nodes.assign(ends_off[L + 1], -1);
+  begins_nodes.assign(begins_off[L + 1], -1);
+  std::vector<int> ecur(L + 1, 0), bcur(L + 1, 0);
+  // insertion order: BOS/EOS first at their positions, then nodes in
+  // creation order (matches Lattice::SetSentence then PopulateNodes)
+  ends_nodes[ends_off[0] + ecur[0]++] = BOS;
+  begins_nodes[begins_off[L] + bcur[L]++] = EOS;
+  for (int k = 0; k < n; ++k) {
+    int ep = n_pos[k] + n_len[k];
+    ends_nodes[ends_off[ep] + ecur[ep]++] = k;
+    begins_nodes[begins_off[n_pos[k]] + bcur[n_pos[k]]++] = k;
+  }
+  auto node_score = [&](int k) -> float {
+    return k >= n ? 0.0f : n_score[k];
+  };
+  // forward
+  for (int pos = 0; pos <= L; ++pos) {
+    for (int bi = begins_off[pos]; bi < begins_off[pos + 1]; ++bi) {
+      int r = begins_nodes[bi];
+      float acc = 0.0f;
+      for (int ei = ends_off[pos]; ei < ends_off[pos + 1]; ++ei) {
+        int l = ends_nodes[ei];
+        acc = lse_f(acc, node_score(l) + alpha[l], ei == ends_off[pos]);
+      }
+      alpha[r] = acc;
+    }
+  }
+  const float Z = alpha[EOS];
+  // backward
+  for (int pos = L; pos >= 0; --pos) {
+    for (int ei = ends_off[pos]; ei < ends_off[pos + 1]; ++ei) {
+      int l = ends_nodes[ei];
+      float acc = 0.0f;
+      for (int bi = begins_off[pos]; bi < begins_off[pos + 1]; ++bi) {
+        int r = begins_nodes[bi];
+        acc = lse_f(acc, node_score(r) + beta[r], bi == begins_off[pos]);
+      }
+      beta[l] = acc;
+    }
+  }
+  const float freq = (float)T.freqs[wi];
+  for (int k = 0; k < n; ++k) {
+    expected[n_cur[k]] += freq * exp(alpha[k] + n_score[k] + beta[k] - Z);
+  }
+  // viterbi token count (float32 strict '>', insertion order)
+  best_score.assign(L + 1, 0.0f);
+  best_has.assign(L + 1, 0);
+  best_node.assign(L + 1, -1);
+  best_has[0] = 1;
+  for (int k = 0; k < n; ++k) {
+    if (!best_has[n_pos[k]]) continue;
+    float s = best_score[n_pos[k]] + n_score[k];
+    int e = n_pos[k] + n_len[k];
+    if (!best_has[e] || s > best_score[e]) {
+      best_has[e] = 1;
+      best_score[e] = s;
+      best_node[e] = k;
+    }
+  }
+  int64_t cnt = 0;
+  for (int p = L; p > 0;) {
+    int k = best_node[p];
+    if (k < 0) break;
+    ++cnt;
+    p = n_pos[k];
+  }
+  *ntok += cnt;
+  return freq * Z;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. expected: float[num_cur] (caller-zeroed);
+// obj/ntok: outputs.
+int spm_unigram_estep(
+    int64_t n_words, const int32_t *word_len, const int64_t *cand_off,
+    const int32_t *cand_pos, const int32_t *cand_len,
+    const int32_t *cand_sid, const int32_t *seed_to_cur,
+    const float *scores, float unk_score, const int64_t *freqs,
+    int64_t all_freq, int32_t num_threads, int32_t num_cur,
+    float *expected, float *obj_out, int64_t *ntok_out) {
+  WordTables T{word_len, cand_off, cand_pos, cand_len, cand_sid,
+               seed_to_cur, scores, unk_score, freqs};
+  std::vector<std::vector<float>> exp_t(num_threads);
+  std::vector<float> objs(num_threads, 0.0f);
+  std::vector<int64_t> ntoks(num_threads, 0);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < num_threads; ++t) {
+    exp_t[t].assign(num_cur, 0.0f);
+    pool.emplace_back([&, t]() {
+      std::vector<int> np, nl, nc, eo, en, bo, bn, bnod;
+      std::vector<uint8_t> nu, bh;
+      std::vector<float> ns, al, be, bs;
+      for (int64_t i = t; i < n_words; i += num_threads) {
+        float fZ = marginal_one(T, i, exp_t[t].data(), &ntoks[t], np, nl,
+                                nc, nu, ns, al, be, eo, en, bo, bn, bs,
+                                bh, bnod);
+        objs[t] -= fZ / all_freq;
+      }
+    });
+  }
+  for (auto &th : pool) th.join();
+  // merge in thread order (unigram_model_trainer.cc:274-280)
+  float obj = objs[0];
+  int64_t ntok = ntoks[0];
+  for (int k = 0; k < num_cur; ++k) expected[k] = exp_t[0][k];
+  for (int t = 1; t < num_threads; ++t) {
+    obj += objs[t];
+    ntok += ntoks[t];
+    for (int k = 0; k < num_cur; ++k) expected[k] += exp_t[t][k];
+  }
+  *obj_out = obj;
+  *ntok_out = ntok;
+  return 0;
+}
+
+// Viterbi paths over the corpus for PruneSentencePieces: emits each word's
+// path piece ids into out_ids with CSR offsets out_off (caller-allocated:
+// out_ids cap = sum(word_len), out_off size n_words+1).
+int spm_unigram_viterbi_paths(
+    int64_t n_words, const int32_t *word_len, const int64_t *cand_off,
+    const int32_t *cand_pos, const int32_t *cand_len,
+    const int32_t *cand_sid, const int32_t *seed_to_cur,
+    const float *scores, float unk_score,
+    int32_t *out_ids, int64_t *out_off) {
+  std::vector<int> np, nl, nc, bnod;
+  std::vector<uint8_t> nu, bh;
+  std::vector<float> ns, bs;
+  int64_t w = 0;
+  out_off[0] = 0;
+  for (int64_t wi = 0; wi < n_words; ++wi) {
+    const int L = word_len[wi];
+    np.clear(); nl.clear(); nc.clear(); nu.clear(); ns.clear();
+    const int64_t c0 = cand_off[wi], c1 = cand_off[wi + 1];
+    int64_t ci = c0;
+    for (int pos = 0; pos < L; ++pos) {
+      bool has_single = false;
+      while (ci < c1 && cand_pos[ci] == pos) {
+        int cur = seed_to_cur[cand_sid[ci]];
+        if (cur >= 0) {
+          np.push_back(pos); nl.push_back(cand_len[ci]);
+          nc.push_back(cur); nu.push_back(0);
+          ns.push_back(scores[cur]);
+          if (cand_len[ci] == 1) has_single = true;
+        }
+        ++ci;
+      }
+      if (!has_single) {
+        np.push_back(pos); nl.push_back(1); nc.push_back(0);
+        nu.push_back(1); ns.push_back(unk_score);
+      }
+    }
+    const int n = (int)np.size();
+    bs.assign(L + 1, 0.0f);
+    bh.assign(L + 1, 0);
+    bnod.assign(L + 1, -1);
+    bh[0] = 1;
+    for (int k = 0; k < n; ++k) {
+      if (!bh[np[k]]) continue;
+      float s = bs[np[k]] + ns[k];
+      int e = np[k] + nl[k];
+      if (!bh[e] || s > bs[e]) { bh[e] = 1; bs[e] = s; bnod[e] = k; }
+    }
+    // backtrace (reversed into place)
+    int64_t start = w;
+    for (int p = L; p > 0;) {
+      int k = bnod[p];
+      if (k < 0) break;
+      out_ids[w++] = nc[k];
+      p = np[k];
+    }
+    // reverse the emitted span
+    for (int64_t a = start, b = w - 1; a < b; ++a, --b) {
+      int32_t tmp = out_ids[a]; out_ids[a] = out_ids[b]; out_ids[b] = tmp;
+    }
+    out_off[wi + 1] = w;
+  }
+  return 0;
 }
 
 }  // extern "C"

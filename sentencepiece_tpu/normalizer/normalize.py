@@ -95,7 +95,7 @@ class Normalizer:
         if blob:
             self.trie, self.pool = charsmap_lib.decode_blob(blob)
             self._pool_np = np.frombuffer(self.pool, dtype=np.uint8)
-            self._max_rule_len = self.trie.max_key_length()
+            self._max_rule_len = None  # lazy: BFS is costly on big blobs
         else:
             self.trie, self.pool = None, b""
             self._pool_np = np.zeros(0, np.uint8)
@@ -138,6 +138,8 @@ class Normalizer:
         n = len(data)
         if self.trie is None or n == 0:
             return np.zeros(n, np.int32), np.full(n, -1, np.int32)
+        if self._max_rule_len is None:
+            self._max_rule_len = self.trie.max_key_length()
         vals = self.trie.prefix_matches_dense(data, self._max_rule_len)
         depth = np.arange(1, self._max_rule_len + 1, dtype=np.int32)
         hit = vals >= 0

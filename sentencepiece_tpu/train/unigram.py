@@ -217,6 +217,46 @@ class Trainer(TrainerInterface):
         return tables
 
     # -- EM (host exact engine) -------------------------------------------------
+    def _flatten_tables(self, tables):
+        """Flattened CSR candidate arrays for the native E-step/Viterbi
+        (same data as the per-word tables; identical float semantics run in
+        C++ threads instead of the Python emulation)."""
+        try:
+            from .. import native
+
+            if not native.available():
+                return None
+            word_len = [t.length for t in tables]
+            cand_off = [0]
+            cand_pos, cand_len, cand_sid = [], [], []
+            for t in tables:
+                for pos, ln, sid in t.cand:
+                    cand_pos.append(pos)
+                    cand_len.append(ln)
+                    cand_sid.append(sid)
+                cand_off.append(len(cand_pos))
+            freqs = [f for _, f in self.sentences]
+            return native.UnigramEStepTables(word_len, cand_off, cand_pos,
+                                             cand_len, cand_sid, freqs)
+        except Exception:
+            return None
+
+    _native_tables = None
+
+    def _run_estep(self, pieces, scores, seed_to_cur, tables):
+        if self._native_tables is not None:
+            from .. import native
+
+            min_score = min(scores)
+            unk_score = _f32(min_score - K_UNK_PENALTY)
+            r = native.unigram_estep(
+                self._native_tables, seed_to_cur,
+                np.asarray(scores, np.float32), unk_score,
+                self.trainer_spec.num_threads)
+            if r is not None:
+                return r
+        return self._run_estep_host(pieces, scores, seed_to_cur, tables)
+
     def _run_estep_host(self, pieces, scores, seed_to_cur, tables
                         ) -> Tuple[np.ndarray, float, int]:
         """Exact float32 E-step with reference threading layout
@@ -386,7 +426,21 @@ class Trainer(TrainerInterface):
                 always_keep[i] = True
                 alternatives[i] = nbests[1]
 
-        # Viterbi path stats over the corpus, threaded layout (:389-424)
+        # Viterbi path stats over the corpus, threaded layout (:389-424).
+        # Paths come from the native batch when available (identical float
+        # semantics); the per-thread float32 accumulation + merge order is
+        # replayed here either way.
+        paths = None
+        if self._native_tables is not None:
+            from .. import native
+
+            r = native.unigram_viterbi_paths(
+                self._native_tables, seed_to_cur,
+                np.asarray(scores, np.float32), unk_score)
+            if r is not None:
+                out_ids, out_off = r
+                paths = [out_ids[out_off[i]:out_off[i + 1]]
+                         for i in range(len(self.sentences))]
         nthreads = ts.num_threads
         vsums = [F32(0.0)] * nthreads
         freqs = [np.zeros(m, F32) for _ in range(nthreads)]
@@ -396,8 +450,9 @@ class Trainer(TrainerInterface):
             for si in range(tid, len(self.sentences), nthreads):
                 w_freq = self.sentences[si][1]
                 vsums[tid] = F32(vsums[tid] + F32(w_freq))
-                path = self._viterbi_ids(tables[si], scores, seed_to_cur,
-                                         unk_score)
+                path = (paths[si] if paths is not None else
+                        self._viterbi_ids(tables[si], scores, seed_to_cur,
+                                          unk_score))
                 for nid in path:
                     if nid >= 0:
                         freqs[tid][nid] = F32(freqs[tid][nid] + w_freq)
@@ -604,6 +659,7 @@ class Trainer(TrainerInterface):
 
         with profiling.phase("build_lattices"):
             tables = self._build_word_tables(seed_pieces)
+            self._native_tables = self._flatten_tables(tables)
 
         def make_maps(cur_pieces):
             scores = [sc for _, sc in cur_pieces]
@@ -627,7 +683,7 @@ class Trainer(TrainerInterface):
                         pieces, obj, ntok = dev.em_step(pieces)
                     else:
                         scores, seed_to_cur = make_maps(pieces)
-                        expected, obj, ntok = self._run_estep_host(
+                        expected, obj, ntok = self._run_estep(
                             pieces, scores, seed_to_cur, tables)
                         pieces = self._run_mstep(pieces, expected)
                     log.info("EM sub_iter=%d size=%d obj=%s num_tokens=%d "
