@@ -114,6 +114,12 @@ class Field:
                 K_BOOL: False, K_ENUM: 0, K_FLOAT: 0.0, K_DOUBLE: 0.0,
                 K_STRING: "", K_BYTES: b"",
             }.get(kind)
+        if kind == K_FLOAT and default is not None:
+            # proto2 float defaults are float32 (see Message.__setattr__)
+            import struct as _struct
+
+            default = _struct.unpack("<f", _struct.pack("<f",
+                                                        float(default)))[0]
         self.default = default
 
 
@@ -164,6 +170,13 @@ class Message:
         f = type(self)._by_name.get(name)
         if f is None:
             raise AttributeError(f"{type(self).__name__} has no field {name!r}")
+        if f.kind == K_FLOAT and not f.repeated and value is not None:
+            # proto2 `float` fields are float32; C++ comparisons against
+            # them (e.g. character_coverage, trainer_interface.cc:415)
+            # observe the narrowed value, so narrow on assignment too
+            import struct as _struct
+
+            value = _struct.unpack("<f", _struct.pack("<f", float(value)))[0]
         self._values[name] = value
 
     def has(self, name: str) -> bool:

@@ -313,7 +313,10 @@ class TrainerInterface:
         # required chars by coverage (:411-428)
         accumulated = 0
         for cp, freq in sorted_freq_desc(chars_count.items()):
-            coverage = accumulated / all_chars_count if all_chars_count else 0
+            # `const float coverage` — float32 narrowing is observable at
+            # exact cutoff boundaries (trainer_interface.cc:413)
+            coverage = (float(np.float32(accumulated / all_chars_count))
+                        if all_chars_count else 0)
             if (not ts.use_all_vocab
                     and coverage >= ts.character_coverage):
                 log.info("Done: %.4f%% characters are covered.",
