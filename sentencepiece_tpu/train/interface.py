@@ -232,7 +232,10 @@ class TrainerInterface:
                 break
             log.info("Loading corpus: %s", filename)
             with open(filename, "rb") as f:
-                for raw in f.read().split(b"\n"):
+                chunks = f.read().split(b"\n")
+                if chunks and chunks[-1] == b"":
+                    chunks.pop()  # ReadLine yields no line after final \n
+                for raw in chunks:
                     sentence = raw.decode("utf-8", errors="surrogateescape")
                     freq = 1
                     if is_tsv:
