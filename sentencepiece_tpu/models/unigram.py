@@ -390,9 +390,42 @@ class UnigramModel(ModelBase):
                    ) -> EncodeResult:
         return [(lattice.piece_bytes(k), int(lattice.ids[k])) for k in path]
 
+    _native_enc = None
+
+    def _native_encoder(self):
+        if self._native_enc is None:
+            try:
+                from ..proto.spec import PieceType
+                from .. import native as native_mod
+
+                scores = np.array(self.scores, np.float32)
+                char_lens = np.array(
+                    [len(p.decode("utf-8", errors="surrogateescape"))
+                     for p in self._piece_bytes], np.int64)
+                user = self.types == PieceType.USER_DEFINED
+                scores = np.where(
+                    user, (char_lens * self.max_score + 1.0).astype(
+                        np.float32), scores)
+                scores = np.where(self.types == PieceType.UNUSED,
+                                  np.float32(-1e30), scores)
+                enc = native_mod.NativeUnigramEncoder(
+                    self.trie.units, scores, self.unk_id,
+                    float(np.float32(self.min_score - K_UNK_PENALTY)))
+                self._native_enc = enc if enc.ok else False
+            except Exception:
+                self._native_enc = False
+        return self._native_enc or None
+
     def encode(self, normalized: bytes) -> EncodeResult:
         if not normalized:
             return []
+        native = self._native_encoder()
+        if native is not None:
+            r = native.encode(normalized)
+            if r is not None:
+                ids, starts, lens = r
+                return [(normalized[starts[i]:starts[i] + lens[i]],
+                         int(ids[i])) for i in range(len(ids))]
         lattice = self.build_lattice(normalized)
         return self._to_result(lattice, lattice.viterbi())
 

@@ -282,3 +282,53 @@ def unigram_viterbi_paths(tables: "UnigramEStepTables", seed_to_cur, scores,
     if rc != 0:
         return None
     return out_ids, out_off
+
+
+def _encode_sig(lib):
+    if getattr(lib, "_enc_ready", False):
+        return
+    lib.spm_unigram_encode.restype = ctypes.c_int64
+    lib.spm_unigram_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib._enc_ready = True
+
+
+class NativeUnigramEncoder:
+    """Host Viterbi encode against pre-folded lattice scores (user-defined
+    rule applied, UNUSED = -inf); same construction as tpu/encode.py."""
+
+    def __init__(self, units: np.ndarray, lat_scores: np.ndarray,
+                 unk_id: int, unk_score: float):
+        self.lib = _load()
+        self.units = np.ascontiguousarray(units, np.uint32)
+        self.scores = np.ascontiguousarray(lat_scores, np.float32)
+        self.unk_id = unk_id
+        self.unk_score = float(unk_score)
+
+    @property
+    def ok(self) -> bool:
+        return self.lib is not None
+
+    def encode(self, data: bytes):
+        """Returns (ids, starts, lens) int32 arrays or None on failure."""
+        n = len(data)
+        if n == 0:
+            return (np.zeros(0, np.int32),) * 3
+        _encode_sig(self.lib)
+        d = np.frombuffer(data, np.uint8)
+        ids = np.empty(n, np.int32)
+        starts = np.empty(n, np.int32)
+        lens = np.empty(n, np.int32)
+        cnt = self.lib.spm_unigram_encode(
+            self.units.ctypes.data_as(ctypes.c_void_p), len(self.units),
+            self.scores.ctypes.data_as(ctypes.c_void_p),
+            self.unk_id, ctypes.c_float(self.unk_score),
+            d.ctypes.data_as(ctypes.c_void_p), n,
+            ids.ctypes.data_as(ctypes.c_void_p),
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p))
+        if cnt < 0:
+            return None
+        return ids[:cnt], starts[:cnt], lens[:cnt]

@@ -830,3 +830,92 @@ int spm_unigram_viterbi_paths(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// host unigram encode (Viterbi over the byte-indexed lattice)
+// ---------------------------------------------------------------------------
+// Mirror of unigram_model.cc PopulateNodes+Viterbi (same construction as
+// the device path in tpu/encode.py): nodes added begin-ascending so the
+// strict '>' end-update reproduces the reference longest-piece tie-break.
+// Scores arrive pre-folded (user-defined rule applied; UNUSED = -1e30).
+
+extern "C" {
+
+int64_t spm_unigram_encode(const uint32_t *units, int64_t n_units,
+                           const float *lat_scores, int32_t unk_id,
+                           float unk_score, const uint8_t *data, int64_t n,
+                           int32_t *out_ids, int32_t *out_starts,
+                           int32_t *out_lens) {
+  if (n == 0) return 0;
+  const float NEG = -1e30f;
+  std::vector<float> best(n + 1, 0.0f);
+  std::vector<uint8_t> has(n + 1, 0);
+  std::vector<int32_t> bp_len(n + 1, 0), bp_id(n + 1, -1);
+  has[0] = 1;
+  for (int64_t pos = 0; pos < n; ++pos) {
+    if ((data[pos] & 0xC0) == 0x80) continue;  // not a char start
+    if (!has[pos]) continue;
+    // char byte length for the UNK fallback
+    int cl = data[pos] < 0x80 ? 1 : data[pos] < 0xE0 ? 2
+             : data[pos] < 0xF0 ? 3 : 4;
+    if (pos + cl > n) cl = 1;
+    bool has_single = false;
+    // walk all trie matches from pos
+    uint32_t node_pos = 0;
+    uint32_t unit = units[0];
+    node_pos ^= unit_offset(unit);
+    for (int64_t i = pos; i < n; ++i) {
+      uint32_t c = data[i];
+      node_pos ^= c;
+      if ((int64_t)node_pos >= n_units) break;
+      unit = units[node_pos];
+      if (unit_label(unit) != c) break;
+      node_pos ^= unit_offset(unit);
+      if (unit & (1u << 8)) {
+        int32_t vid = (int32_t)(units[node_pos] & 0x7FFFFFFF);
+        int32_t blen = (int32_t)(i - pos + 1);
+        float sc = lat_scores[vid];
+        if (sc > NEG / 2) {
+          if (blen == cl) has_single = true;
+          float s = best[pos] + sc;
+          if (!has[pos + blen] || s > best[pos + blen]) {
+            has[pos + blen] = 1;
+            best[pos + blen] = s;
+            bp_len[pos + blen] = blen;
+            bp_id[pos + blen] = vid;
+          }
+        }
+      }
+    }
+    if (!has_single) {
+      float s = best[pos] + unk_score;
+      if (!has[pos + cl] || s > best[pos + cl]) {
+        has[pos + cl] = 1;
+        best[pos + cl] = s;
+        bp_len[pos + cl] = cl;
+        bp_id[pos + cl] = unk_id;
+      }
+    }
+  }
+  if (!has[n]) return -1;
+  int64_t cnt = 0;
+  for (int64_t p = n; p > 0;) {
+    int32_t l = bp_len[p];
+    if (l <= 0) return -1;
+    out_ids[cnt] = bp_id[p];
+    out_starts[cnt] = (int32_t)(p - l);
+    out_lens[cnt] = l;
+    ++cnt;
+    p -= l;
+  }
+  // reverse
+  for (int64_t a = 0, b = cnt - 1; a < b; ++a, --b) {
+    int32_t t;
+    t = out_ids[a]; out_ids[a] = out_ids[b]; out_ids[b] = t;
+    t = out_starts[a]; out_starts[a] = out_starts[b]; out_starts[b] = t;
+    t = out_lens[a]; out_lens[a] = out_lens[b]; out_lens[b] = t;
+  }
+  return cnt;
+}
+
+}  // extern "C"

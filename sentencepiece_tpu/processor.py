@@ -227,7 +227,23 @@ class SentencePieceProcessor:
         return [p.piece for p in self.encode(text).pieces]
 
     def encode_as_ids(self, text: TextInput) -> List[int]:
-        return [p.id for p in self.encode(text).pieces]
+        """Fast path: ids only — skips surface/offset realignment (which
+        PopulateSentencePieceText computes for the full proto result) but
+        keeps its adjacent-UNK merge and extra options
+        (sentencepiece_processor.cc:506-521, 945-979)."""
+        if self._encode_extra_options:
+            return [p.id for p in self.encode(text).pieces]
+        normalized, _ = self.normalizer.normalize(text)
+        result = self.model.encode(normalized)
+        ids: List[int] = []
+        prev_unk = False
+        is_unknown = self.model.is_unknown
+        for _w, pid in result:
+            unk = is_unknown(pid)
+            if not (unk and prev_unk):
+                ids.append(pid)
+            prev_unk = unk
+        return ids
 
     def nbest_encode(self, text: TextInput, nbest_size: int
                      ) -> NBestSentencePieceText:
