@@ -224,7 +224,25 @@ class SentencePieceProcessor:
         return self._encode_spt(text, result, normalized, norm_to_orig)
 
     def encode_as_pieces(self, text: TextInput) -> List[str]:
-        return [p.piece for p in self.encode(text).pieces]
+        """Fast path: piece strings only (adjacent-UNK pieces concatenate,
+        mirroring PopulateSentencePieceText's merge without computing
+        surfaces/offsets)."""
+        if self._encode_extra_options:
+            return [p.piece for p in self.encode(text).pieces]
+        normalized, _ = self.normalizer.normalize(text)
+        result = self.model.encode(normalized)
+        pieces: List[str] = []
+        prev_unk = False
+        is_unknown = self.model.is_unknown
+        for w, pid in result:
+            unk = is_unknown(pid)
+            piece = w.decode("utf-8", errors="surrogateescape")
+            if unk and prev_unk:
+                pieces[-1] += piece
+            else:
+                pieces.append(piece)
+            prev_unk = unk
+        return pieces
 
     def encode_as_ids(self, text: TextInput) -> List[int]:
         """Fast path: ids only — skips surface/offset realignment (which
