@@ -28,7 +28,51 @@ from .base import EncodeResult, ModelBase
 
 
 class BpeModel(ModelBase):
+    _native_enc = None
+
+    def _native_encoder(self):
+        """C++ agenda merge for models without UNUSED pieces (those need
+        rev_merge resegmentation, handled by the Python path)."""
+        if self._native_enc is None:
+            try:
+                from ..proto.spec import PieceType
+                from .. import native as native_mod
+                import numpy as np
+
+                if bool((self.types == PieceType.UNUSED).any()):
+                    self._native_enc = False
+                    return None
+                matcher_units = None
+                if self.matcher is not None and not self.matcher.empty:
+                    matcher_units = self.matcher._trie.units
+                # trie over pieces map (built like the unigram model's)
+                from ..utils import darts as darts_mod
+
+                keys = sorted(self.pieces)
+                trie = darts_mod.build(keys,
+                                       [self.pieces[k] for k in keys])
+                enc = native_mod.NativeBpeEncoder(
+                    trie.units, np.asarray(self.scores, np.float32),
+                    self.unk_id, matcher_units)
+                self._native_enc = enc if enc.ok else False
+            except Exception:
+                self._native_enc = False
+        return self._native_enc or None
+
     def encode(self, normalized: bytes) -> EncodeResult:
+        native = self._native_encoder()
+        if native is not None and normalized:
+            r = native.encode(normalized)
+            if r is not None:
+                ids, starts, lens = r
+                out = []
+                for i in range(len(ids)):
+                    w = normalized[starts[i]:starts[i] + lens[i]]
+                    pid = int(ids[i])
+                    if pid == self.unk_id:
+                        pid = self.piece_to_id(w)  # reserved pieces too
+                    out.append((w, pid))
+                return out
         return self._encode_impl(normalized, 0.0, None)
 
     def sample_encode(self, normalized: bytes, theta: float,

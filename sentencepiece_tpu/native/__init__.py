@@ -332,3 +332,53 @@ class NativeUnigramEncoder:
         if cnt < 0:
             return None
         return ids[:cnt], starts[:cnt], lens[:cnt]
+
+
+class NativeBpeEncoder:
+    """Host BPE agenda merge in C++ (real std::priority_queue = the
+    reference comparator exactly). The wrapper resolves unk-span ids
+    through the full piece_to_id (reserved pieces included)."""
+
+    def __init__(self, units, scores, unk_id: int,
+                 matcher_units=None):
+        self.lib = _load()
+        if self.lib is not None and not getattr(self.lib, "_bpe_ready", 0):
+            self.lib.spm_bpe_encode.restype = ctypes.c_int64
+            self.lib.spm_bpe_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            self.lib._bpe_ready = True
+        self.units = np.ascontiguousarray(units, np.uint32)
+        self.scores = np.ascontiguousarray(scores, np.float32)
+        self.matcher = (np.ascontiguousarray(matcher_units, np.uint32)
+                        if matcher_units is not None else None)
+        self.unk_id = unk_id
+
+    @property
+    def ok(self) -> bool:
+        return self.lib is not None
+
+    def encode(self, data: bytes):
+        n = len(data)
+        if n == 0:
+            return (np.zeros(0, np.int32),) * 3
+        d = np.frombuffer(data, np.uint8)
+        ids = np.empty(n, np.int32)
+        starts = np.empty(n, np.int32)
+        lens = np.empty(n, np.int32)
+        cnt = self.lib.spm_bpe_encode(
+            self.units.ctypes.data_as(ctypes.c_void_p), len(self.units),
+            self.scores.ctypes.data_as(ctypes.c_void_p),
+            None if self.matcher is None else
+            self.matcher.ctypes.data_as(ctypes.c_void_p),
+            0 if self.matcher is None else len(self.matcher),
+            self.unk_id,
+            d.ctypes.data_as(ctypes.c_void_p), n,
+            ids.ctypes.data_as(ctypes.c_void_p),
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p))
+        if cnt < 0:
+            return None
+        return ids[:cnt], starts[:cnt], lens[:cnt]

@@ -919,3 +919,122 @@ int64_t spm_unigram_encode(const uint32_t *units, int64_t n_units,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// host BPE encode (agenda merge; reference bpe_model.cc:37-199 semantics)
+// ---------------------------------------------------------------------------
+// vocab lookups use the model's darts trie (exact-match over the symbol
+// span); the agenda is a real std::priority_queue with the reference
+// comparator (score desc, then leftmost). Models with UNUSED pieces
+// (rev_merge resegmentation) or user-defined matcher take the Python path.
+
+#include <queue>
+
+namespace {
+
+static int32_t darts_exact(const uint32_t *units, int64_t n_units,
+                           const uint8_t *key, int64_t len) {
+  uint32_t node_pos = 0;
+  uint32_t unit = units[0];
+  for (int64_t i = 0; i < len; ++i) {
+    node_pos ^= unit_offset(unit) ^ (uint32_t)key[i];
+    if ((int64_t)node_pos >= n_units) return -1;
+    unit = units[node_pos];
+    if (unit_label(unit) != (uint32_t)key[i]) return -1;
+  }
+  if (!(unit & (1u << 8))) return -1;
+  return (int32_t)(units[node_pos ^ unit_offset(unit)] & 0x7FFFFFFF);
+}
+
+struct BpePair {
+  int left;
+  int right;
+  float score;
+  int64_t size;
+  int64_t seq;   // insertion order (stale detection is by size)
+};
+struct BpePairCmp {
+  // reference SymbolPairComparator (bpe_model.cc:57-60): top = max score,
+  // ties -> smaller left index
+  bool operator()(const BpePair &a, const BpePair &b) const {
+    return a.score < b.score || (a.score == b.score && a.left > b.left);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// matcher_units: user-defined symbol trie (may be null). Returns token
+// count; -1 when the caller must fall back (should not happen for
+// supported models).
+int64_t spm_bpe_encode(const uint32_t *units, int64_t n_units,
+                       const float *scores, const uint32_t *matcher_units,
+                       int64_t n_matcher, int32_t unk_id,
+                       const uint8_t *data, int64_t n,
+                       int32_t *out_ids, int32_t *out_starts,
+                       int32_t *out_lens) {
+  if (n == 0) return 0;
+  // initial split: user-defined matches frozen, else one char
+  std::vector<int64_t> start, len;
+  std::vector<uint8_t> freeze;
+  for (int64_t pos = 0; pos < n;) {
+    int mb = 0;
+    bool found = false;
+    if (matcher_units != nullptr) {
+      int32_t v;
+      mb = darts_longest(matcher_units, n_matcher, data, pos, n, &v);
+      found = mb > 0;
+    }
+    if (!found) {
+      mb = data[pos] < 0x80 ? 1 : data[pos] < 0xE0 ? 2
+           : data[pos] < 0xF0 ? 3 : 4;
+      if (pos + mb > n) mb = 1;
+    }
+    start.push_back(pos);
+    len.push_back(mb);
+    freeze.push_back(found ? 1 : 0);
+    pos += mb;
+  }
+  const int num = (int)start.size();
+  std::vector<int> prev(num), next(num);
+  for (int i = 0; i < num; ++i) {
+    prev[i] = i - 1;
+    next[i] = i + 1 < num ? i + 1 : -1;
+  }
+  std::priority_queue<BpePair, std::vector<BpePair>, BpePairCmp> agenda;
+  int64_t seq = 0;
+  auto maybe_add = [&](int l, int r) {
+    if (l == -1 || r == -1 || freeze[l] || freeze[r]) return;
+    int64_t sz = len[l] + len[r];
+    int32_t vid = darts_exact(units, n_units, data + start[l], sz);
+    if (vid < 0) return;
+    agenda.push({l, r, scores[vid], sz, seq++});
+  };
+  for (int i = 1; i < num; ++i) maybe_add(i - 1, i);
+  while (!agenda.empty()) {
+    BpePair top = agenda.top();
+    agenda.pop();
+    int l = top.left, r = next[top.left];
+    if (len[l] == 0 || r == -1 || len[r] == 0 ||
+        len[l] + len[r] != top.size)
+      continue;
+    len[l] += len[r];
+    next[l] = next[r];
+    if (next[r] >= 0) prev[next[r]] = l;
+    len[r] = 0;
+    maybe_add(prev[l], l);
+    maybe_add(l, next[l]);
+  }
+  int64_t cnt = 0;
+  for (int i = 0; i != -1; i = next[i]) {
+    int32_t vid = darts_exact(units, n_units, data + start[i], len[i]);
+    out_ids[cnt] = vid >= 0 ? vid : unk_id;
+    out_starts[cnt] = (int32_t)start[i];
+    out_lens[cnt] = (int32_t)len[i];
+    ++cnt;
+  }
+  return cnt;
+}
+
+}  // extern "C"
