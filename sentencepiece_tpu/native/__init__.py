@@ -382,3 +382,44 @@ class NativeBpeEncoder:
         if cnt < 0:
             return None
         return ids[:cnt], starts[:cnt], lens[:cnt]
+
+
+def unigram_prune_nbest(word_len, cand_off, cand_pos, cand_len, cand_cur,
+                        scores, unk_score: float):
+    """Per-piece 2-best classification for PruneSentencePieces.
+    Returns (always_keep uint8[n], alt_ids int32[], alt_off int64[n+1])."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_prune_ready", False):
+        lib.spm_unigram_prune_nbest.restype = ctypes.c_int
+        lib.spm_unigram_prune_nbest.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib._prune_ready = True
+    wl = np.ascontiguousarray(word_len, np.int32)
+    co = np.ascontiguousarray(cand_off, np.int64)
+    cp = np.ascontiguousarray(cand_pos, np.int32)
+    cl = np.ascontiguousarray(cand_len, np.int32)
+    cc = np.ascontiguousarray(cand_cur, np.int32)
+    sc = np.ascontiguousarray(scores, np.float32)
+    n = len(wl)
+    ak = np.zeros(n, np.uint8)
+    cap = max(int(wl.sum()), 1)
+    alt_ids = np.zeros(cap, np.int32)
+    alt_off = np.zeros(n + 1, np.int64)
+    rc = lib.spm_unigram_prune_nbest(
+        n, wl.ctypes.data_as(ctypes.c_void_p),
+        co.ctypes.data_as(ctypes.c_void_p),
+        cp.ctypes.data_as(ctypes.c_void_p),
+        cl.ctypes.data_as(ctypes.c_void_p),
+        cc.ctypes.data_as(ctypes.c_void_p),
+        sc.ctypes.data_as(ctypes.c_void_p), ctypes.c_float(unk_score),
+        ak.ctypes.data_as(ctypes.c_void_p),
+        alt_ids.ctypes.data_as(ctypes.c_void_p),
+        alt_off.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return ak, alt_ids, alt_off

@@ -1038,3 +1038,135 @@ int64_t spm_bpe_encode(const uint32_t *units, int64_t n_units,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// unigram prune: per-piece 2-best analysis (always_keep / alternatives)
+// ---------------------------------------------------------------------------
+// Mirror of PruneSentencePieces' first phase (unigram_model_trainer.cc:
+// 344-365): for each current piece, lattice over its own string, NBest(2)
+// via a real std::priority_queue (the reference's agenda). Piece candidate
+// tables are passed flattened like the E-step's (built against the current
+// piece set by the caller).
+
+extern "C" {
+
+// For piece i: cand rows cand_off[i]..cand_off[i+1] with (pos, len, cur_id)
+// over CHAR positions of the piece string; word_len = piece char length.
+// Outputs per piece: always_keep[i] (0/1), alternatives CSR (alt_ids,
+// alt_off). alt_ids capacity: sum(word_len) is enough.
+int spm_unigram_prune_nbest(
+    int64_t n_pieces, const int32_t *word_len, const int64_t *cand_off,
+    const int32_t *cand_pos, const int32_t *cand_len,
+    const int32_t *cand_cur, const float *scores, float unk_score,
+    uint8_t *always_keep, int32_t *alt_ids, int64_t *alt_off) {
+  struct Hyp {
+    int node;       // index into nodes, or BOS/EOS
+    int parent;     // hyp index
+    float fx, gx;
+  };
+  struct HypCmp {
+    const std::vector<Hyp> *h;
+    bool operator()(int a, int b) const {
+      return (*h)[a].fx < (*h)[b].fx;
+    }
+  };
+  std::vector<int> np, nl, nc;
+  std::vector<uint8_t> nu;
+  std::vector<float> ns;
+  int64_t aw = 0;
+  alt_off[0] = 0;
+  for (int64_t pi = 0; pi < n_pieces; ++pi) {
+    const int L = word_len[pi];
+    np.clear(); nl.clear(); nc.clear(); nu.clear(); ns.clear();
+    int64_t ci = cand_off[pi];
+    const int64_t c1 = cand_off[pi + 1];
+    for (int pos = 0; pos < L; ++pos) {
+      bool has_single = false;
+      while (ci < c1 && cand_pos[ci] == pos) {
+        np.push_back(pos);
+        nl.push_back(cand_len[ci]);
+        nc.push_back(cand_cur[ci]);
+        nu.push_back(0);
+        ns.push_back(scores[cand_cur[ci]]);
+        if (cand_len[ci] == 1) has_single = true;
+        ++ci;
+      }
+      if (!has_single) {
+        np.push_back(pos); nl.push_back(1); nc.push_back(0);
+        nu.push_back(1); ns.push_back(unk_score);
+      }
+    }
+    const int n = (int)np.size();
+    const int BOS = n, EOS = n + 1;
+    // viterbi backtrace scores
+    std::vector<float> bs(L + 1, 0.0f), bt(n + 2, 0.0f);
+    std::vector<uint8_t> bh(L + 1, 0);
+    bh[0] = 1;
+    for (int k = 0; k < n; ++k) {
+      if (!bh[np[k]]) continue;
+      float s = bs[np[k]] + ns[k];
+      bt[k] = s;
+      int e = np[k] + nl[k];
+      if (!bh[e] || s > bs[e]) { bh[e] = 1; bs[e] = s; }
+    }
+    bt[BOS] = 0.0f;
+    bt[EOS] = bh[L] ? bs[L] : 0.0f;
+    // ends_at CSR
+    std::vector<int> eoff(L + 2, 0), enodes;
+    for (int k = 0; k < n; ++k) eoff[np[k] + nl[k] + 1]++;
+    eoff[1] += 1;  // BOS at 0, first
+    for (int p = 0; p < L + 1; ++p) eoff[p + 1] += eoff[p];
+    enodes.assign(eoff[L + 1], -1);
+    std::vector<int> ecur(L + 1, 0);
+    enodes[eoff[0] + ecur[0]++] = BOS;
+    for (int k = 0; k < n; ++k) {
+      int e = np[k] + nl[k];
+      enodes[eoff[e] + ecur[e]++] = k;
+    }
+    auto nscore = [&](int k) { return k >= n ? 0.0f : ns[k]; };
+    auto nbegin = [&](int k) { return k == BOS ? 0 : k == EOS ? L : np[k]; };
+
+    std::vector<Hyp> hyps;
+    HypCmp cmp{&hyps};
+    std::priority_queue<int, std::vector<int>, HypCmp> agenda(cmp);
+    hyps.push_back({EOS, -1, nscore(EOS), nscore(EOS)});
+    agenda.push(0);
+    int found = 0;
+    std::vector<int> first_path, second_path;
+    while (!agenda.empty()) {
+      int hi = agenda.top();
+      agenda.pop();
+      const Hyp h = hyps[hi];
+      if (h.node == BOS) {
+        std::vector<int> path;
+        for (int cur = h.parent; cur != -1; cur = hyps[cur].parent)
+          if (hyps[cur].node != EOS) path.push_back(hyps[cur].node);
+        if (found == 0) first_path = path;
+        else second_path = path;
+        ++found;
+        if (found == 2) break;
+        continue;
+      }
+      int pos = nbegin(h.node);
+      for (int ei = eoff[pos]; ei < eoff[pos + 1]; ++ei) {
+        int l = enodes[ei];
+        hyps.push_back({l, hi, bt[l] + h.gx, nscore(l) + h.gx});
+        agenda.push((int)hyps.size() - 1);
+      }
+    }
+    // classification (unigram_model_trainer.cc:352-364)
+    if (found <= 1) {
+      always_keep[pi] = 1;
+    } else if ((int)first_path.size() >= 2) {
+      always_keep[pi] = 0;
+    } else {  // first is the piece itself
+      always_keep[pi] = 1;
+      for (int k : second_path)
+        alt_ids[aw++] = nu[k] ? 0 : nc[k];
+    }
+    alt_off[pi + 1] = aw;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -415,16 +415,44 @@ class Trainer(TrainerInterface):
         alternatives: List[List[int]] = [[] for _ in range(m)]
         # per-piece 2-best over the piece's own string
         piece_tables = self._build_piece_tables(pieces, seed_index_of)
-        for i in range(m):
-            nbests = self._nbest2(piece_tables[i], scores, seed_to_cur,
-                                  unk_score)
-            if len(nbests) == 1:
-                always_keep[i] = True
-            elif len(nbests[0]) >= 2:
-                always_keep[i] = False
-            elif len(nbests[0]) == 1:
-                always_keep[i] = True
-                alternatives[i] = nbests[1]
+        native_done = False
+        try:
+            from .. import native
+
+            if native.available():
+                wl, co, cp_, cl_, cc_ = [], [0], [], [], []
+                for t in piece_tables:
+                    wl.append(t.length)
+                    for pos, ln, sid in t.cand:
+                        cur = seed_to_cur[sid]
+                        if cur >= 0:
+                            cp_.append(pos)
+                            cl_.append(ln)
+                            cc_.append(int(cur))
+                    co.append(len(cp_))
+                r = native.unigram_prune_nbest(
+                    wl, co, cp_, cl_, cc_,
+                    np.asarray(scores, np.float32), unk_score)
+                if r is not None:
+                    ak, alt_ids, alt_off = r
+                    for i in range(m):
+                        always_keep[i] = bool(ak[i])
+                        alternatives[i] = alt_ids[
+                            alt_off[i]:alt_off[i + 1]].tolist()
+                    native_done = True
+        except Exception:
+            pass
+        if not native_done:
+            for i in range(m):
+                nbests = self._nbest2(piece_tables[i], scores, seed_to_cur,
+                                      unk_score)
+                if len(nbests) == 1:
+                    always_keep[i] = True
+                elif len(nbests[0]) >= 2:
+                    always_keep[i] = False
+                elif len(nbests[0]) == 1:
+                    always_keep[i] = True
+                    alternatives[i] = nbests[1]
 
         # Viterbi path stats over the corpus, threaded layout (:389-424).
         # Paths come from the native batch when available (identical float
