@@ -423,3 +423,54 @@ def unigram_prune_nbest(word_len, cand_off, cand_pos, cand_len, cand_cur,
     if rc != 0:
         return None
     return ak, alt_ids, alt_off
+
+
+def _utf32_concat(strings):
+    """(uint32 codepoint concat, int64 offsets) for a list of str."""
+    joined = "".join(strings)
+    cps = np.frombuffer(
+        joined.encode("utf-32-le", errors="surrogatepass"), np.uint32)
+    off = np.zeros(len(strings) + 1, np.int64)
+    np.cumsum(np.fromiter((len(s) for s in strings), np.int64,
+                          len(strings)), out=off[1:])
+    return cps, off
+
+
+def substring_match(words, keys, max_len: int):
+    """CSR candidate tables: for every word, all (pos, len, key_id) whose
+    substring is in ``keys`` — (pos asc, len asc) order, matching the host
+    trainer's table-construction loops. Returns
+    (cand_off int64[n+1], cand_pos, cand_len, cand_sid int32[]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_ssm_ready", False):
+        lib.spm_substring_match.restype = ctypes.c_int64
+        lib.spm_substring_match.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib._ssm_ready = True
+    wc, wo = _utf32_concat(words)
+    kc, ko = _utf32_concat(keys)
+    lens = wo[1:] - wo[:-1]
+    ml = np.minimum(lens, max_len)
+    cap = max(int((lens * ml - ml * (ml - 1) // 2).sum()), 1)
+    out_pos = np.empty(cap, np.int32)
+    out_len = np.empty(cap, np.int32)
+    out_sid = np.empty(cap, np.int32)
+    out_off = np.zeros(len(words) + 1, np.int64)
+    m = lib.spm_substring_match(
+        len(words), wo.ctypes.data_as(ctypes.c_void_p),
+        wc.ctypes.data_as(ctypes.c_void_p),
+        len(keys), ko.ctypes.data_as(ctypes.c_void_p),
+        kc.ctypes.data_as(ctypes.c_void_p), max_len,
+        out_pos.ctypes.data_as(ctypes.c_void_p),
+        out_len.ctypes.data_as(ctypes.c_void_p),
+        out_sid.ctypes.data_as(ctypes.c_void_p),
+        out_off.ctypes.data_as(ctypes.c_void_p), cap)
+    if m < 0:
+        return None
+    return out_off, out_pos[:m], out_len[:m], out_sid[:m]

@@ -17,7 +17,9 @@
 //   * SA-IS suffix array over int32 alphabets (replaces vendored
 //     third_party/esaxx/sais.hxx for unigram seed extraction at scale).
 
+#include <algorithm>
 #include <cstdint>
+#include <string_view>
 #include <unordered_map>
 #include <functional>
 #include <cstring>
@@ -1170,3 +1172,53 @@ int spm_unigram_prune_nbest(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Substring -> piece-id matcher for lattice-table construction
+// (unigram_model_trainer.cc builds a darts trie per iteration; we build the
+// candidate tables once per vocab against a hash index instead).
+// Words and keys arrive as concatenated UTF-32 codepoints; fixed-width
+// codepoints make every substring a 4-byte-aligned byte span, so matching
+// byte spans equals matching codepoint spans. Candidates are emitted in
+// (pos asc, len asc) order per word. Returns total candidates, or -1 if cap
+// was exceeded.
+extern "C" int64_t spm_substring_match(
+    int64_t n_words, const int64_t* word_off, const uint32_t* word_cps,
+    int64_t n_keys, const int64_t* key_off, const uint32_t* key_cps,
+    int32_t max_len,
+    int32_t* out_pos, int32_t* out_len, int32_t* out_sid,
+    int64_t* out_off, int64_t cap) {
+  std::unordered_map<std::string_view, int32_t> index;
+  index.reserve(static_cast<size_t>(n_keys) * 2);
+  const char* kbase = reinterpret_cast<const char*>(key_cps);
+  int64_t max_key = 0;
+  for (int64_t k = 0; k < n_keys; ++k) {
+    const int64_t kl = key_off[k + 1] - key_off[k];
+    if (kl > max_key) max_key = kl;
+    index.emplace(std::string_view(kbase + 4 * key_off[k], 4 * kl),
+                  static_cast<int32_t>(k));
+  }
+  if (max_key < max_len) max_len = static_cast<int32_t>(max_key);
+  const char* wbase = reinterpret_cast<const char*>(word_cps);
+  int64_t m = 0;
+  out_off[0] = 0;
+  for (int64_t w = 0; w < n_words; ++w) {
+    const int64_t L = word_off[w + 1] - word_off[w];
+    const char* base = wbase + 4 * word_off[w];
+    for (int64_t pos = 0; pos < L; ++pos) {
+      const int64_t maxl = std::min<int64_t>(max_len, L - pos);
+      for (int64_t ln = 1; ln <= maxl; ++ln) {
+        auto it = index.find(std::string_view(base + 4 * pos, 4 * ln));
+        if (it != index.end()) {
+          if (m >= cap) return -1;
+          out_pos[m] = static_cast<int32_t>(pos);
+          out_len[m] = static_cast<int32_t>(ln);
+          out_sid[m] = it->second;
+          ++m;
+        }
+      }
+    }
+    out_off[w + 1] = m;
+  }
+  return m;
+}

@@ -45,6 +45,7 @@ class PrefixMatcher:
         from ..utils import darts
         self._trie = darts.build(strings) if strings else None
         self._max_len = max((len(s) for s in strings), default=0)
+        self._lead_bytes = bytes(sorted(set(s[0] for s in strings)))
 
     @property
     def empty(self) -> bool:
@@ -71,6 +72,10 @@ class PrefixMatcher:
 
     def global_replace(self, data: bytes, replacement: bytes) -> bytes:
         """Replace every matched entry with ``replacement`` (normalizer.cc:391-405)."""
+        if self._trie is None or not any(
+                data.find(b) >= 0 for b in self._lead_bytes):
+            # no pattern lead byte present -> nothing can match
+            return bytes(data)
         out = bytearray()
         pos = 0
         while pos < len(data):

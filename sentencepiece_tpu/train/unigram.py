@@ -160,22 +160,20 @@ class Trainer(TrainerInterface):
         sa, nodes = suffix.internal_nodes(arr)
         log.info("Extracting frequent sub strings... (%d nodes)", len(nodes))
 
-        has_boundary = np.cumsum(arr == SENTENCE_BOUNDARY)
-
-        substr_index: List[Tuple[int, int]] = []
-        for i, (L, R, D) in enumerate(nodes):
-            if D <= 1:
-                continue
-            offset = int(sa[L])
-            # contains a sentence boundary?
-            lo = int(has_boundary[offset - 1]) if offset > 0 else 0
-            if int(has_boundary[offset + D - 1]) != lo:
-                continue
-            cps = arr[offset:offset + D]
-            if not self.is_valid_sentencepiece([int(c) for c in cps]):
-                continue
-            freq = R - L
-            substr_index.append((i, freq * D))
+        # Vectorized node filter (scalar spec: the D<=1 / sentence-boundary
+        # / is_valid_sentencepiece chain below in git history; semantics
+        # identical, run as prefix-sum lookups over the corpus array).
+        nd = np.asarray(nodes, np.int64).reshape(-1, 3)
+        L_a, R_a, D_a = nd[:, 0], nd[:, 1], nd[:, 2]
+        off_a = sa[L_a].astype(np.int64)
+        hb = np.zeros(len(arr) + 1, np.int64)
+        np.cumsum(arr == SENTENCE_BOUNDARY, out=hb[1:])
+        keep = (D_a > 1) & (hb[off_a + D_a] == hb[off_a])
+        keep &= self.valid_substring_mask(arr, off_a, D_a)
+        kidx = np.nonzero(keep)[0]
+        score_a = (R_a[kidx] - L_a[kidx]) * D_a[kidx]
+        substr_index: List[Tuple[int, int]] = list(
+            zip(kidx.tolist(), score_a.tolist()))
 
         seed: List[Tuple[str, float]] = [
             (w, float(f)) for w, f in sorted_freq_desc(all_chars.items())]
@@ -215,6 +213,29 @@ class Trainer(TrainerInterface):
                         cand.append((pos, ln, sid))
             tables.append(_WordLattice(L, cand))
         return tables
+
+    def _build_tables_native(self, pieces):
+        """Candidate tables built by the native substring matcher (hash
+        index over the seed pieces) — same CSR data as
+        _build_word_tables + _flatten_tables, without the Python
+        substring loop."""
+        try:
+            from .. import native
+
+            if not native.available():
+                return None
+            words = [s for s, _ in self.sentences]
+            r = native.substring_match(
+                words, [w for w, _ in pieces],
+                self.trainer_spec.max_sentencepiece_length)
+            if r is None:
+                return None
+            cand_off, cand_pos, cand_len, cand_sid = r
+            return native.UnigramEStepTables(
+                [len(w) for w in words], cand_off, cand_pos, cand_len,
+                cand_sid, [f for _, f in self.sentences])
+        except Exception:
+            return None
 
     # -- EM (host exact engine) -------------------------------------------------
     def _flatten_tables(self, tables):
@@ -413,36 +434,35 @@ class Trainer(TrainerInterface):
 
         always_keep = [True] * m
         alternatives: List[List[int]] = [[] for _ in range(m)]
-        # per-piece 2-best over the piece's own string
-        piece_tables = self._build_piece_tables(pieces, seed_index_of)
+        # per-piece 2-best over the piece's own string. Matching the piece
+        # strings directly against the CURRENT piece set yields exactly the
+        # candidates the Python path gets from the seed index after the
+        # seed_to_cur>=0 filter (current pieces are a subset of the seed).
         native_done = False
         try:
             from .. import native
 
             if native.available():
-                wl, co, cp_, cl_, cc_ = [], [0], [], [], []
-                for t in piece_tables:
-                    wl.append(t.length)
-                    for pos, ln, sid in t.cand:
-                        cur = seed_to_cur[sid]
-                        if cur >= 0:
-                            cp_.append(pos)
-                            cl_.append(ln)
-                            cc_.append(int(cur))
-                    co.append(len(cp_))
-                r = native.unigram_prune_nbest(
-                    wl, co, cp_, cl_, cc_,
-                    np.asarray(scores, np.float32), unk_score)
-                if r is not None:
-                    ak, alt_ids, alt_off = r
-                    for i in range(m):
-                        always_keep[i] = bool(ak[i])
-                        alternatives[i] = alt_ids[
-                            alt_off[i]:alt_off[i + 1]].tolist()
-                    native_done = True
+                words = [w for w, _ in pieces]
+                r0 = native.substring_match(
+                    words, words,
+                    self.trainer_spec.max_sentencepiece_length)
+                if r0 is not None:
+                    co, cp_, cl_, cc_ = r0
+                    r = native.unigram_prune_nbest(
+                        [len(w) for w in words], co, cp_, cl_, cc_,
+                        np.asarray(scores, np.float32), unk_score)
+                    if r is not None:
+                        ak, alt_ids, alt_off = r
+                        for i in range(m):
+                            always_keep[i] = bool(ak[i])
+                            alternatives[i] = alt_ids[
+                                alt_off[i]:alt_off[i + 1]].tolist()
+                        native_done = True
         except Exception:
             pass
         if not native_done:
+            piece_tables = self._build_piece_tables(pieces, seed_index_of)
             for i in range(m):
                 nbests = self._nbest2(piece_tables[i], scores, seed_to_cur,
                                       unk_score)
@@ -458,41 +478,80 @@ class Trainer(TrainerInterface):
         # Paths come from the native batch when available (identical float
         # semantics); the per-thread float32 accumulation + merge order is
         # replayed here either way.
-        paths = None
+        flat = None
         if self._native_tables is not None:
             from .. import native
 
-            r = native.unigram_viterbi_paths(
+            flat = native.unigram_viterbi_paths(
                 self._native_tables, seed_to_cur,
                 np.asarray(scores, np.float32), unk_score)
-            if r is not None:
-                out_ids, out_off = r
-                paths = [out_ids[out_off[i]:out_off[i + 1]]
-                         for i in range(len(self.sentences))]
         nthreads = ts.num_threads
-        vsums = [F32(0.0)] * nthreads
-        freqs = [np.zeros(m, F32) for _ in range(nthreads)]
-        inverteds: List[List[List[int]]] = [
-            [[] for _ in range(m)] for _ in range(nthreads)]
-        for tid in range(nthreads):
-            for si in range(tid, len(self.sentences), nthreads):
-                w_freq = self.sentences[si][1]
-                vsums[tid] = F32(vsums[tid] + F32(w_freq))
-                path = (paths[si] if paths is not None else
-                        self._viterbi_ids(tables[si], scores, seed_to_cur,
-                                          unk_score))
-                for nid in path:
-                    if nid >= 0:
-                        freqs[tid][nid] = F32(freqs[tid][nid] + w_freq)
-                        inverteds[tid][nid].append(si)
+        n_s = len(self.sentences)
         vsum = F32(0.0)
         freq = np.zeros(m, F32)
-        inverted: List[List[int]] = [[] for _ in range(m)]
-        for tid in range(nthreads):
-            vsum = F32(vsum + vsums[tid])
-            freq = (freq + freqs[tid]).astype(F32)
-            for i in range(m):
-                inverted[i].extend(inverteds[tid][i])
+        F_arr = None
+        inverted: Optional[List[List[int]]] = None
+        if flat is not None:
+            # Vectorized replay of the reference's per-thread strided
+            # accumulation (unigram_model_trainer.cc:389-424): np.add.at
+            # applies the float32 adds sequentially in index order, so each
+            # per-thread chain and the occurrence-stream chain behind
+            # ``freq(vocab[i])`` (the inverted index) round identically to
+            # the scalar loops.
+            out_ids, out_off = flat
+            ws_arr = np.fromiter((f for _, f in self.sentences), np.float32,
+                                 n_s)
+            lens_all = out_off[1:] - out_off[:-1]
+            starts_all = out_off[:-1]
+            vbuf = np.zeros(1, F32)
+            occ_ids_parts, occ_w_parts = [], []
+            for tid in range(nthreads):
+                sel = np.arange(tid, n_s, nthreads)
+                # per-thread vsum: sequential float32 adds over its stride
+                vb = np.zeros(1, F32)
+                np.add.at(vb, np.zeros(len(sel), np.intp), ws_arr[sel])
+                np.add.at(vbuf, np.zeros(1, np.intp), vb)
+                # ragged gather of this thread's paths, sentence order
+                L = lens_all[sel]
+                tot = int(L.sum())
+                base = np.repeat(starts_all[sel], L)
+                cum = np.cumsum(L) - L
+                idx = base + (np.arange(tot, dtype=np.int64)
+                              - np.repeat(cum, L))
+                ids_t = out_ids[idx]
+                w_t = np.repeat(ws_arr[sel], L)
+                keep = ids_t >= 0
+                ids_t, w_t = ids_t[keep], w_t[keep]
+                ft = np.zeros(m, F32)
+                np.add.at(ft, ids_t, w_t)
+                freq = (freq + ft).astype(F32)
+                occ_ids_parts.append(ids_t)
+                occ_w_parts.append(w_t)
+            vsum = vbuf[0]
+            F_arr = np.zeros(m, F32)
+            np.add.at(F_arr, np.concatenate(occ_ids_parts),
+                      np.concatenate(occ_w_parts))
+        else:
+            vsums = [F32(0.0)] * nthreads
+            freqs = [np.zeros(m, F32) for _ in range(nthreads)]
+            inverteds: List[List[List[int]]] = [
+                [[] for _ in range(m)] for _ in range(nthreads)]
+            for tid in range(nthreads):
+                for si in range(tid, n_s, nthreads):
+                    w_freq = self.sentences[si][1]
+                    vsums[tid] = F32(vsums[tid] + F32(w_freq))
+                    path = self._viterbi_ids(tables[si], scores, seed_to_cur,
+                                             unk_score)
+                    for nid in path:
+                        if nid >= 0:
+                            freqs[tid][nid] = F32(freqs[tid][nid] + w_freq)
+                            inverteds[tid][nid].append(si)
+            inverted = [[] for _ in range(m)]
+            for tid in range(nthreads):
+                vsum = F32(vsum + vsums[tid])
+                freq = (freq + freqs[tid]).astype(F32)
+                for i in range(m):
+                    inverted[i].extend(inverteds[tid][i])
 
         # double accumulate (std::accumulate init 0.0 => double)
         total = float(np.sum(freq.astype(np.float64)))
@@ -505,9 +564,12 @@ class Trainer(TrainerInterface):
             elif not alternatives[i]:
                 new_pieces.append(pieces[i])
             else:
-                F = F32(0.0)
-                for si in inverted[i]:
-                    F = F32(F + F32(self.sentences[si][1]))
+                if F_arr is not None:
+                    F = F_arr[i]
+                else:
+                    F = F32(0.0)
+                    for si in inverted[i]:
+                        F = F32(F + F32(self.sentences[si][1]))
                 F = _f32(F / vsum)
                 logprob_sp = _f32(math.log(float(freq[i])) - logsum)
                 # NOTE: alternatives.size() == vocab size (reference quirk)
@@ -686,8 +748,11 @@ class Trainer(TrainerInterface):
         log.info("Using %d sentences for EM training", len(self.sentences))
 
         with profiling.phase("build_lattices"):
-            tables = self._build_word_tables(seed_pieces)
-            self._native_tables = self._flatten_tables(tables)
+            tables = None
+            self._native_tables = self._build_tables_native(seed_pieces)
+            if self._native_tables is None:
+                tables = self._build_word_tables(seed_pieces)
+                self._native_tables = self._flatten_tables(tables)
 
         def make_maps(cur_pieces):
             scores = [sc for _, sc in cur_pieces]
