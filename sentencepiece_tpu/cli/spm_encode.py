@@ -53,6 +53,26 @@ def main(argv=None) -> None:
     def w(line: str) -> None:
         out.write(line + "\n")
 
+    if (fmt == "id" and not flags.generate_vocabulary
+            and not flags.extra_options):
+        # batched fast path: chunked encode_as_ids_batch (the fused native
+        # normalize+encode when eligible), same ids as encode().pieces
+        buf = []
+
+        def flush():
+            for ids in sp.encode_as_ids_batch(buf):
+                w(" ".join(map(str, ids)))
+            buf.clear()
+
+        for line in read_lines(flags.rest):
+            buf.append(line)
+            if len(buf) >= 8192:
+                flush()
+        flush()
+        if out is not sys.stdout:
+            out.close()
+        return
+
     for line in read_lines(flags.rest):
         if flags.generate_vocabulary:
             spt = sp.encode(line)

@@ -474,3 +474,77 @@ def substring_match(words, keys, max_len: int):
     if m < 0:
         return None
     return out_off, out_pos[:m], out_len[:m], out_sid[:m]
+
+
+class FusedUnigramEncoder:
+    """One-call normalize + Viterbi + adjacent-UNK merge for a batch of
+    lines: the whole per-line hot path runs in C++ with a single ctypes
+    crossing per batch (sentencepiece_processor.cc Encode's composition of
+    Normalizer + UnigramModel, ids output)."""
+
+    def __init__(self, norm: "NativeNormalizer", enc: "NativeUnigramEncoder"):
+        self.lib = _load()
+        if self.lib is not None and not getattr(self.lib, "_fused_ready", 0):
+            self.lib.spm_unigram_encode_ids_batch.restype = ctypes.c_int64
+            self.lib.spm_unigram_encode_ids_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # charsmap units
+                ctypes.c_void_p, ctypes.c_int64,   # pool
+                ctypes.c_void_p, ctypes.c_int64,   # matcher units
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64,   # encoder trie
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            self.lib._fused_ready = True
+        self.norm = norm
+        self.enc = enc
+        n = norm
+        self._args_head = (
+            None if n.units is None else
+            ctypes.c_void_p(n.units.ctypes.data),
+            0 if n.units is None else len(n.units),
+            None if n.pool is None else ctypes.c_void_p(n.pool.ctypes.data),
+            0 if n.pool is None else len(n.pool),
+            None if n.matcher is None else
+            ctypes.c_void_p(n.matcher.ctypes.data),
+            0 if n.matcher is None else len(n.matcher),
+            *n.flags,
+            ctypes.c_void_p(enc.units.ctypes.data), len(enc.units),
+            ctypes.c_void_p(enc.scores.ctypes.data), enc.unk_id,
+            ctypes.c_float(enc.unk_score))
+
+    @property
+    def ok(self) -> bool:
+        return self.lib is not None and self.norm.ok and self.enc.ok
+
+    def encode_ids_batch(self, lines):
+        """lines: list of utf-8 bytes. Returns (ids int32[], off int64[])
+        CSR or None on failure."""
+        n_lines = len(lines)
+        off = np.zeros(n_lines + 1, np.int64)
+        np.cumsum(np.fromiter((len(b) for b in lines), np.int64, n_lines),
+                  out=off[1:])
+        data = np.frombuffer(b"".join(lines), np.uint8) if off[-1] else \
+            np.zeros(1, np.uint8)
+        # normalization can expand 13x; every normalized char yields <=1 id,
+        # +1 dummy prefix per line
+        cap = int(off[-1]) * 13 + 16 * n_lines + 16
+        out_ids = np.empty(cap, np.int32)
+        out_off = np.zeros(n_lines + 1, np.int64)
+        m = self.lib.spm_unigram_encode_ids_batch(
+            *self._args_head,
+            ctypes.c_void_p(data.ctypes.data),
+            ctypes.c_void_p(off.ctypes.data), n_lines,
+            ctypes.c_void_p(out_ids.ctypes.data), cap,
+            ctypes.c_void_p(out_off.ctypes.data))
+        if m < 0:
+            return None
+        return out_ids, out_off
+
+    def encode_ids(self, data: bytes):
+        """Single line -> list[int] ids, or None on failure."""
+        r = self.encode_ids_batch([data])
+        if r is None:
+            return None
+        out_ids, out_off = r
+        return out_ids[:out_off[1]].tolist()

@@ -1222,3 +1222,62 @@ extern "C" int64_t spm_substring_match(
   }
   return m;
 }
+
+// ---------------------------------------------------------------------------
+// Fused normalize + unigram Viterbi + adjacent-UNK id merge over a batch of
+// lines (one library call per corpus chunk instead of two per line). Output
+// is CSR: out_ids[out_off[i]:out_off[i+1]] are line i's ids after the
+// adjacent-unknown merge of PopulateSentencePieceText
+// (sentencepiece_processor.cc:506-521). Returns total ids, -1 on error,
+// -2 if out_cap was too small.
+extern "C" int64_t spm_unigram_encode_ids_batch(
+    const uint32_t* n_units, int64_t n_nunits,
+    const uint8_t* pool, int64_t pool_len,
+    const uint32_t* m_units, int64_t n_munits,
+    int add_dummy, int remove_ws, int escape_ws, int suffix_mode,
+    const uint32_t* e_units, int64_t n_eunits,
+    const float* lat_scores, int32_t unk_id, float unk_score,
+    const uint8_t* data, const int64_t* off, int64_t n_lines,
+    int32_t* out_ids, int64_t out_cap, int64_t* out_off) {
+  std::vector<uint8_t> norm;
+  std::vector<int64_t> n2o;
+  std::vector<int32_t> ids, starts, lens;
+  int64_t m = 0;
+  out_off[0] = 0;
+  for (int64_t li = 0; li < n_lines; ++li) {
+    const uint8_t* d = data + off[li];
+    const int64_t n = off[li + 1] - off[li];
+    const int64_t cap = n * 13 + 16;
+    if ((int64_t)norm.size() < cap) {
+      norm.resize(cap);
+      n2o.resize(cap + 1);
+    }
+    const int64_t olen =
+        spm_normalize(n_units, n_nunits, pool, pool_len, m_units, n_munits,
+                      d, n, add_dummy, remove_ws, escape_ws, suffix_mode,
+                      norm.data(), n2o.data());
+    if (olen < 0) return -1;
+    if ((int64_t)ids.size() < olen) {
+      ids.resize(olen);
+      starts.resize(olen);
+      lens.resize(olen);
+    }
+    const int64_t cnt =
+        olen == 0 ? 0
+                  : spm_unigram_encode(e_units, n_eunits, lat_scores, unk_id,
+                                       unk_score, norm.data(), olen,
+                                       ids.data(), starts.data(), lens.data());
+    if (cnt < 0) return -1;
+    bool prev_unk = false;
+    for (int64_t k = 0; k < cnt; ++k) {
+      const bool unk = ids[k] == unk_id;
+      if (!(unk && prev_unk)) {
+        if (m >= out_cap) return -2;
+        out_ids[m++] = ids[k];
+      }
+      prev_unk = unk;
+    }
+    out_off[li + 1] = m;
+  }
+  return m;
+}

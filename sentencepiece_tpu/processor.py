@@ -67,6 +67,7 @@ class SentencePieceProcessor:
         suffix = bool(ts.treat_whitespace_as_suffix) if ts else False
         self.normalizer = Normalizer(ns, suffix)
         self.normalizer.set_prefix_matcher(self.model.matcher)
+        self._fused = None
         # Self-test replay (sentencepiece_processor.cc:137-154).
         std = model_proto.self_test_data
         if std is not None:
@@ -81,9 +82,35 @@ class SentencePieceProcessor:
     # -- DI hooks for tests (sentencepiece_processor.cc:1030-1042) ------------
     def set_model(self, model) -> None:
         self.model = model
+        self._fused = None
 
     def set_normalizer(self, normalizer: Normalizer) -> None:
         self.normalizer = normalizer
+        self._fused = None
+
+    _fused = None
+
+    def _fused_encoder(self):
+        """Fully-native ids path (normalize + Viterbi + UNK merge in one
+        library call); None when the model/normalizer combination isn't
+        eligible. The Python composition below stays the spec."""
+        if self._fused is None:
+            try:
+                from .models.unigram import UnigramModel
+                from . import native as native_mod
+
+                f = False
+                if (isinstance(self.model, UnigramModel)
+                        and self.model.unk_id >= 0):
+                    enc = self.model._native_encoder()
+                    norm = self.normalizer._native_impl()
+                    if enc is not None and norm is not None:
+                        fe = native_mod.FusedUnigramEncoder(norm, enc)
+                        f = fe if fe.ok else False
+                self._fused = f
+            except Exception:
+                self._fused = False
+        return self._fused or None
 
     # -- extra options ---------------------------------------------------------
     def set_encode_extra_options(self, extra_options: str) -> None:
@@ -244,13 +271,23 @@ class SentencePieceProcessor:
             prev_unk = unk
         return pieces
 
-    def encode_as_ids(self, text: TextInput) -> List[int]:
+    def encode_as_ids(self, text: TextInput):
         """Fast path: ids only — skips surface/offset realignment (which
         PopulateSentencePieceText computes for the full proto result) but
         keeps its adjacent-UNK merge and extra options
-        (sentencepiece_processor.cc:506-521, 945-979)."""
+        (sentencepiece_processor.cc:506-521, 945-979). Accepts a single
+        text or a list of texts (reference python binding behavior)."""
+        if isinstance(text, (list, tuple)):
+            return self.encode_as_ids_batch(text)
         if self._encode_extra_options:
             return [p.id for p in self.encode(text).pieces]
+        fused = self._fused_encoder()
+        if fused is not None:
+            raw = (text.encode("utf-8", errors="surrogateescape")
+                   if isinstance(text, str) else bytes(text))
+            r = fused.encode_ids(raw)
+            if r is not None:
+                return r
         normalized, _ = self.normalizer.normalize(text)
         result = self.model.encode(normalized)
         ids: List[int] = []
@@ -262,6 +299,20 @@ class SentencePieceProcessor:
                 ids.append(pid)
             prev_unk = unk
         return ids
+
+    def encode_as_ids_batch(self, texts) -> List[List[int]]:
+        """Batched ids: one native call per batch when eligible."""
+        if not self._encode_extra_options:
+            fused = self._fused_encoder()
+            if fused is not None:
+                raws = [(t.encode("utf-8", errors="surrogateescape")
+                         if isinstance(t, str) else bytes(t)) for t in texts]
+                r = fused.encode_ids_batch(raws)
+                if r is not None:
+                    ids, off = r
+                    return [ids[off[i]:off[i + 1]].tolist()
+                            for i in range(len(texts))]
+        return [self.encode_as_ids(t) for t in texts]
 
     def nbest_encode(self, text: TextInput, nbest_size: int
                      ) -> NBestSentencePieceText:
