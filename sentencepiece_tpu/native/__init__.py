@@ -548,3 +548,82 @@ class FusedUnigramEncoder:
             return None
         out_ids, out_off = r
         return out_ids[:out_off[1]].tolist()
+
+
+class FusedBpeEncoder:
+    """One-call normalize + BPE merge for a batch of lines (ids + spans +
+    normalized bytes out; unk spans are resolved by the caller through the
+    full piece map, matching models/bpe.py's native wrapper)."""
+
+    def __init__(self, norm: "NativeNormalizer", enc: "NativeBpeEncoder"):
+        self.lib = _load()
+        if self.lib is not None and not getattr(self.lib, "_fbpe_ready", 0):
+            self.lib.spm_bpe_encode_ids_batch.restype = ctypes.c_int64
+            self.lib.spm_bpe_encode_ids_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            self.lib._fbpe_ready = True
+        self.norm = norm
+        self.enc = enc
+        n = norm
+        self._args_head = (
+            None if n.units is None else
+            ctypes.c_void_p(n.units.ctypes.data),
+            0 if n.units is None else len(n.units),
+            None if n.pool is None else ctypes.c_void_p(n.pool.ctypes.data),
+            0 if n.pool is None else len(n.pool),
+            None if n.matcher is None else
+            ctypes.c_void_p(n.matcher.ctypes.data),
+            0 if n.matcher is None else len(n.matcher),
+            *n.flags,
+            ctypes.c_void_p(enc.units.ctypes.data), len(enc.units),
+            ctypes.c_void_p(enc.scores.ctypes.data),
+            None if enc.matcher is None else
+            ctypes.c_void_p(enc.matcher.ctypes.data),
+            0 if enc.matcher is None else len(enc.matcher),
+            enc.unk_id)
+
+    @property
+    def ok(self) -> bool:
+        return self.lib is not None
+
+    def encode_batch(self, lines):
+        """Returns (ids int32[], starts, lens, off int64[n+1],
+        norm uint8[], norm_off int64[n+1]) or None."""
+        n_lines = len(lines)
+        off = np.zeros(n_lines + 1, np.int64)
+        np.cumsum(np.fromiter((len(b) for b in lines), np.int64, n_lines),
+                  out=off[1:])
+        data = np.frombuffer(b"".join(lines), np.uint8) if off[-1] else \
+            np.zeros(1, np.uint8)
+        norm_cap = int(off[-1]) * 13 + 16 * n_lines + 16
+        cap = norm_cap
+        out_ids = np.empty(cap, np.int32)
+        out_starts = np.empty(cap, np.int32)
+        out_lens = np.empty(cap, np.int32)
+        out_off = np.zeros(n_lines + 1, np.int64)
+        out_norm = np.empty(norm_cap, np.uint8)
+        out_norm_off = np.zeros(n_lines + 1, np.int64)
+        m = self.lib.spm_bpe_encode_ids_batch(
+            *self._args_head,
+            ctypes.c_void_p(data.ctypes.data),
+            ctypes.c_void_p(off.ctypes.data), n_lines,
+            ctypes.c_void_p(out_ids.ctypes.data),
+            ctypes.c_void_p(out_starts.ctypes.data),
+            ctypes.c_void_p(out_lens.ctypes.data),
+            cap, ctypes.c_void_p(out_off.ctypes.data),
+            ctypes.c_void_p(out_norm.ctypes.data), norm_cap,
+            ctypes.c_void_p(out_norm_off.ctypes.data))
+        if m < 0:
+            return None
+        return (out_ids, out_starts, out_lens, out_off, out_norm,
+                out_norm_off)

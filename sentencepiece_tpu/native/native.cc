@@ -1281,3 +1281,60 @@ extern "C" int64_t spm_unigram_encode_ids_batch(
   }
   return m;
 }
+
+// Fused normalize + BPE merge over a batch of lines. Emits per-line CSR
+// spans (ids, starts, lens — starts index the per-line normalized bytes,
+// which are also returned so the caller can resolve unk spans through the
+// full piece map) . Returns total spans; -1 error; -2 out caps too small.
+extern "C" int64_t spm_bpe_encode_ids_batch(
+    const uint32_t* n_units, int64_t n_nunits,
+    const uint8_t* pool, int64_t pool_len,
+    const uint32_t* m_units, int64_t n_munits,
+    int add_dummy, int remove_ws, int escape_ws, int suffix_mode,
+    const uint32_t* e_units, int64_t n_eunits,
+    const float* scores, const uint32_t* bm_units, int64_t n_bmunits,
+    int32_t unk_id,
+    const uint8_t* data, const int64_t* off, int64_t n_lines,
+    int32_t* out_ids, int32_t* out_starts, int32_t* out_lens,
+    int64_t out_cap, int64_t* out_off,
+    uint8_t* out_norm, int64_t norm_cap, int64_t* out_norm_off) {
+  std::vector<int64_t> n2o;
+  std::vector<int32_t> ids, starts, lens;
+  int64_t m = 0, nb = 0;
+  out_off[0] = 0;
+  out_norm_off[0] = 0;
+  for (int64_t li = 0; li < n_lines; ++li) {
+    const uint8_t* d = data + off[li];
+    const int64_t n = off[li + 1] - off[li];
+    const int64_t cap = n * 13 + 16;
+    if (nb + cap > norm_cap) return -2;
+    if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
+    const int64_t olen =
+        spm_normalize(n_units, n_nunits, pool, pool_len, m_units, n_munits,
+                      d, n, add_dummy, remove_ws, escape_ws, suffix_mode,
+                      out_norm + nb, n2o.data());
+    if (olen < 0) return -1;
+    if ((int64_t)ids.size() < olen) {
+      ids.resize(olen);
+      starts.resize(olen);
+      lens.resize(olen);
+    }
+    const int64_t cnt =
+        olen == 0 ? 0
+                  : spm_bpe_encode(e_units, n_eunits, scores, bm_units,
+                                   n_bmunits, unk_id, out_norm + nb, olen,
+                                   ids.data(), starts.data(), lens.data());
+    if (cnt < 0) return -1;
+    if (m + cnt > out_cap) return -2;
+    for (int64_t k = 0; k < cnt; ++k) {
+      out_ids[m] = ids[k];
+      out_starts[m] = starts[k];
+      out_lens[m] = lens[k];
+      ++m;
+    }
+    nb += olen;
+    out_off[li + 1] = m;
+    out_norm_off[li + 1] = nb;
+  }
+  return m;
+}

@@ -32,6 +32,59 @@ _DEFAULT_UNK_SURFACE = " ⁇ "
 
 _EXTRA_OPTIONS = {"bos": "bos", "eos": "eos", "reverse": "reverse"}
 
+
+class _FusedBpeAdapter:
+    """ids interface over native.FusedBpeEncoder: resolves unk spans
+    through the full piece map (reserved pieces included, models/bpe.py)
+    and applies the adjacent-unknown merge — both skipped entirely for
+    batches with no unknown spans (the common case)."""
+
+    def __init__(self, sp: "SentencePieceProcessor", fe):
+        self.sp = sp
+        self.fe = fe
+
+    def encode_ids_batch(self, raws):
+        r = self.fe.encode_batch(raws)
+        if r is None:
+            return None
+        ids, starts, lens, off, norm, norm_off = r
+        m = int(off[-1])
+        idsv = ids[:m]
+        unk_id = self.fe.enc.unk_id
+        unk_mask = idsv == unk_id
+        if not unk_mask.any():
+            return idsv, off
+        is_unknown = self.sp.model.is_unknown
+        p2i = self.sp.model.piece_to_id
+        res_ids: List[int] = []
+        res_off = np.zeros(len(raws) + 1, np.int64)
+        for i in range(len(raws)):
+            a, b = int(off[i]), int(off[i + 1])
+            if not unk_mask[a:b].any():
+                res_ids.extend(idsv[a:b].tolist())
+            else:
+                base = int(norm_off[i])
+                prev_unk = False
+                for k in range(a, b):
+                    pid = int(idsv[k])
+                    if pid == unk_id:
+                        w = norm[base + starts[k]:
+                                 base + starts[k] + lens[k]].tobytes()
+                        pid = p2i(w)
+                    unk = is_unknown(pid)
+                    if not (unk and prev_unk):
+                        res_ids.append(pid)
+                    prev_unk = unk
+            res_off[i + 1] = len(res_ids)
+        return np.asarray(res_ids, np.int32), res_off
+
+    def encode_ids(self, raw):
+        r = self.encode_ids_batch([raw])
+        if r is None:
+            return None
+        ids, off = r
+        return ids[:off[1]].tolist()
+
 TextInput = Union[str, bytes]
 
 
@@ -97,6 +150,7 @@ class SentencePieceProcessor:
         if self._fused is None:
             try:
                 from .models.unigram import UnigramModel
+                from .models.bpe import BpeModel
                 from . import native as native_mod
 
                 f = False
@@ -107,6 +161,12 @@ class SentencePieceProcessor:
                     if enc is not None and norm is not None:
                         fe = native_mod.FusedUnigramEncoder(norm, enc)
                         f = fe if fe.ok else False
+                elif isinstance(self.model, BpeModel):
+                    enc = self.model._native_encoder()
+                    norm = self.normalizer._native_impl()
+                    if enc is not None and norm is not None:
+                        fe = native_mod.FusedBpeEncoder(norm, enc)
+                        f = _FusedBpeAdapter(self, fe) if fe.ok else False
                 self._fused = f
             except Exception:
                 self._fused = False
