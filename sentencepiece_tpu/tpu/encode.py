@@ -338,3 +338,224 @@ class UnigramBatchEncoder:
             for j, gi in enumerate(group):
                 results[gi] = out[j, :n[j]].tolist()
         return results  # type: ignore[return-value]
+
+    def sample(self, texts: Sequence[str], alpha: float,
+               rng=None) -> List[List[int]]:
+        """Device lattice sampling (unigram_sample_batch) with the same
+        bucketing as encode(). The jax PRNG key is seeded from the caller's
+        numpy Generator (docs/conformance.md RNG contract)."""
+        if rng is None:
+            from ..utils.rng import get_generator
+
+            rng = get_generator()
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1)))
+        normed = self._normalize_all(texts)
+        order = sorted(range(len(normed)), key=lambda i: len(normed[i]))
+        results: List[Optional[List[int]]] = [None] * len(normed)
+        i = 0
+        while i < len(order):
+            blen = len(normed[order[i]])
+            bucket = next((b for b in self.BUCKETS if blen <= b),
+                          self.BUCKETS[-1])
+            group = []
+            while (i < len(order) and len(group) < self.MAX_BATCH
+                   and len(normed[order[i]]) <= bucket):
+                group.append(order[i])
+                i += 1
+            B = len(group)
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            arr = np.zeros((Bp, bucket), np.uint8)
+            lens = np.zeros(Bp, np.int32)
+            for j, gi in enumerate(group):
+                b = normed[gi][:bucket]
+                arr[j, :len(b)] = np.frombuffer(b, np.uint8)
+                lens[j] = len(b)
+            key, sub = jax.random.split(key)
+            out, n = unigram_sample_batch(
+                self.units, self.lat_score_table,
+                jnp.asarray(arr), jnp.asarray(lens), self.unk_score,
+                jnp.float32(alpha), sub,
+                max_depth=self.max_depth, unk_id=self.unk_id,
+                root_state=self.root_state,
+                add_bos=self.add_bos, add_eos=self.add_eos,
+                reverse=self.reverse, bos_id=self.bos_id,
+                eos_id=self.eos_id, pad_id=self.pad_id)
+            out = np.asarray(out)
+            n = np.asarray(n)
+            for j, gi in enumerate(group):
+                results[gi] = out[j, :n[j]].tolist()
+        return results  # type: ignore[return-value]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "unk_id", "root_state", "add_bos",
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+def unigram_sample_batch(units: jnp.ndarray,
+                         lat_score_table: jnp.ndarray,
+                         batch: jnp.ndarray,
+                         lengths: jnp.ndarray,
+                         unk_score: jnp.ndarray,
+                         theta: jnp.ndarray,
+                         key: jax.Array,
+                         *,
+                         max_depth: int,
+                         unk_id: int,
+                         root_state: int = 0,
+                         add_bos: bool = False,
+                         add_eos: bool = False,
+                         reverse: bool = False,
+                         bos_id: int = 1,
+                         eos_id: int = 2,
+                         pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Subword-regularization sampling on device: forward-filter
+    backward-sample over the byte-indexed lattice (the device analog of
+    Lattice::Sample, unigram_model.cc:385-442; theta = inverse
+    temperature). One categorical draw per emitted piece via Gumbel-max
+    over the D-wide candidate window; paths are drawn with probability
+    proportional to exp(theta * path_score), exactly the reference
+    distribution (PRNG stream aside — jax.random here, mt19937 there).
+
+    The lattice populate below intentionally repeats unigram_encode_batch's
+    inline walk: hoisting it into a shared helper has broken XLA's gather
+    fusion before (see the design note at the top of this module)."""
+    B, N = batch.shape
+    D = max_depth
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+    is_start = in_range & ((batch & 0xC0) != 0x80)
+
+    lead = batch
+    charlen = jnp.where(
+        lead < 0x80, 1,
+        jnp.where(lead < 0xE0, 2, jnp.where(lead < 0xF0, 3, 4))).astype(
+            jnp.int32)
+
+    batch_pad = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
+    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
+    alive = is_start
+    id_lanes = []
+    label_mask = jnp.uint32((1 << 31) | 0xFF)
+    has_leaf_bit = jnp.uint32(1 << 8)
+    value_mask = jnp.uint32(0x7FFFFFFF)
+    for d in range(D):
+        c = batch_pad[:, d:N + d].astype(jnp.uint32)
+        byte_ok = (pos + d) < lengths[:, None]
+        live = alive & byte_ok
+        node = state ^ c
+        safe = jnp.where(live, node, jnp.uint32(0))
+        unit = trie._gather(units, safe)
+        ok = live & ((unit & label_mask) == c)
+        state = jnp.where(ok, node ^ trie.offsets(unit), state)
+        has_leaf = ok & ((unit & has_leaf_bit) != 0)
+        leaf_unit = trie._gather(
+            units, jnp.where(has_leaf, state, jnp.uint32(0)))
+        val = jnp.where(has_leaf,
+                        (leaf_unit & value_mask).astype(jnp.int32),
+                        jnp.int32(-1))
+        alive = ok
+        id_lanes.append(val)
+
+    lat_ids = jnp.stack(id_lanes, axis=2)
+    cl = jnp.clip(charlen - 1, 0, D - 1)
+    lane_at_cl = jnp.take_along_axis(lat_ids, cl[:, :, None], axis=2)[:, :, 0]
+    need_unk = is_start & (lane_at_cl < 0)
+    is_unk_node = jnp.zeros((B, N, D), jnp.bool_).at[
+        jnp.arange(B)[:, None], pos, cl].set(need_unk, mode="drop")
+    lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
+
+    vsafe = jnp.maximum(lat_ids, 0)
+    lat_sc = jnp.where(lat_ids >= 0, trie._gather(lat_score_table, vsafe),
+                       NEG_INF)
+    lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
+    # inverse temperature (theta * score everywhere, like Lattice::Sample)
+    lat_sc = jnp.where(lat_sc > NEG_INF / 2, theta * lat_sc, lat_sc)
+
+    def end_align(lat, fill):
+        cols = []
+        for j in range(D):
+            shifted = jnp.concatenate(
+                [jnp.full((B, j + 1), fill, lat.dtype),
+                 lat[:, :N - j, j]], axis=1)
+            cols.append(shifted)
+        return jnp.stack(cols, axis=2)  # [B, N+1, D]
+
+    sc_end = end_align(lat_sc, NEG_INF)
+    id_end = end_align(lat_ids, -1)
+
+    # -- forward filter: A[p] = LSE_j(A[p-1-j] + sc_end[p, j]) ----------------
+    def fwd_step(win, sc_p):
+        cand = win + sc_p
+        mx = jnp.max(cand, axis=1)
+        safe_mx = jnp.maximum(mx, NEG_INF / 2)
+        a_p = jnp.where(
+            mx > NEG_INF / 2,
+            safe_mx + jnp.log(jnp.sum(
+                jnp.exp(cand - safe_mx[:, None]), axis=1)),
+            NEG_INF)
+        new_win = jnp.concatenate([a_p[:, None], win[:, :D - 1]], axis=1)
+        return new_win, a_p
+
+    win0 = jnp.full((B, D), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    _, A = jax.lax.scan(fwd_step, win0, jnp.swapaxes(sc_end[:, 1:, :], 0, 1))
+    A = jnp.concatenate([jnp.zeros((1, B), jnp.float32), A], axis=0)
+    A_bt = A.T  # [B, N+1]
+
+    # -- backward sample: categorical over the candidate window --------------
+    rows = jnp.arange(B)
+    jr = jnp.arange(D, dtype=jnp.int32)[None, :]
+    gumbel = jax.random.gumbel(key, (N, B, D), jnp.float32)
+
+    def samp_step(p, g_p):
+        active = p > 0
+        psafe = jnp.maximum(p, 0)
+        prev_idx = jnp.clip(psafe[:, None] - 1 - jr, 0, N)
+        a_prev = jnp.take_along_axis(A_bt, prev_idx, axis=1)
+        sc_p = sc_end[rows, psafe, :]
+        valid = (psafe[:, None] - 1 - jr) >= 0
+        logits = jnp.where(valid, a_prev + sc_p, NEG_INF)
+        ksel = jnp.argmax(logits + g_p, axis=1).astype(jnp.int32) + 1
+        tok = id_end[rows, psafe, jnp.clip(ksel - 1, 0, D - 1)]
+        new_p = jnp.where(active, p - ksel, p)
+        return new_p, (jnp.where(active, tok, -1), active)
+
+    _, (rev_ids, rev_mask) = jax.lax.scan(samp_step, lengths, gumbel)
+    rev_ids = rev_ids.T
+    rev_mask = rev_mask.T
+    T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
+
+    t = jnp.arange(N, dtype=jnp.int32)[None, :]
+    src = jnp.clip(T[:, None] - 1 - t, 0, N - 1)
+    ids = jnp.take_along_axis(rev_ids, src, axis=1)
+    ids = jnp.where(t < T[:, None], ids, -1)
+
+    prev = jnp.concatenate([jnp.full((B, 1), -1, ids.dtype), ids[:, :-1]],
+                           axis=1)
+    keep = (t < T[:, None]) & ~((ids == unk_id) & (prev == unk_id))
+    newidx = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
+    out = jnp.full((B, N + 2), pad_id, jnp.int32)
+    scat_col = jnp.where(keep, newidx, N + 1)
+    out = out.at[rows[:, None], scat_col].set(
+        jnp.where(keep, ids, pad_id), mode="drop")
+    out = out.at[:, N + 1].set(pad_id)
+    newT = jnp.sum(keep, axis=1, dtype=jnp.int32)
+
+    M = N + 2
+    tt = jnp.arange(M, dtype=jnp.int32)[None, :]
+    if reverse:
+        src = jnp.clip(newT[:, None] - 1 - tt, 0, M - 1)
+        rev = jnp.take_along_axis(out, src, axis=1)
+        out = jnp.where(tt < newT[:, None], rev, pad_id)
+    if add_bos:
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), bos_id, jnp.int32), out[:, :M - 1]], axis=1)
+        out = jnp.where(tt <= newT[:, None], shifted, pad_id)
+        out = out.at[:, 0].set(bos_id)
+        newT = newT + 1
+    if add_eos:
+        out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
+        newT = newT + 1
+        out = jnp.where(tt < newT[:, None], out, pad_id)
+    return out, newT

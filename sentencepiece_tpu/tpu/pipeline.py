@@ -232,8 +232,12 @@ class TpuTokenizer:
     def sample_encode(self, texts: Sequence, nbest_size: int, alpha: float,
                       rng=None) -> List[List[int]]:
         """Per-row sampled segmentation — the TF ops' nbest_size/alpha
-        attribute path (ops.cc:244-305). Subword regularization draws run
+        attribute path (ops.cc:244-305). Unigram lattice sampling
+        (nbest_size < 0) runs on device via forward-filter backward-sample
+        (encode.unigram_sample_batch); n-best sampling and BPE-dropout draw
         on the host lattice under the documented numpy PRNG contract."""
+        if nbest_size < 0 and self.enc is not None:
+            return self.enc.sample(list(texts), alpha, rng=rng)
         return [self.processor.sample_encode_as_ids(t, nbest_size, alpha,
                                                     rng=rng)
                 for t in texts]

@@ -112,3 +112,35 @@ def test_bpe_dropout(fixtures_dir):
     assert len(seen) > 3
     for seg in seen:
         assert sp.decode_pieces(list(seg)) == text
+
+
+def test_device_lattice_sampling_distribution():
+    """Device forward-filter/backward-sample (tpu/encode.py
+    unigram_sample_batch) draws segmentations from the same distribution
+    as the host lattice sampler (unigram_model.cc:385-442 semantics)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    S = 1500
+    rng = np.random.default_rng(7)
+    hr = np.random.default_rng(8)
+    for theta, text in ((1.0, "hello"), (0.5, "worlds")):
+        host = {}
+        for _ in range(S):
+            t = tuple(sp.sample_encode_as_ids(text, -1, theta, rng=hr))
+            host[t] = host.get(t, 0) + 1
+        dev = {}
+        for o in tok.sample_encode([text] * S, -1, theta, rng=rng):
+            dev[tuple(o)] = dev.get(tuple(o), 0) + 1
+        # every mass point within 4 sigma of the host estimate
+        for k in set(host) | set(dev):
+            p = host.get(k, 0) / S
+            q = dev.get(k, 0) / S
+            sigma = (max(p * (1 - p), 1e-4) / S) ** 0.5
+            assert abs(p - q) < 5 * sigma + 2 / S, (k, p, q)
+        # decode losslessly
+        for k in dev:
+            assert sp.decode_ids(list(k)) == text
