@@ -103,10 +103,6 @@ def build_pair_tables(model):
     return keys, new_sym, pair_score, cp_to_sym, sym_id, U
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("universe", "max_merges", "unk_id", "add_bos",
-                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
 def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
                      cps, lengths, *, universe: int, max_merges: int,
                      unk_id: int, add_bos: bool = False,
@@ -115,6 +111,39 @@ def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     """cps int32[B, L] codepoints per char position; lengths in chars.
 
     Returns (ids int32[B, L+2], out_len int32[B])."""
+    return _bpe_merge_batch(
+        pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id, cps, lengths,
+        jax.random.PRNGKey(0), universe=universe, max_merges=max_merges,
+        unk_id=unk_id, dropout_p=0.0, add_bos=add_bos, add_eos=add_eos,
+        reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
+
+
+def bpe_dropout_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
+                      cps, lengths, key, *, universe: int, max_merges: int,
+                      unk_id: int, dropout_p: float, add_bos: bool = False,
+                      add_eos: bool = False, reverse: bool = False,
+                      bos_id: int = 1, eos_id: int = 2, pad_id: int = 0):
+    """BPE-dropout on device: each selected merge instance is skipped with
+    probability dropout_p (and stays skipped until a neighboring merge
+    re-forms the pair), matching the host agenda semantics in
+    models/bpe.py::_encode_impl."""
+    return _bpe_merge_batch(
+        pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id, cps, lengths,
+        key, universe=universe, max_merges=max_merges, unk_id=unk_id,
+        dropout_p=float(dropout_p), add_bos=add_bos, add_eos=add_eos,
+        reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("universe", "max_merges", "unk_id", "dropout_p",
+                     "add_bos", "add_eos", "reverse", "bos_id", "eos_id",
+                     "pad_id"))
+def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
+                     cps, lengths, key, *, universe: int, max_merges: int,
+                     unk_id: int, dropout_p: float, add_bos: bool = False,
+                     add_eos: bool = False, reverse: bool = False,
+                     bos_id: int = 1, eos_id: int = 2, pad_id: int = 0):
     B, L = cps.shape
     rows = jnp.arange(B)
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -144,11 +173,31 @@ def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
                              axis=1)
     psc, pnew = pair_lookup(sym, r_sym0)
 
-    def step(state, _):
-        sym, psc, pnew, nxt, prv = state
-        p = jnp.argmax(psc, axis=1).astype(jnp.int32)  # first max: leftmost
-        best = trie._taa(psc, p[:, None])[:, 0]
+    n_steps = max_merges
+    if dropout_p > 0.0:
+        # dropped selections consume steps without merging; total candidate
+        # instances are bounded by ~3L (each merge adds at most two)
+        n_steps = min(3 * L, int(max_merges * (1.0 + 2.0 * dropout_p)) + 8)
+        uniforms = jax.random.uniform(key, (n_steps, B), jnp.float32)
+    else:
+        uniforms = jnp.zeros((n_steps, B), jnp.float32)
+    drop_mask = jnp.zeros((B, L), jnp.bool_)
+
+    def step(state, u_t):
+        sym, psc, pnew, nxt, prv, drop_mask = state
+        sel_sc = jnp.where(drop_mask, jnp.float32(NEG_INF), psc) \
+            if dropout_p > 0.0 else psc
+        p = jnp.argmax(sel_sc, axis=1).astype(jnp.int32)  # first max: leftmost
+        best = trie._taa(sel_sc, p[:, None])[:, 0]
         act = best > NEG_INF / 2
+        if dropout_p > 0.0:
+            dropped = act & (u_t < dropout_p)
+            # mark this pair instance skipped; it stays masked until a
+            # neighboring merge rewrites the slot
+            drop_mask = trie._scatter_set(
+                drop_mask, rows, jnp.where(dropped, p, L),
+                jnp.ones((B,), jnp.bool_))
+            act = act & ~dropped
         psafe = jnp.where(act, p, 0)
         r = trie._taa(nxt, psafe[:, None])[:, 0]
         rsafe = jnp.clip(r, 0, L - 1)
@@ -189,10 +238,18 @@ def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
             psc, rows, jnp.where(act & (lp >= 0), lp_safe, L), sc2[:, 1])
         pnew = trie._scatter_set(
             pnew, rows, jnp.where(act & (lp >= 0), lp_safe, L), ns2[:, 1])
-        return (sym, psc, pnew, nxt, prv), None
+        if dropout_p > 0.0:
+            # the pairs at p and prv[p] are NEW instances after the merge
+            clr = jnp.zeros((B,), jnp.bool_)
+            drop_mask = trie._scatter_set(
+                drop_mask, rows, jnp.where(act, psafe, L), clr)
+            drop_mask = trie._scatter_set(
+                drop_mask, rows, jnp.where(act & (lp >= 0), lp_safe, L), clr)
+        return (sym, psc, pnew, nxt, prv, drop_mask), None
 
-    (sym, psc, pnew, nxt, prv), _ = jax.lax.scan(
-        step, (sym, psc, pnew, nxt, prv), None, length=max_merges)
+    (sym, psc, pnew, nxt, prv, drop_mask), _ = jax.lax.scan(
+        step, (sym, psc, pnew, nxt, prv, drop_mask), uniforms,
+        length=n_steps)
 
     # emit: alive symbols in order. Position 0 is never removed (a merge
     # removes its RIGHT half); any other position p is alive iff the list
@@ -333,6 +390,67 @@ class BpeBatchEncoder:
             for j, gi in enumerate(group):
                 if len(cps_list[gi]) > bucket:
                     results[gi] = self.processor.encode_as_ids(texts[gi])
+                else:
+                    results[gi] = ids[j, :n_ids[j]].tolist()
+        return results  # type: ignore[return-value]
+
+    def sample(self, texts, dropout_p: float, rng=None) -> List[List[int]]:
+        """Device BPE-dropout (bpe_dropout_batch); host fallback for
+        models with user-defined/unused pieces."""
+        from ..utils.unicode import utf8_to_unicode_text
+
+        if rng is None:
+            from ..utils.rng import get_generator
+
+            rng = get_generator()
+        if self.host_only or dropout_p <= 0.0:
+            return [self.processor.sample_encode_as_ids(t, -1, dropout_p,
+                                                        rng=rng)
+                    for t in texts]
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1)))
+        norm = self.processor.normalizer
+        cps_list = [utf8_to_unicode_text(norm.normalize(t)[0])
+                    for t in texts]
+        order = sorted(range(len(cps_list)), key=lambda i: len(cps_list[i]))
+        results: List[Optional[List[int]]] = [None] * len(cps_list)
+        i = 0
+        pending = []
+        while i < len(order):
+            clen = len(cps_list[order[i]])
+            bucket = next((b for b in self.BUCKETS if clen <= b),
+                          self.BUCKETS[-1])
+            group = []
+            while (i < len(order) and len(group) < self.MAX_BATCH
+                   and len(cps_list[order[i]]) <= bucket):
+                group.append(order[i])
+                i += 1
+            B = len(group)
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            arr = np.zeros((Bp, bucket), np.int32)
+            lens = np.zeros(Bp, np.int32)
+            for j, gi in enumerate(group):
+                c = cps_list[gi][:bucket]
+                arr[j, :len(c)] = c
+                lens[j] = len(c)
+            key, sub = jax.random.split(key)
+            pending.append((group, bucket, bpe_dropout_batch(
+                self.pair_keys, self.pair_new, self.pair_score,
+                self.cp_to_sym, self.sym_to_id, jnp.asarray(arr),
+                jnp.asarray(lens), sub, universe=self.U,
+                max_merges=arr.shape[1] - 1, unk_id=self.unk_id,
+                dropout_p=float(dropout_p), add_bos=self.add_bos,
+                add_eos=self.add_eos, reverse=self.reverse,
+                bos_id=self.bos_id, eos_id=self.eos_id,
+                pad_id=self.pad_id)))
+        for group, bucket, (ids, n_ids) in pending:
+            ids = np.asarray(ids)
+            n_ids = np.asarray(n_ids)
+            for j, gi in enumerate(group):
+                if len(cps_list[gi]) > bucket:
+                    results[gi] = self.processor.sample_encode_as_ids(
+                        texts[gi], -1, dropout_p, rng=rng)
                 else:
                     results[gi] = ids[j, :n_ids[j]].tolist()
         return results  # type: ignore[return-value]

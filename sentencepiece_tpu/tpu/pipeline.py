@@ -238,6 +238,8 @@ class TpuTokenizer:
         on the host lattice under the documented numpy PRNG contract."""
         if nbest_size < 0 and self.enc is not None:
             return self.enc.sample(list(texts), alpha, rng=rng)
+        if nbest_size < 0 and self._bpe is not None:
+            return self._bpe.sample(list(texts), alpha, rng=rng)
         return [self.processor.sample_encode_as_ids(t, nbest_size, alpha,
                                                     rng=rng)
                 for t in texts]

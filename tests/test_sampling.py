@@ -144,3 +144,31 @@ def test_device_lattice_sampling_distribution():
         # decode losslessly
         for k in dev:
             assert sp.decode_ids(list(k)) == text
+
+
+def test_device_bpe_dropout_distribution(fixtures_dir):
+    """Device BPE-dropout (tpu/bpe_encode.py bpe_dropout_batch) matches
+    the host agenda dropout distribution; p=0 equals deterministic."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
+    tok = TpuTokenizer(sp)
+    text = "there"
+    assert tok.sample_encode([text], -1, 0.0)[0] == sp.encode_as_ids(text)
+    S = 1500
+    p = 0.3
+    hr = np.random.default_rng(5)
+    host = {}
+    for _ in range(S):
+        k = tuple(sp.sample_encode_as_ids(text, -1, p, rng=hr))
+        host[k] = host.get(k, 0) + 1
+    dev = {}
+    for o in tok.sample_encode([text] * S, -1, p,
+                               rng=np.random.default_rng(6)):
+        dev[tuple(o)] = dev.get(tuple(o), 0) + 1
+    for k in set(host) | set(dev):
+        ph, pd = host.get(k, 0) / S, dev.get(k, 0) / S
+        sig = (max(ph * (1 - ph), 1e-4) / S) ** 0.5
+        assert abs(ph - pd) < 5 * sig + 2 / S, (k, ph, pd)
+        assert sp.decode_ids(list(k)) == text
