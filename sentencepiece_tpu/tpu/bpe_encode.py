@@ -454,3 +454,34 @@ class BpeBatchEncoder:
                 else:
                     results[gi] = ids[j, :n_ids[j]].tolist()
         return results  # type: ignore[return-value]
+
+
+@jax.jit
+def utf8_to_cp_batch(batch, lengths):
+    """uint8[B, N] valid UTF-8 (normalizer output) -> (cps int32[B, N],
+    cp_lens int32[B]): dense codepoints per row. Lead bytes decode by
+    looking ahead at up to three following bytes (no gathers), then lead
+    positions compact left with one scatter."""
+    B, N = batch.shape
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+    b = batch.astype(jnp.int32)
+    is_lead = in_range & ((batch & 0xC0) != 0x80)
+    pad = jnp.zeros((B, 3), jnp.int32)
+    bp = jnp.concatenate([b, pad], axis=1)
+    b1 = bp[:, 1:N + 1] & 0x3F
+    b2 = bp[:, 2:N + 2] & 0x3F
+    b3 = bp[:, 3:N + 3] & 0x3F
+    cp = jnp.where(
+        b < 0x80, b,
+        jnp.where(
+            b < 0xE0, ((b & 0x1F) << 6) | b1,
+            jnp.where(b < 0xF0, ((b & 0x0F) << 12) | (b1 << 6) | b2,
+                      ((b & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3)))
+    seg = jnp.cumsum(is_lead, axis=1, dtype=jnp.int32) - 1
+    cp_lens = jnp.sum(is_lead, axis=1, dtype=jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, N))
+    out = jnp.zeros((B, N + 1), jnp.int32)
+    out = trie._scatter_set(out, rows, jnp.where(is_lead, seg, N),
+                            jnp.where(is_lead, cp, 0))
+    return out[:, :N], cp_lens

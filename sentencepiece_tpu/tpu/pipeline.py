@@ -107,6 +107,38 @@ class TpuTokenizer:
         # ~20x smaller than the theoretical worst-case expansion.
         w_enc = 2 * n_in + 8
 
+        if self._bpe is not None:
+            from .bpe_encode import utf8_to_cp_batch, bpe_encode_batch
+            bpe = self._bpe
+
+            def fn_bpe(batch, lengths):
+                norm_out, norm_len = tpu_normalize.normalize_batch(
+                    t.units, t.esc_pool, t.v_esc_off, t.v_esc_len,
+                    t.v_lead_sp, t.v_all_sp, t.v_ends_sp, t.ws_arr,
+                    t.fffd_arr, batch, lengths,
+                    max_rule_len=t.max_rule_len, root_state=t.root_state,
+                    n_out=w_enc, ws_len=t.ws_len,
+                    max_rep_len=t.max_rep_len,
+                    add_dummy_prefix=t.add_dummy_prefix,
+                    remove_extra_whitespaces=t.remove_extra_whitespaces,
+                    escape_whitespaces=t.escape_whitespaces,
+                    suffix=t.suffix)
+                overflow = norm_len > w_enc
+                enc_len = jnp.minimum(norm_len, w_enc)
+                cps, cp_len = utf8_to_cp_batch(norm_out, enc_len)
+                ids, n_ids = bpe_encode_batch(
+                    bpe.pair_keys, bpe.pair_new, bpe.pair_score,
+                    bpe.cp_to_sym, bpe.sym_to_id, cps, cp_len,
+                    universe=bpe.U, max_merges=w_enc - 1,
+                    unk_id=bpe.unk_id, add_bos=bpe.add_bos,
+                    add_eos=bpe.add_eos, reverse=bpe.reverse,
+                    bos_id=bpe.bos_id, eos_id=bpe.eos_id,
+                    pad_id=bpe.pad_id)
+                return ids, n_ids, overflow
+
+            self._fns[n_in] = fn_bpe
+            return fn_bpe
+
         # Two separate dispatches of the ALREADY-JITTED stage functions with
         # the tables passed as explicit arguments. Do NOT wrap them in
         # another jit closing over the table arrays: closed-over device
@@ -152,10 +184,10 @@ class TpuTokenizer:
         host<->device readbacks can stall subsequent dispatches on some
         interconnects, so the dispatch wave and the download wave are kept
         separate."""
-        if self._bpe is not None:
-            # BPE: host normalize + codepoint split, device merge loop
+        if self._bpe is not None and self._bpe.host_only:
+            # user-defined / unused pieces: host normalize + exact host path
             return self._bpe.encode(list(texts))
-        if self.enc is None:
+        if self._bpe is None and self.enc is None:
             # word/char models: trivial segmentation, host path
             add_bos, add_eos, reverse = self._host_opts
             opts = ":".join(o for o, f in

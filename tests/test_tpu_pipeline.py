@@ -85,3 +85,16 @@ def test_pipeline_extra_options():
     dev = tok.encode(texts)
     for t, d in zip(texts, dev):
         assert d == sp.encode_as_ids(t), t
+
+
+def test_bpe_full_device_pipeline(fixtures_dir):
+    """BPE TpuTokenizer runs normalize + utf8->cp + merge fully on device
+    (utf8_to_cp_batch); ids match the host processor exactly."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
+    tok = TpuTokenizer(sp)
+    lines = ["A cold day.", "", "  spaces  everywhere  ",
+             "mixed ascii ＆ ｆｕｌｌｗｉｄｔｈ", "tails"]
+    assert tok.encode(lines) == [sp.encode_as_ids(l) for l in lines]
