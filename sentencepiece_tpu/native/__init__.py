@@ -627,3 +627,28 @@ class FusedBpeEncoder:
             return None
         return (out_ids, out_starts, out_lens, out_off, out_norm,
                 out_norm_off)
+
+
+def esa_nodes(arr, sa):
+    """Suffix-tree internal nodes (L, R, depth) int32[m, 3] in esa.hxx
+    emission order, or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_esa_ready", False):
+        lib.spm_esa_nodes.restype = ctypes.c_int64
+        lib.spm_esa_nodes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib._esa_ready = True
+    a = np.ascontiguousarray(arr, np.int32)
+    s = np.ascontiguousarray(sa, np.int32)
+    n = len(a)
+    cap = n + 1
+    out = np.empty((cap, 3), np.int32)
+    m = lib.spm_esa_nodes(a.ctypes.data_as(ctypes.c_void_p),
+                          s.ctypes.data_as(ctypes.c_void_p), n,
+                          out.ctypes.data_as(ctypes.c_void_p), cap)
+    if m < 0:
+        return None
+    return out[:m]

@@ -1338,3 +1338,49 @@ extern "C" int64_t spm_bpe_encode_ids_batch(
   }
   return m;
 }
+
+// PLCP (Karkkainen CPM'09) + esa.hxx:37-90 stack traversal: emit suffix-
+// tree internal nodes (L, R, depth) in the exact emission order the seed
+// tie-breaker depends on (unigram_model_trainer.cc:163 node index asc).
+extern "C" int64_t spm_esa_nodes(const int32_t* arr, const int32_t* sa,
+                                 int64_t n, int32_t* out_lrd, int64_t cap) {
+  if (n == 0) return 0;
+  std::vector<int64_t> psi(n);
+  psi[sa[0]] = sa[n - 1];
+  for (int64_t k = 1; k < n; ++k) psi[sa[k]] = sa[k - 1];
+  std::vector<int64_t> plcp(n);
+  int64_t h = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t j = psi[i];
+    while (i + h < n && j + h < n && arr[i + h] == arr[j + h]) ++h;
+    plcp[i] = h;
+    if (h > 0) --h;
+  }
+  std::vector<int64_t> H(n);
+  for (int64_t i = 0; i < n; ++i) H[i] = plcp[sa[i]];
+  H[0] = -1;
+  int64_t m = 0;
+  std::vector<std::pair<int64_t, int64_t>> stack;
+  stack.reserve(64);
+  stack.emplace_back(-1, -1);
+  for (int64_t i = 0; i <= n; ++i) {
+    std::pair<int64_t, int64_t> cur(i, i == n ? -1 : H[i]);
+    std::pair<int64_t, int64_t> cand = stack.back();
+    while (cand.second > cur.second) {
+      if (i - cand.first > 1) {
+        if (m >= cap) return -1;
+        out_lrd[3 * m] = static_cast<int32_t>(cand.first);
+        out_lrd[3 * m + 1] = static_cast<int32_t>(i);
+        out_lrd[3 * m + 2] = static_cast<int32_t>(cand.second);
+        ++m;
+      }
+      cur.first = cand.first;
+      stack.pop_back();
+      cand = stack.back();
+    }
+    if (cand.second < cur.second) stack.push_back(cur);
+    if (i == n) break;
+    stack.emplace_back(i, n - sa[i] + 1);
+  }
+  return m;
+}

@@ -89,6 +89,15 @@ def internal_nodes(arr: np.ndarray
     sa = suffix_array(arr)
     if n == 0:
         return sa, []
+    try:
+        from .. import native
+
+        if int(arr.max()) <= 0x7FFFFFFF:
+            nodes_np = native.esa_nodes(arr, sa)
+            if nodes_np is not None:
+                return sa, nodes_np
+    except Exception:
+        pass
     plcp = plcp_array(arr, sa)
     H = plcp[sa]
     H[0] = -1

@@ -74,6 +74,30 @@ def _f32(x: float) -> float:
     return float(F32(x))
 
 
+def digamma_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized digamma, bit-identical to the scalar: every step is
+    element-local IEEE double arithmetic in the same order; only log goes
+    through libm scalar (np.log is not bit-identical to math.log)."""
+    x = np.asarray(x, np.float64).copy()
+    res = np.zeros_like(x)
+    for _ in range(7):
+        m = x < 7
+        if not m.any():
+            break
+        res[m] -= 1.0 / x[m]
+        x[m] += 1.0
+    x = x - 0.5
+    xx = 1.0 / x
+    xx2 = xx * xx
+    xx4 = xx2 * xx2
+    t = np.array([math.log(v) for v in x], np.float64)
+    t = t + (1.0 / 24.0) * xx2
+    t = t - (7.0 / 960.0) * xx4
+    t = t + (31.0 / 8064.0) * xx4 * xx2
+    t = t - (127.0 / 30720.0) * xx4 * xx4
+    return res + t
+
+
 def log_sum_exp_f32(x: float, y: float, init_mode: bool) -> float:
     """float32 LogSumExp step (unigram_model.cc:51-63). Every float-typed
     C++ sub-expression rounds to float32; exp/log run in double."""
@@ -145,16 +169,24 @@ class Trainer(TrainerInterface):
     # -- seed pieces (unigram_model_trainer.cc:124-225) ------------------------
     def make_seed_sentence_pieces(self) -> List[Tuple[str, float]]:
         assert self.sentences and self.required_chars
-        arr_l: List[int] = []
-        all_chars: Dict[str, int] = {}
-        for s, freq in self.sentences:
-            for ch in s:
-                c = ord(ch)
-                arr_l.append(c)
-                if c != UNK_CHAR and c != SENTENCE_BOUNDARY:
-                    all_chars[ch] = all_chars.get(ch, 0) + freq
-            arr_l.append(SENTENCE_BOUNDARY)
-        arr = np.asarray(arr_l, dtype=np.int64)
+        # corpus codepoint array + char freqs, vectorized (the scalar loop
+        # this replaces is in git history; sorted_freq_desc ties are keyed,
+        # so dict insertion order is immaterial)
+        corpus = "".join(s + "\x00" for s, _ in self.sentences)
+        arr = np.frombuffer(
+            corpus.encode("utf-32-le", errors="surrogatepass"),
+            np.uint32).astype(np.int64)
+        s_lens = np.fromiter((len(s) for s, _ in self.sentences), np.int64,
+                             len(self.sentences))
+        s_freqs = np.fromiter((f for _, f in self.sentences), np.int64,
+                              len(self.sentences))
+        w_rep = np.repeat(s_freqs, s_lens + 1)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, w_rep)
+        all_chars: Dict[str, int] = {
+            chr(int(u)): int(c) for u, c in zip(uniq, cnt)
+            if int(u) != UNK_CHAR and int(u) != SENTENCE_BOUNDARY}
         n = len(arr)
         log.info("Making suffix array... (%d chars)", n)
         sa, nodes = suffix.internal_nodes(arr)
@@ -183,7 +215,7 @@ class Trainer(TrainerInterface):
                 break
             L, R, D = nodes[i]
             offset = int(sa[L])
-            w = "".join(chr(int(c)) for c in arr[offset:offset + D])
+            w = corpus[offset:offset + D]
             assert w not in all_chars
             seed.append((w, float(score)))
 
@@ -422,7 +454,9 @@ class Trainer(TrainerInterface):
             new_pieces.append((w, freq))
             total = F32(total + F32(freq))
         logsum = _f32(digamma(float(total)))  # `const float logsum`
-        return [(w, _f32(digamma(f) - logsum)) for w, f in new_pieces]
+        dg = digamma_vec(np.array([f for _, f in new_pieces], np.float64))
+        return [(w, _f32(dg[i] - logsum))
+                for i, (w, _) in enumerate(new_pieces)]
 
     # -- prune (unigram_model_trainer.cc:337-491) -------------------------------
     def _prune_pieces(self, pieces, scores, seed_to_cur, tables,
@@ -454,10 +488,8 @@ class Trainer(TrainerInterface):
                         np.asarray(scores, np.float32), unk_score)
                     if r is not None:
                         ak, alt_ids, alt_off = r
-                        for i in range(m):
-                            always_keep[i] = bool(ak[i])
-                            alternatives[i] = alt_ids[
-                                alt_off[i]:alt_off[i + 1]].tolist()
+                        always_keep = ak.astype(bool).tolist()
+                        alternatives = None  # CSR below, sliced lazily
                         native_done = True
         except Exception:
             pass
@@ -559,9 +591,11 @@ class Trainer(TrainerInterface):
         candidates: List[Tuple[int, float]] = []
         new_pieces: List[Tuple[str, float]] = []
         for i in range(m):
+            alts = (alternatives[i] if alternatives is not None
+                    else alt_ids[alt_off[i]:alt_off[i + 1]].tolist())
             if freq[i] == 0 or not always_keep[i]:
                 continue
-            elif not alternatives[i]:
+            elif not alts:
                 new_pieces.append(pieces[i])
             else:
                 if F_arr is not None:
@@ -576,7 +610,7 @@ class Trainer(TrainerInterface):
                 logsum_alt = _f32(math.log(
                     total + float(freq[i]) * (m - 1)))
                 logprob_alt = F32(0.0)
-                for nid in alternatives[i]:
+                for nid in alts:
                     logprob_alt = F32(
                         logprob_alt
                         + F32(math.log(float(freq[nid]) + float(freq[i]))
