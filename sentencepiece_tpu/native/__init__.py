@@ -652,3 +652,73 @@ def esa_nodes(arr, sa):
     if m < 0:
         return None
     return out[:m]
+
+
+def bpe_train_merges_native(sentences, freqs, required_chars, spec,
+                            vocab_target: int):
+    """Full BPE merge loop in C++ with real libstdc++ containers (the
+    iteration-order/tie mechanics train/bpe.py emulates). Returns the
+    merged piece strings in creation order, or None if unavailable.
+    ``sentences``: list[str] (post whitespace-split), ``freqs``:
+    list[int], ``required_chars``: dict codepoint->freq, ``spec``: the
+    TrainerSpec (validity flags), ``vocab_target``: number of merges."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_bpetrain_ready", False):
+        lib.spm_bpe_train.restype = ctypes.c_int64
+        lib.spm_bpe_train.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib._bpetrain_ready = True
+    from ..utils import unicode_script
+
+    los, his, ids, _names = unicode_script._tables()
+    wc, wo = _utf32_concat(sentences)
+    fr = np.ascontiguousarray(freqs, np.int64)
+    rc = np.fromiter(required_chars.keys(), np.uint32, len(required_chars))
+    rf = np.fromiter(required_chars.values(), np.int64,
+                     len(required_chars))
+    slo = np.ascontiguousarray(los, np.int32)
+    shi = np.ascontiguousarray(his, np.int32)
+    sid = np.ascontiguousarray(ids, np.int32)
+    cap = max(int(wo[-1]) * 4 + 1024, 4096)
+    out_cps = np.empty(cap, np.uint32)
+    out_off = np.zeros(vocab_target + 2, np.int64)
+    out_n = ctypes.c_int64(0)
+    rcv = rc.ctypes.data_as(ctypes.c_void_p) if len(rc) else None
+    rfv = rf.ctypes.data_as(ctypes.c_void_p) if len(rf) else None
+    nb = lib.spm_bpe_train(
+        wo.ctypes.data_as(ctypes.c_void_p),
+        wc.ctypes.data_as(ctypes.c_void_p), len(sentences),
+        fr.ctypes.data_as(ctypes.c_void_p),
+        rcv, rfv, len(rc),
+        int(spec.max_sentencepiece_length),
+        int(bool(spec.treat_whitespace_as_suffix)),
+        int(bool(spec.split_by_whitespace)),
+        int(bool(spec.split_by_number)),
+        int(bool(spec.split_by_unicode_script)),
+        slo.ctypes.data_as(ctypes.c_void_p),
+        shi.ctypes.data_as(ctypes.c_void_p),
+        sid.ctypes.data_as(ctypes.c_void_p), len(slo),
+        unicode_script.script_id("Common"),
+        unicode_script.script_id("Han"),
+        unicode_script.script_id("Hiragana"),
+        unicode_script.script_id("Katakana"),
+        vocab_target,
+        out_cps.ctypes.data_as(ctypes.c_void_p), cap,
+        out_off.ctypes.data_as(ctypes.c_void_p), ctypes.byref(out_n))
+    if nb < 0:
+        return None
+    n = out_n.value
+    full = out_cps[:nb].tobytes().decode("utf-32-le",
+                                         errors="surrogatepass")
+    return [full[int(out_off[i]):int(out_off[i + 1])] for i in range(n)]

@@ -19,6 +19,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <deque>
+#include <set>
+#include <unordered_set>
 #include <string_view>
 #include <unordered_map>
 #include <functional>
@@ -1383,4 +1386,350 @@ extern "C" int64_t spm_esa_nodes(const int32_t* arr, const int32_t* sa,
     stack.emplace_back(i, n - sa[i] + 1);
   }
   return m;
+}
+
+// ---------------------------------------------------------------------------
+// BPE trainer merge core. C++ port of the exact host engine in
+// train/bpe.py (which replays reference bpe_model_trainer.cc:85-326): the
+// libstdc++ containers the Python module emulates (unordered_map iteration
+// order, partial_sort tie mechanics) are simply the REAL ones here, so the
+// trained merge order is byte-identical by construction. The active-set
+// pointer order is modeled by creation index (cidx), matching the Python
+// engine's validated stand-in for the reference allocator's address order.
+namespace bpetrain {
+
+struct Sym {
+  Sym* left = nullptr;
+  Sym* right = nullptr;
+  std::u32string chars;
+  std::string ub;  // utf8 (surrogateescape bytes for U+DC80..DCFF)
+  bool is_unk = false;
+  int64_t freq = 0;
+  std::vector<uint64_t> positions;  // sorted unique
+  uint64_t fp = 0;
+  int64_t cidx = 0;
+};
+
+static inline void mix64(uint64_t& a, uint64_t& b, uint64_t& c) {
+  a -= b; a -= c; a ^= c >> 43;
+  b -= c; b -= a; b ^= a << 9;
+  c -= a; c -= b; c ^= b >> 8;
+  a -= b; a -= c; a ^= c >> 38;
+  b -= c; b -= a; b ^= a << 23;
+  c -= a; c -= b; c ^= b >> 5;
+  a -= b; a -= c; a ^= c >> 35;
+  b -= c; b -= a; b ^= a << 49;
+  c -= a; c -= b; c ^= b >> 11;
+  a -= b; a -= c; a ^= c >> 12;
+  b -= c; b -= a; b ^= a << 18;
+  c -= a; c -= b; c ^= b >> 22;
+}
+
+static inline uint64_t fingerprint_cat(uint64_t x, uint64_t y) {
+  uint64_t b = 0xE08C1D668B756F82ULL;
+  mix64(x, b, y);
+  return y;
+}
+
+static inline void append_utf8(std::string& out, uint32_t cp) {
+  if (cp >= 0xDC80 && cp <= 0xDCFF) {  // surrogateescape byte
+    out.push_back(static_cast<char>(cp - 0xDC00));
+  } else if (cp < 0x80) {
+    out.push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out.push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+struct Ctx {
+  // validity config
+  int32_t max_len;
+  bool ws_suffix, split_ws, split_num, split_script;
+  const int32_t* scr_lo;
+  const int32_t* scr_hi;
+  const int32_t* scr_id;
+  int64_t n_scr;
+  int32_t common_id, han_id, hira_id, kata_id;
+
+  int32_t script_of(uint32_t cp) const {
+    int64_t lo = 0, hi = n_scr;
+    while (lo < hi) {  // upper_bound on scr_lo
+      int64_t mid = (lo + hi) / 2;
+      if (static_cast<uint32_t>(scr_lo[mid]) <= cp) lo = mid + 1;
+      else hi = mid;
+    }
+    int64_t i = lo - 1;
+    if (i >= 0 && cp <= static_cast<uint32_t>(scr_hi[i])) return scr_id[i];
+    return common_id;
+  }
+
+  // trainer_interface.cc:178-267 (= train/interface.py
+  // is_valid_sentencepiece)
+  bool valid(const std::u32string& cps) const {
+    const int64_t n = static_cast<int64_t>(cps.size());
+    if (n == 0 || n > max_len) return false;
+    const int32_t ANY = -1;
+    int32_t prev = ANY;
+    for (int64_t pos = 0; pos < n; ++pos) {
+      const uint32_t c = cps[pos];
+      if (c == 0x2585 || c == 0x0000 || c == 0x0009 || c == 0x0020)
+        return false;
+      if (!(c < 0xD800 || (c >= 0xE000 && c <= 0x10FFFF))) return false;
+      if (c == 0x2581) {
+        if (ws_suffix) {
+          if ((split_ws && pos < n - 1) ||
+              (!split_ws && pos < n - 1 && pos == 0))
+            return false;
+        } else {
+          if ((split_ws && pos > 0) ||
+              (!split_ws && pos > 0 && pos == n - 1))
+            return false;
+        }
+      } else {
+        int32_t s = script_of(c);
+        if (s == hira_id || s == kata_id || c == 0x30FC) s = han_id;
+        if (!split_num && c >= 0x30 && c <= 0x39) s = ANY;
+        if (split_script && s != ANY && prev != ANY && prev != s)
+          return false;
+        prev = s;
+      }
+    }
+    return true;
+  }
+};
+
+struct CidxLess {
+  bool operator()(const Sym* a, const Sym* b) const {
+    return a->cidx < b->cidx;
+  }
+};
+
+}  // namespace bpetrain
+
+extern "C" int64_t spm_bpe_train(
+    const int64_t* sent_off, const uint32_t* sent_cps, int64_t n_sents,
+    const int64_t* sent_freqs,
+    const uint32_t* req_cps, const int64_t* req_freqs, int64_t n_req,
+    int32_t max_piece_len, int32_t ws_suffix, int32_t split_ws,
+    int32_t split_num, int32_t split_script,
+    const int32_t* scr_lo, const int32_t* scr_hi, const int32_t* scr_id,
+    int64_t n_scr, int32_t common_id, int32_t han_id, int32_t hira_id,
+    int32_t kata_id, int64_t vocab_target,
+    uint32_t* out_cps, int64_t out_cap, int64_t* out_off, int64_t* out_n) {
+  using namespace bpetrain;
+  Ctx ctx{max_piece_len, ws_suffix != 0, split_ws != 0, split_num != 0,
+          split_script != 0, scr_lo, scr_hi, scr_id, n_scr,
+          common_id, han_id, hira_id, kata_id};
+
+  std::unordered_map<uint32_t, int64_t> required;
+  required.reserve(n_req * 2);
+  for (int64_t i = 0; i < n_req; ++i) required[req_cps[i]] = req_freqs[i];
+
+  std::deque<Sym> arena;
+  int64_t n_created = 0;
+  // symbols_cache_: REAL libstdc++ unordered_map (identity hash on u64)
+  std::unordered_map<uint64_t, Sym*> cache;
+  std::set<Sym*, CidxLess> active;
+  std::vector<std::vector<Sym*>> symbols(n_sents);
+
+  auto get_char_symbol = [&](uint32_t c) -> Sym* {
+    auto it = cache.find(c);
+    if (it != cache.end()) return it->second;
+    arena.emplace_back();
+    Sym* s = &arena.back();
+    s->is_unk = (c == 0x2585);
+    s->chars.push_back(c);
+    append_utf8(s->ub, c);
+    auto rit = required.find(c);
+    s->freq = rit != required.end() ? rit->second : 1;
+    s->fp = c;
+    s->cidx = n_created++;
+    cache.emplace(c, s);
+    return s;
+  };
+
+  auto get_pair_symbol = [&](Sym* l, Sym* r) -> Sym* {
+    if (l == nullptr || r == nullptr || l->is_unk || r->is_unk)
+      return nullptr;
+    const uint64_t key = fingerprint_cat(l->fp, r->fp);
+    auto it = cache.find(key);
+    if (it != cache.end()) return it->second;
+    std::u32string chars = l->chars + r->chars;
+    if (!ctx.valid(chars)) return nullptr;
+    arena.emplace_back();
+    Sym* s = &arena.back();
+    s->left = l;
+    s->right = r;
+    s->chars.swap(chars);
+    s->ub = l->ub + r->ub;
+    s->fp = key;
+    s->cidx = n_created++;
+    cache.emplace(key, s);
+    return s;
+  };
+
+  auto encode_pos = [](int64_t sid, int64_t l, int64_t r) -> uint64_t {
+    return (static_cast<uint64_t>(sid) << 32) |
+           (static_cast<uint64_t>(l) << 16) | static_cast<uint64_t>(r);
+  };
+
+  auto compute_freq = [&](Sym* s) {
+    if (s->freq > 0) return;
+    int64_t prev_sid = -1, prev_right = 0;
+    std::vector<uint64_t> kept;
+    int64_t freq = 0;
+    for (uint64_t enc : s->positions) {
+      const int64_t sid = static_cast<int64_t>(enc >> 32);
+      const int64_t l = static_cast<int64_t>((enc >> 16) & 0xFFFF);
+      const int64_t r = static_cast<int64_t>(enc & 0xFFFF);
+      if ((sid == prev_sid && l == prev_right) ||
+          symbols[sid][l] != s->left || symbols[sid][r] != s->right) {
+        prev_sid = -1;
+        prev_right = 0;
+      } else {
+        freq += sent_freqs[sid];
+        prev_sid = sid;
+        prev_right = r;
+        kept.push_back(enc);
+      }
+    }
+    s->freq = freq;
+    s->positions.swap(kept);
+  };
+
+  auto get_next_index = [&](int64_t sid, int64_t index) -> int64_t {
+    const auto& row = symbols[sid];
+    for (int64_t i = index + 1; i < (int64_t)row.size(); ++i)
+      if (row[i] != nullptr) return i;
+    return -1;
+  };
+  auto get_prev_index = [&](int64_t sid, int64_t index) -> int64_t {
+    const auto& row = symbols[sid];
+    for (int64_t i = index - 1; i >= 0; --i)
+      if (row[i] != nullptr) return i;
+    return -1;
+  };
+  auto add_new_pair = [&](int64_t sid, int64_t left, int64_t right) {
+    if (left == -1 || right == -1) return;
+    Sym* s = get_pair_symbol(symbols[sid][left], symbols[sid][right]);
+    if (s != nullptr) {
+      active.insert(s);
+      const uint64_t enc = encode_pos(sid, left, right);
+      auto it = std::lower_bound(s->positions.begin(), s->positions.end(),
+                                 enc);
+      if (it == s->positions.end() || *it != enc)
+        s->positions.insert(it, enc);
+    }
+  };
+  auto reset_freq = [&](int64_t sid, int64_t left, int64_t right,
+                        Sym* best) {
+    if (left == -1 || right == -1) return;
+    Sym* s = get_pair_symbol(symbols[sid][left], symbols[sid][right]);
+    if (s != nullptr && s != best) s->freq = 0;
+  };
+
+  for (int64_t sid = 0; sid < n_sents; ++sid) {
+    const int64_t L = sent_off[sid + 1] - sent_off[sid];
+    if (L > 0xFFFF) return -3;  // _encode_pos 16-bit packing limit
+    auto& row = symbols[sid];
+    row.resize(L);
+    for (int64_t i = 0; i < L; ++i)
+      row[i] = get_char_symbol(sent_cps[sent_off[sid] + i]);
+  }
+  for (int64_t sid = 0; sid < n_sents; ++sid)
+    for (int64_t i = 1; i < (int64_t)symbols[sid].size(); ++i)
+      add_new_pair(sid, i - 1, i);
+
+  auto update_active = [&]() {
+    std::vector<Sym*> cand;
+    for (auto& kv : cache) {
+      Sym* s = kv.second;
+      if (s->left != nullptr && s->right != nullptr) {
+        compute_freq(s);
+        cand.push_back(s);
+      }
+    }
+    active.clear();
+    if (cand.empty()) return;
+    const size_t k_min = 1000;
+    size_t size = std::min(
+        std::max(k_min, static_cast<size_t>(cache.size() * 0.05)),
+        cand.size());
+    std::partial_sort(cand.begin(), cand.begin() + size, cand.end(),
+                      [](const Sym* a, const Sym* b) {
+                        return a->freq > b->freq;
+                      });
+    active.insert(cand.begin(), cand.begin() + size);
+  };
+
+  std::unordered_set<std::string> dup;
+  std::vector<const Sym*> finals;
+  int64_t n_final = 0;
+  while (n_final < vocab_target) {
+    if (n_final % 100 == 0) update_active();
+    Sym* best = nullptr;
+    int64_t best_freq = 0;
+    for (Sym* s : active) {
+      compute_freq(s);
+      if (best == nullptr) {
+        best = s;
+        continue;
+      }
+      // key = (-freq, len(chars), utf8) <
+      if (s->freq > best->freq ||
+          (s->freq == best->freq &&
+           (s->chars.size() < best->chars.size() ||
+            (s->chars.size() == best->chars.size() && s->ub < best->ub))))
+        best = s;
+    }
+    (void)best_freq;
+    if (best == nullptr) break;
+    if (!dup.insert(best->ub).second) {
+      cache.erase(best->fp);
+      active.erase(best);
+      continue;
+    }
+    finals.push_back(best);
+    ++n_final;
+
+    const std::vector<uint64_t> plist = best->positions;
+    for (uint64_t enc : plist) {
+      const int64_t sid = static_cast<int64_t>(enc >> 32);
+      const int64_t left = static_cast<int64_t>((enc >> 16) & 0xFFFF);
+      const int64_t right = static_cast<int64_t>(enc & 0xFFFF);
+      auto& row = symbols[sid];
+      if (row[left] == nullptr) continue;
+      const int64_t nxt = get_next_index(sid, right);
+      const int64_t prv = get_prev_index(sid, left);
+      reset_freq(sid, prv, left, best);
+      reset_freq(sid, right, nxt, best);
+      row[left] = best;
+      row[right] = nullptr;
+      add_new_pair(sid, prv, left);
+      add_new_pair(sid, left, nxt);
+    }
+    cache.erase(best->fp);
+    active.erase(best);
+  }
+
+  int64_t nb = 0;
+  out_off[0] = 0;
+  for (size_t i = 0; i < finals.size(); ++i) {
+    const std::u32string& cs = finals[i]->chars;
+    if (nb + (int64_t)cs.size() > out_cap) return -2;
+    for (char32_t c : cs) out_cps[nb++] = static_cast<uint32_t>(c);
+    out_off[i + 1] = nb;
+  }
+  *out_n = static_cast<int64_t>(finals.size());
+  return nb;
 }

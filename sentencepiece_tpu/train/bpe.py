@@ -32,12 +32,13 @@ The device-parallel pair-count path lives in sentencepiece_tpu.tpu
 
 from __future__ import annotations
 
+import bisect
 import logging
 from typing import Dict, List, Optional, Set, Tuple
 
 from ..proto.spec import ModelProto, ModelType
 from ..utils.stdhashtable import StdUnorderedMap, fingerprint_cat
-from ..utils.stdheap import std_partial_sort
+from ..utils.stdheap import std_partial_sort, std_partial_sort_freq_desc
 from .interface import TrainerInterface, UNK_CHAR, sorted_freq_desc
 
 log = logging.getLogger("sentencepiece_tpu.train")
@@ -45,7 +46,7 @@ log = logging.getLogger("sentencepiece_tpu.train")
 
 class _Symbol:
     __slots__ = ("left", "right", "chars", "is_unk", "freq", "positions",
-                 "key", "cidx")
+                 "key", "cidx", "str", "ub", "nch", "pos_sorted")
 
     def __init__(self):
         self.left: Optional["_Symbol"] = None
@@ -56,16 +57,20 @@ class _Symbol:
         self.positions: Set[int] = set()
         self.key = None   # 64-bit fingerprint (reference Symbol::fp)
         self.cidx = 0     # creation order (stands in for pointer order)
+        self.str = ""     # cached string / utf8 (chars are immutable)
+        self.ub = b""
+        self.nch = 0
+        self.pos_sorted: Optional[List[int]] = None
 
     @property
     def is_bigram(self) -> bool:
         return self.left is not None and self.right is not None
 
     def to_string(self) -> str:
-        return "".join(chr(c) for c in self.chars)
+        return self.str
 
     def utf8(self) -> bytes:
-        return self.to_string().encode("utf-8", errors="surrogateescape")
+        return self.ub
 
 
 def _encode_pos(sid: int, l: int, r: int) -> int:
@@ -96,6 +101,12 @@ class Trainer(TrainerInterface):
         # the trained merge tail at large vocab sizes.
         self._cache: StdUnorderedMap = StdUnorderedMap()
         self._active: Set[_Symbol] = set()
+        self._active_list: List[_Symbol] = []  # cidx asc; lazily pruned
+        # (left.key, right.key) -> Symbol|None memo over _get_pair_symbol:
+        # skips the fingerprint + hashtable walk for repeated pair queries.
+        # Entries are dropped when the symbol is erased from the cache
+        # (the reference then allocates a FRESH Symbol on next query).
+        self._pair_memo: Dict[Tuple[int, int], Optional[_Symbol]] = {}
         self._symbols: List[List[Optional[_Symbol]]] = []
         self._n_created = 0
 
@@ -108,6 +119,9 @@ class Trainer(TrainerInterface):
         s = _Symbol()
         s.is_unk = (c == UNK_CHAR)
         s.chars = (c,)
+        s.str = chr(c)
+        s.ub = s.str.encode("utf-8", errors="surrogateescape")
+        s.nch = 1
         s.freq = freq
         s.key = c  # fp of a char symbol is the codepoint (cc:57-63)
         s.cidx = self._n_created
@@ -115,25 +129,37 @@ class Trainer(TrainerInterface):
         self._cache.insert(c, s)
         return s
 
+    _MISS = object()
+
     def _get_pair_symbol(self, left: Optional[_Symbol],
                          right: Optional[_Symbol]) -> Optional[_Symbol]:
         if left is None or right is None or left.is_unk or right.is_unk:
             return None
+        memo_key = (left.key, right.key)
+        hit = self._pair_memo.get(memo_key, self._MISS)
+        if hit is not self._MISS:
+            return hit
         key = fingerprint_cat(left.key, right.key)
         s = self._cache.get(key)
         if s is not None:
+            self._pair_memo[memo_key] = s
             return s
         chars = left.chars + right.chars
         if not self.is_valid_sentencepiece(chars):
+            self._pair_memo[memo_key] = None
             return None
         s = _Symbol()
         s.left = left
         s.right = right
         s.chars = chars
+        s.str = left.str + right.str
+        s.ub = left.ub + right.ub
+        s.nch = len(chars)
         s.key = key
         s.cidx = self._n_created
         self._n_created += 1
         self._cache.insert(key, s)
+        self._pair_memo[memo_key] = s
         return s
 
     # -- lazy frequency (bpe_model_trainer.cc:85-116) ---------------------------
@@ -144,7 +170,10 @@ class Trainer(TrainerInterface):
         kept: List[int] = []
         freq = 0
         syms = self._symbols
-        for enc in sorted(symbol.positions):
+        ps = symbol.pos_sorted
+        if ps is None or len(ps) != len(symbol.positions):
+            ps = sorted(symbol.positions)
+        for enc in ps:
             sid, l, r = _decode_pos(enc)
             if ((sid == prev_sid and l == prev_right)
                     or syms[sid][l] is not symbol.left
@@ -156,6 +185,7 @@ class Trainer(TrainerInterface):
                 kept.append(enc)
         symbol.freq = freq
         symbol.positions = set(kept)
+        symbol.pos_sorted = kept  # enumerated ascending -> sorted
 
     def _get_next_index(self, sid: int, index: int) -> int:
         row = self._symbols[sid]
@@ -177,7 +207,10 @@ class Trainer(TrainerInterface):
         symbol = self._get_pair_symbol(self._symbols[sid][left],
                                        self._symbols[sid][right])
         if symbol is not None:
-            self._active.add(symbol)
+            if symbol not in self._active:
+                self._active.add(symbol)
+                bisect.insort(self._active_list, symbol,
+                              key=lambda s: s.cidx)
             symbol.positions.add(_encode_pos(sid, left, right))
 
     def _reset_freq(self, sid: int, left: int, right: int,
@@ -197,18 +230,21 @@ class Trainer(TrainerInterface):
         equal-frequency symbols survive the cutoff matches libstdc++."""
         symbols = []
         for s in self._cache.values():
-            if s.is_bigram:
-                self._compute_freq(s)
+            if s.left is not None and s.right is not None:
+                if s.freq <= 0:
+                    self._compute_freq(s)
                 symbols.append(s)
         if not symbols:
             self._active = set()
+            self._active_list = []
             return
         k_min, k_ratio = 1000, 0.05
         size = min(max(k_min, int(len(self._cache) * k_ratio)), len(symbols))
-        std_partial_sort(symbols, size, lambda a, b: a.freq > b.freq)
+        std_partial_sort_freq_desc(symbols, size)
         log.info("Updating active symbols. max_freq=%d min_freq=%d",
                  symbols[0].freq, symbols[size - 1].freq)
         self._active = set(symbols[:size])
+        self._active_list = sorted(self._active, key=lambda s: s.cidx)
 
     # -- main loop (cc:186-326) --------------------------------------------------
     def train(self) -> ModelProto:
@@ -217,6 +253,33 @@ class Trainer(TrainerInterface):
         self.load_sentences()
         if self.trainer_spec.split_by_whitespace:
             self.split_sentences_by_whitespace()
+
+        if self.engine == "exact":
+            # C++ merge core with REAL libstdc++ containers — identical by
+            # construction to the emulated loop below (the validated spec);
+            # falls through to Python when the native library is absent.
+            vt = (self.trainer_spec.vocab_size - len(self.meta_pieces)
+                  - len(self.required_chars))
+            assert vt >= 0, "vocab_size too small for alphabet"
+            merged = None
+            try:
+                from .. import native
+
+                merged = native.bpe_train_merges_native(
+                    [t for t, _ in self.sentences],
+                    [f for _, f in self.sentences],
+                    self.required_chars, self.trainer_spec, vt)
+            except Exception:
+                merged = None
+            if merged is not None:
+                for piece in merged:
+                    self.final_pieces.append(
+                        (piece, -float(len(self.final_pieces))))
+                for cp, _freq in sorted_freq_desc(
+                        self.required_chars.items()):
+                    self.final_pieces.append(
+                        (chr(cp), -float(len(self.final_pieces))))
+                return self.save()
 
         self._symbols = []
         for s, _freq in self.sentences:
@@ -259,10 +322,16 @@ class Trainer(TrainerInterface):
             best: Optional[_Symbol] = None
             best_key = None
             # std::set<Symbol*> iterates in pointer order; allocation
-            # order stands in for it (symbols are never freed mid-train)
-            for symbol in sorted(self._active, key=lambda s: s.cidx):
-                self._compute_freq(symbol)
-                key = (-symbol.freq, len(symbol.chars), symbol.utf8())
+            # order stands in for it (symbols are never freed mid-train).
+            # _active_list is kept cidx-sorted; entries discarded from the
+            # set are skipped here and dropped at the next rebuild.
+            active = self._active
+            for symbol in self._active_list:
+                if symbol not in active:
+                    continue
+                if symbol.freq <= 0:
+                    self._compute_freq(symbol)
+                key = (-symbol.freq, symbol.nch, symbol.ub)
                 if best is None or key < best_key:
                     best, best_key = symbol, key
             if best is None:
@@ -271,6 +340,7 @@ class Trainer(TrainerInterface):
             bs = best.to_string()
             if bs in dup:
                 self._cache.erase(best.key)
+                self._pair_memo.pop((best.left.key, best.right.key), None)
                 self._active.discard(best)
                 continue
             dup.add(bs)
@@ -281,7 +351,10 @@ class Trainer(TrainerInterface):
                          best.freq, len(self.final_pieces),
                          len(self._cache), len(self._active), bs)
 
-            for enc in sorted(best.positions):
+            bps = best.pos_sorted
+            if bps is None or len(bps) != len(best.positions):
+                bps = sorted(best.positions)
+            for enc in bps:
                 sid, left, right = _decode_pos(enc)
                 row = self._symbols[sid]
                 if row[left] is None:
@@ -297,6 +370,7 @@ class Trainer(TrainerInterface):
                 self._add_new_pair(sid, left, nxt)
 
             self._cache.erase(best.key)
+            self._pair_memo.pop((best.left.key, best.right.key), None)
             self._active.discard(best)
 
         for cp, _freq in sorted_freq_desc(self.required_chars.items()):

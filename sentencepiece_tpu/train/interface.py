@@ -171,15 +171,27 @@ class TrainerInterface:
             insert_meta_symbol(w, PieceType.USER_DEFINED)
 
     # -- piece validity (trainer_interface.cc:178-267) -------------------------
+    _iv_cfg = None
+
     def is_valid_sentencepiece(self, cps) -> bool:
-        ts = self.trainer_spec
+        # spec fields hoisted out of the hot path (proto attribute lookup
+        # dominates otherwise); the spec is fixed once training starts
+        cfg = self._iv_cfg
+        if cfg is None:
+            ts = self.trainer_spec
+            cfg = self._iv_cfg = (
+                ts.max_sentencepiece_length, ts.treat_whitespace_as_suffix,
+                ts.split_by_whitespace, ts.split_by_number,
+                ts.split_by_unicode_script)
+        max_len, ws_suffix, split_ws, split_num, split_script = cfg
         n = len(cps)
-        if n == 0 or n > ts.max_sentencepiece_length:
+        if n == 0 or n > max_len:
             return False
         ANY = -1
         han = unicode_script.script_id("Han")
         hira = unicode_script.script_id("Hiragana")
         kata = unicode_script.script_id("Katakana")
+        get_script = unicode_script.get_script
         prev_script = ANY
         for pos, c in enumerate(cps):
             if c == UNK_CHAR or c == 0x0000 or c == UPP_BOUNDARY_CHAR:
@@ -190,23 +202,21 @@ class TrainerInterface:
             if not is_valid_codepoint(c):
                 return False
             if c == WS_CHAR:
-                if ts.treat_whitespace_as_suffix:
-                    if ((ts.split_by_whitespace and pos < n - 1)
-                            or (not ts.split_by_whitespace and pos < n - 1
-                                and pos == 0)):
+                if ws_suffix:
+                    if ((split_ws and pos < n - 1)
+                            or (not split_ws and pos < n - 1 and pos == 0)):
                         return False
                 else:
-                    if ((ts.split_by_whitespace and pos > 0)
-                            or (not ts.split_by_whitespace and pos > 0
-                                and pos == n - 1)):
+                    if ((split_ws and pos > 0)
+                            or (not split_ws and pos > 0 and pos == n - 1)):
                         return False
             else:
-                s = unicode_script.get_script(c)
+                s = get_script(c)
                 if s == hira or s == kata or c == 0x30FC:
                     s = han
-                if not ts.split_by_number and 0x30 <= c <= 0x39:
+                if not split_num and 0x30 <= c <= 0x39:
                     s = ANY
-                if (ts.split_by_unicode_script and s != ANY
+                if (split_script and s != ANY
                         and prev_script != ANY and prev_script != s):
                     return False
                 prev_script = s

@@ -238,5 +238,7 @@ class StdUnorderedMap:
             n = n.nxt
 
     def values(self) -> Iterator[object]:
-        for _, v in self.items():
-            yield v
+        n = self._head
+        while n is not None:
+            yield n.value
+            n = n.nxt

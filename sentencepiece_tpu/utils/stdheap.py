@@ -155,3 +155,58 @@ def std_partial_sort(v: List[T], middle: int,
         value = v[last]
         v[last] = v[0]
         _adjust_heap(v, 0, 0, last, value, less)
+
+
+def std_partial_sort_freq_desc(v, middle: int) -> None:
+    """std_partial_sort specialized to ``less(a, b) = a.freq > b.freq``
+    (UpdateActiveSymbols' comparator) with the comparison inlined — the
+    generic lambda dispatch dominates the trainer profile otherwise.
+    Heap mechanics identical to std_partial_sort."""
+    n = len(v)
+    if n == 0:
+        return
+    middle = min(middle, n)
+
+    def adjust(hole, length, value):
+        top = hole
+        second = hole
+        vf = value.freq
+        while second < (length - 1) // 2:
+            second = 2 * (second + 1)
+            if v[second].freq > v[second - 1].freq:
+                second -= 1
+            v[hole] = v[second]
+            hole = second
+        if length % 2 == 0 and second == (length - 2) // 2:
+            second = 2 * (second + 1)
+            v[hole] = v[second - 1]
+            hole = second - 1
+        while hole > top:
+            parent = (hole - 1) // 2
+            if not (v[parent].freq > vf):
+                break
+            v[hole] = v[parent]
+            hole = parent
+        v[hole] = value
+
+    if middle >= 2:
+        parent = (middle - 2) // 2
+        while True:
+            adjust(parent, middle, v[parent])
+            if parent == 0:
+                break
+            parent -= 1
+    top0 = v[0]
+    for i in range(middle, n):
+        if v[i].freq > top0.freq:
+            value = v[i]
+            v[i] = top0
+            adjust(0, middle, value)
+            top0 = v[0]
+    # __sort_heap on [0, middle)
+    last = middle
+    while last > 1:
+        last -= 1
+        value = v[last]
+        v[last] = v[0]
+        adjust(0, last, value)

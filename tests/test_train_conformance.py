@@ -110,3 +110,24 @@ def test_flag_modes_vocab_identical(tmp_path, fixture, mt, corpus, extra):
     got = open(prefix + ".vocab", encoding="utf-8").read()
     want = open(FIX / fixture, encoding="utf-8").read()
     assert got == want
+
+
+def test_bpe_python_fallback_matches_native(tmp_path, monkeypatch):
+    """The Python merge loop (the spec the C++ core is ported from) and
+    spm_bpe_train produce identical vocabs."""
+    import sentencepiece_tpu.native as native_mod
+    from sentencepiece_tpu.train import facade
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text(
+        "the quick brown fox jumps over the lazy dog\n"
+        "pack my box with five dozen liquor jugs\n" * 20,
+        encoding="utf-8")
+    m1 = facade.train(f"--input={corpus} --model_prefix={tmp_path}/native "
+                      "--model_type=bpe --vocab_size=120 --minloglevel=2")
+    monkeypatch.setattr(native_mod, "bpe_train_merges_native",
+                        lambda *a, **k: None)
+    m2 = facade.train(f"--input={corpus} --model_prefix={tmp_path}/pyfall "
+                      "--model_type=bpe --vocab_size=120 --minloglevel=2")
+    assert (tmp_path / "native.vocab").read_bytes() == \
+        (tmp_path / "pyfall.vocab").read_bytes()
