@@ -722,3 +722,20 @@ def bpe_train_merges_native(sentences, freqs, required_chars, spec,
     full = out_cps[:nb].tobytes().decode("utf-32-le",
                                          errors="surrogatepass")
     return [full[int(out_off[i]):int(out_off[i + 1])] for i in range(n)]
+
+
+def digamma_batch(x):
+    """Exact digamma over a float64 array (C++, glibc log) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_dg_ready", False):
+        lib.spm_digamma.restype = None
+        lib.spm_digamma.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64]
+        lib._dg_ready = True
+    xa = np.ascontiguousarray(x, np.float64)
+    out = np.empty(len(xa), np.float64)
+    lib.spm_digamma(xa.ctypes.data_as(ctypes.c_void_p),
+                    out.ctypes.data_as(ctypes.c_void_p), len(xa))
+    return out

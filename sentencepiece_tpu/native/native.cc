@@ -1733,3 +1733,23 @@ extern "C" int64_t spm_bpe_train(
   *out_n = static_cast<int64_t>(finals.size());
   return nb;
 }
+
+// Exact digamma batch (unigram_model_trainer.cc:22-40 double arithmetic;
+// glibc log — the same libm behind Python's math.log).
+extern "C" void spm_digamma(const double* x_in, double* out, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    double x = x_in[i];
+    double result = 0.0;
+    while (x < 7) {
+      result -= 1.0 / x;
+      x += 1;
+    }
+    x -= 1.0 / 2.0;
+    const double xx = 1.0 / x;
+    const double xx2 = xx * xx;
+    const double xx4 = xx2 * xx2;
+    result += std::log(x) + (1.0 / 24.0) * xx2 - (7.0 / 960.0) * xx4 +
+              (31.0 / 8064.0) * xx4 * xx2 - (127.0 / 30720.0) * xx4 * xx4;
+    out[i] = result;
+  }
+}

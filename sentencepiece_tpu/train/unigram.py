@@ -454,7 +454,15 @@ class Trainer(TrainerInterface):
             new_pieces.append((w, freq))
             total = F32(total + F32(freq))
         logsum = _f32(digamma(float(total)))  # `const float logsum`
-        dg = digamma_vec(np.array([f for _, f in new_pieces], np.float64))
+        xs = np.array([f for _, f in new_pieces], np.float64)
+        try:
+            from .. import native
+
+            dg = native.digamma_batch(xs)
+        except Exception:
+            dg = None
+        if dg is None:
+            dg = digamma_vec(xs)
         return [(w, _f32(dg[i] - logsum))
                 for i, (w, _) in enumerate(new_pieces)]
 
