@@ -339,6 +339,63 @@ class UnigramBatchEncoder:
                 results[gi] = out[j, :n[j]].tolist()
         return results  # type: ignore[return-value]
 
+    def sample_from_nbest(self, texts: Sequence[str], nbest_size: int,
+                          alpha: float, rng=None) -> List[List[int]]:
+        """Device n-best sampling (the processor's nbest_size>1 dispatch,
+        sentencepiece_processor.cc:636-646): k-best Viterbi on device,
+        then one softmax(alpha * score) draw per row via Gumbel-max."""
+        if rng is None:
+            from ..utils.rng import get_generator
+
+            rng = get_generator()
+        K = max(1, min(int(nbest_size), 512))
+        normed = self._normalize_all(texts)
+        order = sorted(range(len(normed)), key=lambda i: len(normed[i]))
+        results: List[Optional[List[int]]] = [None] * len(normed)
+        i = 0
+        while i < len(order):
+            blen = len(normed[order[i]])
+            bucket = next((b for b in self.BUCKETS if blen <= b),
+                          self.BUCKETS[-1])
+            group = []
+            while (i < len(order) and len(group) < self.MAX_BATCH
+                   and len(normed[order[i]]) <= bucket):
+                group.append(order[i])
+                i += 1
+            B = len(group)
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            arr = np.zeros((Bp, bucket), np.uint8)
+            lens = np.zeros(Bp, np.int32)
+            for j, gi in enumerate(group):
+                b = normed[gi][:bucket]
+                arr[j, :len(b)] = np.frombuffer(b, np.uint8)
+                lens[j] = len(b)
+            rev_ids, n_toks, scores, valid = unigram_nbest_batch(
+                self.units, self.lat_score_table, jnp.asarray(arr),
+                jnp.asarray(lens), self.unk_score,
+                max_depth=self.max_depth, unk_id=self.unk_id, k=K,
+                root_state=self.root_state)
+            scores = np.asarray(scores)
+            valid = np.asarray(valid)
+            rev_ids = np.asarray(rev_ids)
+            n_toks = np.asarray(n_toks)
+            for j, gi in enumerate(group):
+                v = valid[j]
+                sc = scores[j][v]
+                probs = np.exp(alpha * sc)
+                probs /= probs.sum()
+                pick = int(rng.choice(len(sc), p=probs))
+                ranks = np.nonzero(v)[0]
+                r = int(ranks[pick])
+                nt = int(n_toks[j, r])
+                ids = rev_ids[j, r, :nt][::-1]
+                results[gi] = _apply_row_opts(
+                    ids, self.unk_id, self.add_bos, self.add_eos,
+                    self.reverse, self.bos_id, self.eos_id)
+        return results  # type: ignore[return-value]
+
     def sample(self, texts: Sequence[str], alpha: float,
                rng=None) -> List[List[int]]:
         """Device lattice sampling (unigram_sample_batch) with the same
@@ -559,3 +616,161 @@ def unigram_sample_batch(units: jnp.ndarray,
         newT = newT + 1
         out = jnp.where(tt < newT[:, None], out, pad_id)
     return out, newT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "unk_id", "k", "root_state"))
+def unigram_nbest_batch(units: jnp.ndarray,
+                        lat_score_table: jnp.ndarray,
+                        batch: jnp.ndarray,
+                        lengths: jnp.ndarray,
+                        unk_score: jnp.ndarray,
+                        *,
+                        max_depth: int,
+                        unk_id: int,
+                        k: int,
+                        root_state: int = 0):
+    """K-best Viterbi on device (SURVEY §2.8's n-best plan): the encode
+    scan's D-wide window widened to [D, K] per-position score ranks, with
+    lax.top_k merging D*K candidates per step and packed (j, rank)
+    backpointers. Paths come out score-ordered; equal-score tie ORDER is
+    implementation-defined here (the host A* nbest remains the
+    tie-order-exact path, models/unigram.py).
+
+    Returns (rev_ids int32[B, K, N] reverse-order tokens (-1 padded),
+    n_toks int32[B, K], scores float32[B, K], valid bool[B, K]).
+
+    The lattice populate repeats the inline walk (see the fusion note at
+    the top of this module)."""
+    B, N = batch.shape
+    D = max_depth
+    K = k
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+    is_start = in_range & ((batch & 0xC0) != 0x80)
+
+    lead = batch
+    charlen = jnp.where(
+        lead < 0x80, 1,
+        jnp.where(lead < 0xE0, 2, jnp.where(lead < 0xF0, 3, 4))).astype(
+            jnp.int32)
+
+    batch_pad = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
+    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
+    alive = is_start
+    id_lanes = []
+    label_mask = jnp.uint32((1 << 31) | 0xFF)
+    has_leaf_bit = jnp.uint32(1 << 8)
+    value_mask = jnp.uint32(0x7FFFFFFF)
+    for d in range(D):
+        c = batch_pad[:, d:N + d].astype(jnp.uint32)
+        byte_ok = (pos + d) < lengths[:, None]
+        live = alive & byte_ok
+        node = state ^ c
+        safe = jnp.where(live, node, jnp.uint32(0))
+        unit = trie._gather(units, safe)
+        ok = live & ((unit & label_mask) == c)
+        state = jnp.where(ok, node ^ trie.offsets(unit), state)
+        has_leaf = ok & ((unit & has_leaf_bit) != 0)
+        leaf_unit = trie._gather(
+            units, jnp.where(has_leaf, state, jnp.uint32(0)))
+        val = jnp.where(has_leaf,
+                        (leaf_unit & value_mask).astype(jnp.int32),
+                        jnp.int32(-1))
+        alive = ok
+        id_lanes.append(val)
+
+    lat_ids = jnp.stack(id_lanes, axis=2)
+    cl = jnp.clip(charlen - 1, 0, D - 1)
+    lane_at_cl = jnp.take_along_axis(lat_ids, cl[:, :, None], axis=2)[:, :, 0]
+    need_unk = is_start & (lane_at_cl < 0)
+    is_unk_node = jnp.zeros((B, N, D), jnp.bool_).at[
+        jnp.arange(B)[:, None], pos, cl].set(need_unk, mode="drop")
+    lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
+
+    vsafe = jnp.maximum(lat_ids, 0)
+    lat_sc = jnp.where(lat_ids >= 0, trie._gather(lat_score_table, vsafe),
+                       NEG_INF)
+    lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
+
+    def end_align(lat, fill):
+        cols = []
+        for j in range(D):
+            shifted = jnp.concatenate(
+                [jnp.full((B, j + 1), fill, lat.dtype),
+                 lat[:, :N - j, j]], axis=1)
+            cols.append(shifted)
+        return jnp.stack(cols, axis=2)  # [B, N+1, D]
+
+    sc_end = end_align(lat_sc, NEG_INF)
+    id_end = end_align(lat_ids, -1)
+
+    # -- K-best forward scan --------------------------------------------------
+    # window win[b, j, r] = r-th best score at position p-1-j; candidates
+    # flattened with j DESC major (longest piece preferred on ties, like
+    # the Viterbi first-argmax).
+    def step(win, sc_p):
+        cand = win + sc_p[:, :, None]           # [B, D, K]
+        flat = cand[:, ::-1, :].reshape(B, D * K)
+        vals, idx = jax.lax.top_k(flat, K)      # [B, K]
+        new_win = jnp.concatenate([vals[:, None, :], win[:, :D - 1, :]],
+                                  axis=1)
+        return new_win, (vals, idx.astype(jnp.int32))
+
+    win0 = jnp.full((B, D, K), NEG_INF, jnp.float32).at[:, 0, 0].set(0.0)
+    _, (A, BP) = jax.lax.scan(step, win0,
+                              jnp.swapaxes(sc_end[:, 1:, :], 0, 1))
+    # A: [N, B, K] scores; BP: [N, B, K] flat (j_desc, rank) indices
+    zero_col = jnp.full((1, B, K), NEG_INF, jnp.float32).at[0, :, 0].set(0.0)
+    A = jnp.concatenate([zero_col, A], axis=0)          # [N+1, B, K]
+    BP = jnp.concatenate([jnp.zeros((1, B, K), jnp.int32), BP], axis=0)
+
+    A_b = jnp.swapaxes(A, 0, 1).reshape(B, (N + 1) * K)
+    BP_b = jnp.swapaxes(BP, 0, 1).reshape(B, (N + 1) * K)
+
+    rk = jnp.arange(K, dtype=jnp.int32)[None, :]
+    p0 = jnp.broadcast_to(lengths[:, None], (B, K)).astype(jnp.int32)
+    scores = jnp.take_along_axis(A_b, p0 * K + rk, axis=1)   # [B, K]
+    valid = scores > NEG_INF / 2
+
+    # -- backtrace of all K ranks in lockstep ---------------------------------
+    def bt_step(state, _):
+        p, r = state
+        active = p > 0
+        psafe = jnp.maximum(p, 0)
+        packed = jnp.take_along_axis(BP_b, psafe * K + r, axis=1)
+        j = (D - 1 - packed // K).astype(jnp.int32)
+        r_next = (packed % K).astype(jnp.int32)
+        tok = jnp.take_along_axis(
+            id_end.reshape(B, (N + 1) * D),
+            psafe * D + jnp.clip(j, 0, D - 1), axis=1)
+        new_p = jnp.where(active, p - (j + 1), p)
+        new_r = jnp.where(active, r_next, r)
+        return (new_p, new_r), (jnp.where(active, tok, -1), active)
+
+    (_, _), (rev_ids, rev_mask) = jax.lax.scan(
+        bt_step, (p0, jnp.broadcast_to(rk, (B, K))), None, length=N)
+    rev_ids = jnp.moveaxis(rev_ids, 0, 2)    # [B, K, N]
+    n_toks = jnp.sum(rev_mask, axis=0, dtype=jnp.int32)  # [B, K]
+    return rev_ids, n_toks, scores, valid
+
+
+
+def _apply_row_opts(ids, unk_id, add_bos, add_eos, reverse, bos_id, eos_id):
+    """Host tail for device n-best rows: adjacent-UNK merge + extra
+    options in ApplyExtraOptions order (reverse, bos, eos)."""
+    merged = []
+    prev_unk = False
+    for t in ids:
+        unk = t == unk_id
+        if not (unk and prev_unk):
+            merged.append(int(t))
+        prev_unk = unk
+    if reverse:
+        merged.reverse()
+    if add_bos:
+        merged.insert(0, bos_id)
+    if add_eos:
+        merged.append(eos_id)
+    return merged

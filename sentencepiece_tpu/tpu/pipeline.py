@@ -272,6 +272,9 @@ class TpuTokenizer:
             return self.enc.sample(list(texts), alpha, rng=rng)
         if nbest_size < 0 and self._bpe is not None:
             return self._bpe.sample(list(texts), alpha, rng=rng)
+        if nbest_size > 1 and self.enc is not None:
+            return self.enc.sample_from_nbest(list(texts), nbest_size,
+                                              alpha, rng=rng)
         return [self.processor.sample_encode_as_ids(t, nbest_size, alpha,
                                                     rng=rng)
                 for t in texts]
@@ -280,3 +283,21 @@ class TpuTokenizer:
         """Batched detokenization — the SentencepieceDecode analog
         (ops.cc:581-643)."""
         return [self.processor.decode_ids(list(ids)) for ids in ids_batch]
+
+    # -- piece accessor ops (ops.cc GetPieceSize/PieceToId/IdToPiece/
+    # GetPieceType registrations :486-643) --------------------------------
+    def piece_size(self) -> int:
+        return self.processor.get_piece_size()
+
+    def piece_to_id(self, pieces: Sequence[str]) -> List[int]:
+        return [self.processor.piece_to_id(p) for p in pieces]
+
+    def id_to_piece(self, ids: Sequence[int]) -> List[str]:
+        return [self.processor.id_to_piece(int(i)) for i in ids]
+
+    def get_piece_type(self, ids: Sequence[int]) -> List[bool]:
+        """True where the id is UNKNOWN/CONTROL/UNUSED (the TF op's
+        "piece type" = not a real sentencepiece)."""
+        return [self.processor.is_unknown(int(i))
+                or self.processor.is_control(int(i))
+                or self.processor.is_unused(int(i)) for i in ids]

@@ -98,3 +98,62 @@ def test_bpe_full_device_pipeline(fixtures_dir):
     lines = ["A cold day.", "", "  spaces  everywhere  ",
              "mixed ascii ＆ ｆｕｌｌｗｉｄｔｈ", "tails"]
     assert tok.encode(lines) == [sp.encode_as_ids(l) for l in lines]
+
+
+def test_device_kbest_matches_host_nbest():
+    """unigram_nbest_batch (k-best Viterbi scan) returns the same path set
+    and scores as the host A* nbest (tie ORDER is impl-defined on device;
+    host nbest remains the tie-exact path)."""
+    import jax.numpy as jnp
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+    from sentencepiece_tpu.tpu import encode as E
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    enc = tok.enc
+    for text in ("hello", "worlds"):
+        normalized, _ = sp.normalizer.normalize(text)
+        host = sp.model.nbest_encode(normalized, 6)
+        hostset = sorted(((tuple(pid for _, pid in res), round(sc, 4))
+                          for res, sc in host))
+        arr = np.zeros((8, 128), np.uint8)
+        lens = np.zeros(8, np.int32)
+        arr[0, :len(normalized)] = np.frombuffer(normalized, np.uint8)
+        lens[0] = len(normalized)
+        rev, nt, scores, valid = E.unigram_nbest_batch(
+            enc.units, enc.lat_score_table, jnp.asarray(arr),
+            jnp.asarray(lens), enc.unk_score, max_depth=enc.max_depth,
+            unk_id=enc.unk_id, k=6, root_state=enc.root_state)
+        rev, nt, scores, valid = map(np.asarray, (rev, nt, scores, valid))
+        devset = sorted(((tuple(int(x) for x in rev[0, r, :nt[0, r]][::-1]),
+                          round(float(scores[0, r]), 4))
+                         for r in range(6) if valid[0, r]))
+        assert hostset == devset
+
+
+def test_device_nbest_sampling_distribution():
+    """TpuTokenizer.sample_encode(nbest_size>1) draws from
+    softmax(alpha * score) over the n-best like the host dispatch."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    text = "hello"
+    S = 1200
+    hr = np.random.default_rng(1)
+    host = {}
+    for _ in range(S):
+        kk = tuple(sp.sample_encode_as_ids(text, 5, 0.7, rng=hr))
+        host[kk] = host.get(kk, 0) + 1
+    dev = {}
+    for o in tok.sample_encode([text] * S, 5, 0.7,
+                               rng=np.random.default_rng(2)):
+        dev[tuple(o)] = dev.get(tuple(o), 0) + 1
+    for kk in set(host) | set(dev):
+        p, q = host.get(kk, 0) / S, dev.get(kk, 0) / S
+        sig = (max(p * (1 - p), 1e-4) / S) ** 0.5
+        assert abs(p - q) < 5 * sig + 2 / S, (kk, p, q)
