@@ -53,15 +53,20 @@ def main(argv=None) -> None:
     def w(line: str) -> None:
         out.write(line + "\n")
 
-    if (fmt == "id" and not flags.generate_vocabulary
+    if (fmt in ("id", "piece") and not flags.generate_vocabulary
             and not flags.extra_options):
-        # batched fast path: chunked encode_as_ids_batch (the fused native
-        # normalize+encode when eligible), same ids as encode().pieces
+        # batched fast path: chunked encode_as_{ids,pieces}_batch (the
+        # fused native normalize+encode when eligible), same output as
+        # encode().pieces
         buf = []
 
         def flush():
-            for ids in sp.encode_as_ids_batch(buf):
-                w(" ".join(map(str, ids)))
+            if fmt == "id":
+                for ids in sp.encode_as_ids_batch(buf):
+                    w(" ".join(map(str, ids)))
+            else:
+                for pieces in sp.encode_as_pieces_batch(buf):
+                    w(" ".join(pieces))
             buf.clear()
 
         for line in read_lines(flags.rest):

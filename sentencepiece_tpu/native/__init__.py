@@ -494,7 +494,9 @@ class FusedUnigramEncoder:
                 ctypes.c_void_p, ctypes.c_int64,   # encoder trie
                 ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
             self.lib._fused_ready = True
         self.norm = norm
         self.enc = enc
@@ -536,10 +538,42 @@ class FusedUnigramEncoder:
             ctypes.c_void_p(data.ctypes.data),
             ctypes.c_void_p(off.ctypes.data), n_lines,
             ctypes.c_void_p(out_ids.ctypes.data), cap,
-            ctypes.c_void_p(out_off.ctypes.data))
+            ctypes.c_void_p(out_off.ctypes.data),
+            None, 0, None, None, None)
         if m < 0:
             return None
         return out_ids, out_off
+
+    def encode_pieces_batch(self, lines):
+        """Like encode_ids_batch but also returns merged-token spans into
+        the normalized bytes: (ids, off, starts, lens, norm, norm_off)."""
+        n_lines = len(lines)
+        off = np.zeros(n_lines + 1, np.int64)
+        np.cumsum(np.fromiter((len(b) for b in lines), np.int64, n_lines),
+                  out=off[1:])
+        data = np.frombuffer(b"".join(lines), np.uint8) if off[-1] else \
+            np.zeros(1, np.uint8)
+        cap = int(off[-1]) * 13 + 16 * n_lines + 16
+        out_ids = np.empty(cap, np.int32)
+        out_off = np.zeros(n_lines + 1, np.int64)
+        out_starts = np.empty(cap, np.int32)
+        out_lens = np.empty(cap, np.int32)
+        out_norm = np.empty(cap, np.uint8)
+        out_norm_off = np.zeros(n_lines + 1, np.int64)
+        m = self.lib.spm_unigram_encode_ids_batch(
+            *self._args_head,
+            ctypes.c_void_p(data.ctypes.data),
+            ctypes.c_void_p(off.ctypes.data), n_lines,
+            ctypes.c_void_p(out_ids.ctypes.data), cap,
+            ctypes.c_void_p(out_off.ctypes.data),
+            ctypes.c_void_p(out_norm.ctypes.data), cap,
+            ctypes.c_void_p(out_norm_off.ctypes.data),
+            ctypes.c_void_p(out_starts.ctypes.data),
+            ctypes.c_void_p(out_lens.ctypes.data))
+        if m < 0:
+            return None
+        return out_ids, out_off, out_starts, out_lens, out_norm, \
+            out_norm_off
 
     def encode_ids(self, data: bytes):
         """Single line -> list[int] ids, or None on failure."""

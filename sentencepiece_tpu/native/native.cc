@@ -1232,7 +1232,10 @@ extern "C" int64_t spm_substring_match(
 // is CSR: out_ids[out_off[i]:out_off[i+1]] are line i's ids after the
 // adjacent-unknown merge of PopulateSentencePieceText
 // (sentencepiece_processor.cc:506-521). Returns total ids, -1 on error,
-// -2 if out_cap was too small.
+// -2 if an out cap was too small. When out_norm is non-null, also emits
+// the per-line normalized bytes (CSR via out_norm_off) and each MERGED
+// token's (start, len) span into them — adjacent-unknown merges extend
+// the previous span — so the caller can materialize piece strings.
 extern "C" int64_t spm_unigram_encode_ids_batch(
     const uint32_t* n_units, int64_t n_nunits,
     const uint8_t* pool, int64_t pool_len,
@@ -1241,24 +1244,33 @@ extern "C" int64_t spm_unigram_encode_ids_batch(
     const uint32_t* e_units, int64_t n_eunits,
     const float* lat_scores, int32_t unk_id, float unk_score,
     const uint8_t* data, const int64_t* off, int64_t n_lines,
-    int32_t* out_ids, int64_t out_cap, int64_t* out_off) {
-  std::vector<uint8_t> norm;
+    int32_t* out_ids, int64_t out_cap, int64_t* out_off,
+    uint8_t* out_norm, int64_t norm_cap, int64_t* out_norm_off,
+    int32_t* out_starts, int32_t* out_lens) {
+  std::vector<uint8_t> norm_buf;
   std::vector<int64_t> n2o;
   std::vector<int32_t> ids, starts, lens;
-  int64_t m = 0;
+  const bool want_pieces = out_norm != nullptr;
+  int64_t m = 0, nb = 0;
   out_off[0] = 0;
+  if (want_pieces) out_norm_off[0] = 0;
   for (int64_t li = 0; li < n_lines; ++li) {
     const uint8_t* d = data + off[li];
     const int64_t n = off[li + 1] - off[li];
     const int64_t cap = n * 13 + 16;
-    if ((int64_t)norm.size() < cap) {
-      norm.resize(cap);
-      n2o.resize(cap + 1);
+    uint8_t* nout;
+    if (want_pieces) {
+      if (nb + cap > norm_cap) return -2;
+      nout = out_norm + nb;
+    } else {
+      if ((int64_t)norm_buf.size() < cap) norm_buf.resize(cap);
+      nout = norm_buf.data();
     }
+    if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
     const int64_t olen =
         spm_normalize(n_units, n_nunits, pool, pool_len, m_units, n_munits,
                       d, n, add_dummy, remove_ws, escape_ws, suffix_mode,
-                      norm.data(), n2o.data());
+                      nout, n2o.data());
     if (olen < 0) return -1;
     if ((int64_t)ids.size() < olen) {
       ids.resize(olen);
@@ -1268,7 +1280,7 @@ extern "C" int64_t spm_unigram_encode_ids_batch(
     const int64_t cnt =
         olen == 0 ? 0
                   : spm_unigram_encode(e_units, n_eunits, lat_scores, unk_id,
-                                       unk_score, norm.data(), olen,
+                                       unk_score, nout, olen,
                                        ids.data(), starts.data(), lens.data());
     if (cnt < 0) return -1;
     bool prev_unk = false;
@@ -1276,11 +1288,21 @@ extern "C" int64_t spm_unigram_encode_ids_batch(
       const bool unk = ids[k] == unk_id;
       if (!(unk && prev_unk)) {
         if (m >= out_cap) return -2;
+        if (want_pieces) {
+          out_starts[m] = starts[k];
+          out_lens[m] = lens[k];
+        }
         out_ids[m++] = ids[k];
+      } else if (want_pieces) {
+        out_lens[m - 1] += lens[k];  // adjacent unknowns concatenate
       }
       prev_unk = unk;
     }
     out_off[li + 1] = m;
+    if (want_pieces) {
+      nb += olen;
+      out_norm_off[li + 1] = nb;
+    }
   }
   return m;
 }

@@ -310,12 +310,24 @@ class SentencePieceProcessor:
         result = self.model.encode(normalized)
         return self._encode_spt(text, result, normalized, norm_to_orig)
 
-    def encode_as_pieces(self, text: TextInput) -> List[str]:
+    def encode_as_pieces(self, text: TextInput):
         """Fast path: piece strings only (adjacent-UNK pieces concatenate,
         mirroring PopulateSentencePieceText's merge without computing
-        surfaces/offsets)."""
+        surfaces/offsets). Accepts a single text or a list."""
+        if isinstance(text, (list, tuple)):
+            return self.encode_as_pieces_batch(text)
         if self._encode_extra_options:
             return [p.piece for p in self.encode(text).pieces]
+        fused = self._fused_encoder()
+        if fused is not None and hasattr(fused, "encode_pieces_batch"):
+            raw = (text.encode("utf-8", errors="surrogateescape")
+                   if isinstance(text, str) else bytes(text))
+            r = fused.encode_pieces_batch([raw])
+            if r is not None:
+                _ids, off, starts, lens, norm, _noff = r
+                return [norm[starts[k]:starts[k] + lens[k]].tobytes()
+                        .decode("utf-8", errors="surrogateescape")
+                        for k in range(int(off[1]))]
         normalized, _ = self.normalizer.normalize(text)
         result = self.model.encode(normalized)
         pieces: List[str] = []
@@ -359,6 +371,27 @@ class SentencePieceProcessor:
                 ids.append(pid)
             prev_unk = unk
         return ids
+
+    def encode_as_pieces_batch(self, texts) -> List[List[str]]:
+        """Batched pieces: one native call per batch when eligible."""
+        if not self._encode_extra_options:
+            fused = self._fused_encoder()
+            if fused is not None and hasattr(fused, "encode_pieces_batch"):
+                raws = [(t.encode("utf-8", errors="surrogateescape")
+                         if isinstance(t, str) else bytes(t)) for t in texts]
+                r = fused.encode_pieces_batch(raws)
+                if r is not None:
+                    _ids, off, starts, lens, norm, noff = r
+                    out = []
+                    for i in range(len(texts)):
+                        base = int(noff[i])
+                        out.append([
+                            norm[base + starts[k]:
+                                 base + starts[k] + lens[k]].tobytes()
+                            .decode("utf-8", errors="surrogateescape")
+                            for k in range(int(off[i]), int(off[i + 1]))])
+                    return out
+        return [self.encode_as_pieces(t) for t in texts]
 
     def encode_as_ids_batch(self, texts) -> List[List[int]]:
         """Batched ids: one native call per batch when eligible."""
