@@ -78,18 +78,78 @@ def verify_spec(spec: TrainerSpec) -> None:
         check(bool(getattr(spec, p)), f"{p} must not be empty")
 
 
+class Mt19937:
+    """std::mt19937 (Knuth init_genrand seeding + standard tempering) —
+    the exact engine behind the reference's fixed-seed reservoir
+    (util.h:749-778)."""
+
+    N, M = 624, 397
+    MATRIX_A = 0x9908B0DF
+    UPPER = 0x80000000
+    LOWER = 0x7FFFFFFF
+
+    def __init__(self, seed: int):
+        mt = [0] * self.N
+        mt[0] = seed & 0xFFFFFFFF
+        for i in range(1, self.N):
+            mt[i] = (1812433253 * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i) \
+                & 0xFFFFFFFF
+        self.mt = mt
+        self.idx = self.N
+
+    def _generate(self) -> None:
+        mt = self.mt
+        for i in range(self.N):
+            y = (mt[i] & self.UPPER) | (mt[(i + 1) % self.N] & self.LOWER)
+            v = mt[(i + self.M) % self.N] ^ (y >> 1)
+            if y & 1:
+                v ^= self.MATRIX_A
+            mt[i] = v
+        self.idx = 0
+
+    def __call__(self) -> int:
+        if self.idx >= self.N:
+            self._generate()
+        y = self.mt[self.idx]
+        self.idx += 1
+        y ^= y >> 11
+        y ^= (y << 7) & 0x9D2C5680
+        y ^= (y << 15) & 0xEFC60000
+        y ^= y >> 18
+        return y & 0xFFFFFFFF
+
+
+def std_uniform_int(eng: Mt19937, urange: int) -> int:
+    """libstdc++ (GCC 12) uniform_int_distribution<size_t>(0, urange)(eng)
+    over a 32-bit engine: Lemire downscaling
+    (bits/uniform_int_dist.h _S_nd<uint64>, validated against a compiled
+    harness)."""
+    urngrange = 0xFFFFFFFF
+    if urange >= urngrange:
+        assert urange == urngrange, "upscaling path not needed (< 2^32)"
+        return eng()
+    uerange = urange + 1
+    product = eng() * uerange
+    low = product & 0xFFFFFFFF
+    if low < uerange:
+        threshold = (0x100000000 - uerange) % uerange
+        while low < threshold:
+            product = eng() * uerange
+            low = product & 0xFFFFFFFF
+    return product >> 32
+
+
 class ReservoirSampler:
-    """Reservoir sampling matching reference util.h:749-778: element i
-    (0-based, i >= size) replaces slot Uniform(0, i] ... the reference draws
-    `std::uniform_int_distribution<size_t>(0, total_-1)` over an mt19937
-    seeded with a fixed seed. We mirror the algorithm with numpy's MT19937
-    stream; only used when input_sentence_size > 0 (off by default)."""
+    """Reservoir sampling matching reference util.h:749-778 exactly:
+    std::uniform_int_distribution<size_t>(0, total-1) over std::mt19937
+    with the fixed seed — emulated engine + libstdc++ downscaling, so the
+    sampled subset is byte-identical to the reference binary's."""
 
     def __init__(self, size: int, seed: int):
         self.size = size
         self.total = 0
         self.items: List = []
-        self._rng = np.random.Generator(np.random.MT19937(seed))
+        self._eng = Mt19937(seed)
 
     def add(self, item) -> None:
         if self.size == 0:
@@ -98,7 +158,7 @@ class ReservoirSampler:
         if len(self.items) < self.size:
             self.items.append(item)
         else:
-            j = int(self._rng.integers(0, self.total))
+            j = std_uniform_int(self._eng, self.total - 1)
             if j < self.size:
                 self.items[j] = item
 

@@ -131,3 +131,20 @@ def test_bpe_python_fallback_matches_native(tmp_path, monkeypatch):
                       "--model_type=bpe --vocab_size=120 --minloglevel=2")
     assert (tmp_path / "native.vocab").read_bytes() == \
         (tmp_path / "pyfall.vocab").read_bytes()
+
+
+def test_mt19937_lemire_reservoir_emulation():
+    """Mt19937 + libstdc++ (GCC 12) Lemire uniform_int_distribution
+    emulation, pinned against a compiled std::mt19937 harness — the
+    fixed-seed corpus reservoir (input_sentence_size + shuffle) depends
+    on this stream exactly (util.h:749-778, seed 12345678)."""
+    from sentencepiece_tpu.train.interface import (Mt19937,
+                                                   std_uniform_int)
+
+    eng = Mt19937(12345678)
+    assert [eng() for _ in range(5)] == [
+        1055721139, 3422054626, 2561641375, 1376353668, 1540998321]
+    e2 = Mt19937(12345678)
+    assert [std_uniform_int(e2, t - 1)
+            for t in (3001, 5000, 12345, 4294967294)] == [
+        737, 3983, 7362, 1376353667]
