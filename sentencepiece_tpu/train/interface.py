@@ -437,19 +437,28 @@ class TrainerInterface:
             i += 1
         self.sentences = sents
 
-        # char frequencies (:386-409)
-        chars_count: Dict[int, int] = {}
-        all_chars_count = 0
-        for s, freq in self.sentences:
-            for c in s:
-                cp = ord(c)
-                if not is_valid_codepoint(cp) or cp == 0:
-                    continue
-                if cp == 0x0020:
-                    raise ValueError(
-                        "space must not be included in normalized string.")
-                chars_count[cp] = chars_count.get(cp, 0) + freq
-                all_chars_count += freq
+        # char frequencies (:386-409), vectorized over the corpus
+        # codepoint array (same counting as the scalar loop in git history)
+        corpus_cat = "".join(s for s, _ in self.sentences)
+        arr = np.frombuffer(
+            corpus_cat.encode("utf-32-le", errors="surrogatepass"),
+            np.uint32).astype(np.int64)
+        w_rep = np.repeat(
+            np.fromiter((f for _, f in self.sentences), np.int64,
+                        len(self.sentences)),
+            np.fromiter((len(s) for s, _ in self.sentences), np.int64,
+                        len(self.sentences)))
+        valid_m = (((arr >= 0) & (arr < 0xD800))
+                   | ((arr >= 0xE000) & (arr <= 0x10FFFF))) & (arr != 0)
+        if bool(((arr == 0x0020) & valid_m).any()):
+            raise ValueError(
+                "space must not be included in normalized string.")
+        uniq, inv = np.unique(arr, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, np.where(valid_m, w_rep, 0))
+        chars_count: Dict[int, int] = {
+            int(u): int(c) for u, c in zip(uniq, cnt) if c > 0}
+        all_chars_count = int(cnt.sum())
         log.info("all chars count=%d", all_chars_count)
 
         # required chars by coverage (:411-428)
@@ -473,13 +482,14 @@ class TrainerInterface:
         log.info("Alphabet size=%d", len(self.required_chars))
         assert UNK_CHAR not in self.required_chars
 
-        # rare chars -> UNK (:432-445)
+        # rare chars -> UNK (:432-445): only codepoints actually present
+        # and not required need translating, so str.translate does the
+        # whole corpus at C speed
         req = self.required_chars
-        rewritten: List[Sentence] = []
-        for s, freq in self.sentences:
-            s2 = "".join(c if ord(c) in req else UNK_STR for c in s)
-            rewritten.append((s2, freq))
-        self.sentences = rewritten
+        bad = {int(u): UNK_STR for u in uniq if int(u) not in req}
+        if bad:
+            self.sentences = [(s.translate(bad), freq)
+                              for s, freq in self.sentences]
 
         if ts.model_type not in (ModelType.WORD, ModelType.CHAR):
             if (len(self.required_chars) + len(self.meta_pieces)
@@ -493,16 +503,32 @@ class TrainerInterface:
         log.info("Done! preprocessed %d sentences.", len(self.sentences))
 
     def split_sentences_by_whitespace(self) -> None:
-        """trainer_interface.cc:465-477: sentence list -> word-freq list."""
-        from ..models.base import split_into_words
+        """trainer_interface.cc:465-477: sentence list -> word-freq list.
 
+        str-level equivalent of models/base.split_into_words (U+2581 is
+        one char, so the byte walk reduces to str.split with the
+        delimiter re-attached: prefix mode glues it to the following
+        word, suffix mode to the preceding one)."""
+        WS = "▁"
+        suffix = bool(self.trainer_spec.treat_whitespace_as_suffix)
         tokens: Dict[str, int] = {}
+        get = tokens.get
         for s, freq in self.sentences:
-            raw = s.encode("utf-8", errors="surrogateescape")
-            for w in split_into_words(
-                    raw, self.trainer_spec.treat_whitespace_as_suffix):
-                key = w.decode("utf-8", errors="surrogateescape")
-                tokens[key] = tokens.get(key, 0) + freq
+            parts = s.split(WS)
+            if suffix:
+                for p in parts[:-1]:
+                    w = p + WS
+                    tokens[w] = get(w, 0) + freq
+                if parts[-1]:
+                    w = parts[-1]
+                    tokens[w] = get(w, 0) + freq
+            else:
+                if parts[0]:
+                    w = parts[0]
+                    tokens[w] = get(w, 0) + freq
+                for p in parts[1:]:
+                    w = WS + p
+                    tokens[w] = get(w, 0) + freq
         self.sentences = sorted_freq_desc(tokens.items())
         log.info("Tokenized into %d words", len(self.sentences))
 

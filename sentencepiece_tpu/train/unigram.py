@@ -224,7 +224,10 @@ class Trainer(TrainerInterface):
         for _, sc in seed:
             acc = F32(acc + F32(sc))
         logsum = _f32(math.log(float(acc)))
-        seed = [(w, _f32(math.log(sc) - logsum)) for w, sc in seed]
+        # scores live as float32 in the pieces vector BEFORE ToLogProb, so
+        # the log reads the narrowed value (visible for counts >= 2^24)
+        seed = [(w, _f32(math.log(float(F32(sc))) - logsum))
+                for w, sc in seed]
         log.info("Initialized %d seed sentencepieces", len(seed))
         return seed
 
@@ -375,6 +378,7 @@ class Trainer(TrainerInterface):
         L = table.length
         if L == 0:
             return 0.0, 0
+        wf = float(F32(freq))  # `float freq` parameter narrowing
         nodes = self._iter_nodes(table, seed_to_cur)
         n = len(nodes)
         node_score = [unk_score if unk else scores[cur]
@@ -415,7 +419,9 @@ class Trainer(TrainerInterface):
             nid = 0 if unk else cur
             if nid >= 0:
                 e = _f32(_f32(_f32(alpha[k] + node_score[k]) + beta[k]) - Z)
-                term = freq * math.exp(e)
+                # PopulateMarginal takes `float freq`: the int64 narrows to
+                # float32 at the call (visible once freq >= 2^24)
+                term = wf * math.exp(e)
                 # C++ `float += double` adds in double, rounds once
                 exp_t[nid] = F32(float(exp_t[nid]) + term)
         # Viterbi token count (float32, strict '>', insertion order)
@@ -440,7 +446,7 @@ class Trainer(TrainerInterface):
                 break
             ntok += 1
             p = nodes[k][0]
-        return _f32(freq * Z), ntok  # PopulateMarginal returns freq * Z
+        return _f32(wf * Z), ntok  # `return freq * Z` — float32 multiply
 
     def _run_mstep(self, pieces, expected) -> List[Tuple[str, float]]:
         """Digamma Bayesian M-step (unigram_model_trainer.cc:298-332)."""
@@ -593,9 +599,13 @@ class Trainer(TrainerInterface):
                 for i in range(m):
                     inverted[i].extend(inverteds[tid][i])
 
-        # double accumulate (std::accumulate init 0.0 => double)
-        total = float(np.sum(freq.astype(np.float64)))
-        logsum = _f32(math.log(total))
+        # `const float sum = std::accumulate(..., 0.0)`: accumulates in
+        # DOUBLE (0.0 literal) but the result narrows to float32 — and all
+        # downstream arithmetic on it is float-typed in C++
+        # (unigram_model_trainer.cc:423). Observable once counts are large
+        # enough that float32 rounds (caught on a 14 MB corpus).
+        sum_f = F32(np.sum(freq.astype(np.float64)))
+        logsum = _f32(math.log(float(sum_f)))
         candidates: List[Tuple[int, float]] = []
         new_pieces: List[Tuple[str, float]] = []
         for i in range(m):
@@ -614,15 +624,22 @@ class Trainer(TrainerInterface):
                         F = F32(F + F32(self.sentences[si][1]))
                 F = _f32(F / vsum)
                 logprob_sp = _f32(math.log(float(freq[i])) - logsum)
-                # NOTE: alternatives.size() == vocab size (reference quirk)
-                logsum_alt = _f32(math.log(
-                    total + float(freq[i]) * (m - 1)))
+                # NOTE: alternatives.size() == vocab size (reference quirk).
+                # `sum + freq[i] * (alternatives.size() - 1)` is a FLOAT
+                # expression in C++: the size_t converts to float, the
+                # multiply and add round to float32 (:461).
+                inner = F32(sum_f + F32(freq[i] * F32(m - 1)))
+                logsum_alt = _f32(math.log(float(inner)))
                 logprob_alt = F32(0.0)
                 for nid in alts:
+                    # `logprob_alt += (log(freq[n] + freq[i]) - logsum_alt)`:
+                    # float32 add inside the log; the difference stays
+                    # DOUBLE and `float += double` adds in double, rounding
+                    # once on assignment
                     logprob_alt = F32(
-                        logprob_alt
-                        + F32(math.log(float(freq[nid]) + float(freq[i]))
-                              - logsum_alt))
+                        float(logprob_alt)
+                        + (math.log(float(F32(freq[nid] + freq[i])))
+                           - logsum_alt))
                 loss = _f32(F * _f32(logprob_sp - logprob_alt))
                 candidates.append((i, loss))
         pruned_size = max(self.desired_vocab_size,

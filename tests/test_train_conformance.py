@@ -148,3 +148,19 @@ def test_mt19937_lemire_reservoir_emulation():
     assert [std_uniform_int(e2, t - 1)
             for t in (3001, 5000, 12345, 4294967294)] == [
         737, 3983, 7362, 1376353667]
+
+
+def test_unigram_megafreq_float32_narrowing(tmp_path, fixtures_dir):
+    """TSV corpus with frequencies >= 2^24: exercises every float32
+    narrowing the reference applies to large counts — seed scores stored
+    as float before ToLogProb, PopulateMarginal's float freq parameter,
+    the prune sum/logsum_alt float chain, and the float += double
+    accumulations. Golden vocab from the reference binary."""
+    from sentencepiece_tpu.train import facade
+
+    facade.train(f"--input={fixtures_dir}/train/megafreq.tsv "
+                 f"--input_format=tsv --model_prefix={tmp_path}/m "
+                 "--model_type=unigram --vocab_size=100 --num_threads=16 "
+                 "--minloglevel=2")
+    assert (tmp_path / "m.vocab").read_bytes() == \
+        (fixtures_dir / "train" / "megafreq_unigram_100.vocab").read_bytes()
