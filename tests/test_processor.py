@@ -108,3 +108,29 @@ def test_sample_seed_reproducible(sp):
     b = [sp.sample_encode_as_ids("hello world", -1, 0.5) for _ in range(5)]
     assert a == b
     rng.set_seed(None)
+
+
+def test_mock_model_di_hook(test_model_path):
+    """DI hooks (sentencepiece_processor.h:434-443 SetModel): a canned
+    EncodeResult model isolates PopulateSentencePieceText's surface/offset
+    and adjacent-UNK merge logic (the reference's MockModel pattern,
+    sentencepiece_processor_test.cc:39-86)."""
+    sp = SentencePieceProcessor(test_model_path)
+    real = sp.model
+
+    class MockModel:
+        def encode(self, normalized):
+            # split normalized bytes into two canned halves
+            h = max(1, len(normalized) // 2)
+            return [(normalized[:h], 101), (normalized[h:], 102)]
+
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+    sp.set_model(MockModel())
+    spt = sp.encode("hello")
+    assert [p.id for p in spt.pieces] == [101, 102]
+    assert "".join(p.surface for p in spt.pieces) == "hello"
+    # begin/end byte offsets tile the original string
+    assert spt.pieces[0].begin == 0
+    assert spt.pieces[-1].end == len("hello")
