@@ -773,3 +773,36 @@ def digamma_batch(x):
     lib.spm_digamma(xa.ctypes.data_as(ctypes.c_void_p),
                     out.ctypes.data_as(ctypes.c_void_p), len(xa))
     return out
+
+
+def prune_losses(freq, F_occ, vsum, always_keep, alt_ids, alt_off):
+    """Candidate losses for PruneSentencePieces (exact float arithmetic
+    in C++). Returns (flags uint8[m] 0=skip/1=keep/2=candidate,
+    losses float32[m]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_ploss_ready", False):
+        lib.spm_prune_losses.restype = ctypes.c_int
+        lib.spm_prune_losses.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib._ploss_ready = True
+    fr = np.ascontiguousarray(freq, np.float32)
+    fo = np.ascontiguousarray(F_occ, np.float32)
+    ak = np.ascontiguousarray(always_keep, np.uint8)
+    ai = np.ascontiguousarray(alt_ids, np.int32)
+    ao = np.ascontiguousarray(alt_off, np.int64)
+    m = len(fr)
+    flags = np.zeros(m, np.uint8)
+    losses = np.zeros(m, np.float32)
+    lib.spm_prune_losses(
+        fr.ctypes.data_as(ctypes.c_void_p),
+        fo.ctypes.data_as(ctypes.c_void_p), ctypes.c_float(vsum),
+        ak.ctypes.data_as(ctypes.c_void_p),
+        ai.ctypes.data_as(ctypes.c_void_p),
+        ao.ctypes.data_as(ctypes.c_void_p), m,
+        flags.ctypes.data_as(ctypes.c_void_p),
+        losses.ctypes.data_as(ctypes.c_void_p))
+    return flags, losses

@@ -1775,3 +1775,45 @@ extern "C" void spm_digamma(const double* x_in, double* out, int64_t n) {
     out[i] = result;
   }
 }
+
+// Prune candidate losses (unigram_model_trainer.cc:423-473): the exact
+// float arithmetic natively — sum/logsum, per-piece F/vsum, logprob_sp,
+// float-typed logsum_alt chain, and the `float += double` logprob_alt
+// accumulation. out_flag: 0 = skip, 1 = keep directly (no alternatives),
+// 2 = candidate with out_loss set. Returns 0.
+extern "C" int spm_prune_losses(
+    const float* freq, const float* F_occ, float vsum,
+    const uint8_t* always_keep, const int32_t* alt_ids,
+    const int64_t* alt_off, int64_t m,
+    uint8_t* out_flag, float* out_loss) {
+  double acc = 0.0;
+  for (int64_t i = 0; i < m; ++i) acc += freq[i];
+  const float sum = static_cast<float>(acc);
+  // NOTE: the reference calls unqualified log(...) = ::log(double) — the
+  // float argument promotes; std::log(float) would be logf and differ.
+  const float logsum = std::log(static_cast<double>(sum));
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t a = alt_off[i], b = alt_off[i + 1];
+    if (freq[i] == 0.0f || !always_keep[i]) {
+      out_flag[i] = 0;
+    } else if (a == b) {
+      out_flag[i] = 1;
+    } else {
+      float F = F_occ[i];
+      F /= vsum;
+      const float logprob_sp =
+          std::log(static_cast<double>(freq[i])) - logsum;
+      const float inner = sum + freq[i] * static_cast<float>(m - 1);
+      const float logsum_alt = std::log(static_cast<double>(inner));
+      float logprob_alt = 0.0f;
+      for (int64_t k = a; k < b; ++k) {
+        logprob_alt += (std::log(static_cast<double>(
+                            freq[alt_ids[k]] + freq[i])) -
+                        logsum_alt);
+      }
+      out_flag[i] = 2;
+      out_loss[i] = F * (logprob_sp - logprob_alt);
+    }
+  }
+  return 0;
+}

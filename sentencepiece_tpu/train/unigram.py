@@ -604,6 +604,27 @@ class Trainer(TrainerInterface):
         # downstream arithmetic on it is float-typed in C++
         # (unigram_model_trainer.cc:423). Observable once counts are large
         # enough that float32 rounds (caught on a 14 MB corpus).
+        if native_done and F_arr is not None:
+            # same float chain, run natively (native/native.cc
+            # spm_prune_losses)
+            from .. import native
+
+            r = native.prune_losses(freq, F_arr, vsum, ak, alt_ids, alt_off)
+            if r is not None:
+                flags, losses = r
+                new_pieces = [pieces[i]
+                              for i in np.nonzero(flags == 1)[0]]
+                cand_idx = np.nonzero(flags == 2)[0]
+                candidates = [(int(i), float(np.float32(losses[i])))
+                              for i in cand_idx]
+                pruned_size = max(self.desired_vocab_size,
+                                  int(ts.shrinking_factor * m))
+                for i, _loss in sorted(candidates,
+                                       key=lambda p: (-p[1], p[0])):
+                    if len(new_pieces) == pruned_size:
+                        break
+                    new_pieces.append(pieces[i])
+                return new_pieces
         sum_f = F32(np.sum(freq.astype(np.float64)))
         logsum = _f32(math.log(float(sum_f)))
         candidates: List[Tuple[int, float]] = []
