@@ -144,6 +144,47 @@ class NativeNormalizer:
     def ok(self) -> bool:
         return self.lib is not None
 
+    def normalize_batch(self, lines):
+        """CSR batch normalize: list[bytes] -> (out uint8[], off int64[]).
+        One library call for a whole corpus; None on failure."""
+        if not getattr(self.lib, "_nbatch_ready", False):
+            self.lib.spm_normalize_batch.restype = ctypes.c_int64
+            self.lib.spm_normalize_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            self.lib._nbatch_ready = True
+        n_lines = len(lines)
+        off = np.zeros(n_lines + 1, np.int64)
+        np.cumsum(np.fromiter((len(b) for b in lines), np.int64, n_lines),
+                  out=off[1:])
+        data = np.frombuffer(b"".join(lines), np.uint8) if off[-1] else \
+            np.zeros(1, np.uint8)
+        cap = int(off[-1]) * 13 + 16 * n_lines + 16
+        out = np.empty(cap, np.uint8)
+        out_off = np.zeros(n_lines + 1, np.int64)
+        nb = self.lib.spm_normalize_batch(
+            None if self.units is None else
+            ctypes.c_void_p(self.units.ctypes.data),
+            0 if self.units is None else len(self.units),
+            None if self.pool is None else
+            ctypes.c_void_p(self.pool.ctypes.data),
+            0 if self.pool is None else len(self.pool),
+            None if self.matcher is None else
+            ctypes.c_void_p(self.matcher.ctypes.data),
+            0 if self.matcher is None else len(self.matcher),
+            *self.flags,
+            ctypes.c_void_p(data.ctypes.data),
+            ctypes.c_void_p(off.ctypes.data), n_lines,
+            ctypes.c_void_p(out.ctypes.data), cap,
+            ctypes.c_void_p(out_off.ctypes.data))
+        if nb < 0:
+            return None
+        return out, out_off
+
     def normalize(self, data: bytes) -> Tuple[bytes, np.ndarray]:
         n = len(data)
         cap = n * 13 + 16

@@ -1817,3 +1817,32 @@ extern "C" int spm_prune_losses(
   }
   return 0;
 }
+
+// Batched normalizer: CSR lines in -> CSR normalized bytes out (the
+// trainer normalizes whole corpora line by line; one call amortizes the
+// FFI). Returns total out bytes, -1 error, -2 cap exceeded.
+extern "C" int64_t spm_normalize_batch(
+    const uint32_t* units, int64_t n_units,
+    const uint8_t* pool, int64_t pool_len,
+    const uint32_t* m_units, int64_t n_munits,
+    int add_dummy, int remove_ws, int escape_ws, int suffix_mode,
+    const uint8_t* data, const int64_t* off, int64_t n_lines,
+    uint8_t* out, int64_t out_cap, int64_t* out_off) {
+  std::vector<int64_t> n2o;
+  int64_t nb = 0;
+  out_off[0] = 0;
+  for (int64_t li = 0; li < n_lines; ++li) {
+    const int64_t n = off[li + 1] - off[li];
+    const int64_t cap = n * 13 + 16;
+    if (nb + cap > out_cap) return -2;
+    if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
+    const int64_t olen =
+        spm_normalize(units, n_units, pool, pool_len, m_units, n_munits,
+                      data + off[li], n, add_dummy, remove_ws, escape_ws,
+                      suffix_mode, out + nb, n2o.data());
+    if (olen < 0) return -1;
+    nb += olen;
+    out_off[li + 1] = nb;
+  }
+  return nb;
+}

@@ -416,11 +416,26 @@ class TrainerInterface:
                                 treat_whitespace_as_suffix=False)
         meta_set = [w for w, _ in self.meta_pieces.values()]
         matcher = PrefixMatcher(meta_set)
-        sents = [(matcher.global_replace(
-                      normalizer.normalize(s)[0],
-                      UPP_BOUNDARY_STR.encode()).decode(
-                          "utf-8", errors="surrogateescape"), freq)
-                 for s, freq in self.sentences]
+        nat = normalizer._native_impl()
+        batch = None
+        if nat is not None:
+            raws = [t.encode("utf-8", errors="surrogateescape")
+                    for t, _ in self.sentences]
+            batch = nat.normalize_batch(raws)
+        if batch is not None:
+            out, off = batch
+            blob = out.tobytes()
+            rep = UPP_BOUNDARY_STR.encode()
+            sents = [(matcher.global_replace(
+                          blob[off[i]:off[i + 1]], rep).decode(
+                              "utf-8", errors="surrogateescape"), freq)
+                     for i, (_t, freq) in enumerate(self.sentences)]
+        else:
+            sents = [(matcher.global_replace(
+                          normalizer.normalize(t)[0],
+                          UPP_BOUNDARY_STR.encode()).decode(
+                              "utf-8", errors="surrogateescape"), freq)
+                     for t, freq in self.sentences]
         # Empty-sentence removal MUST replicate the reference's
         # swap-with-last loop verbatim (trainer_interface.cc:373-380): the
         # resulting sentence ORDER feeds the suffix-array seed indices,
@@ -453,11 +468,12 @@ class TrainerInterface:
         if bool(((arr == 0x0020) & valid_m).any()):
             raise ValueError(
                 "space must not be included in normalized string.")
-        uniq, inv = np.unique(arr, return_inverse=True)
-        cnt = np.zeros(len(uniq), np.int64)
-        np.add.at(cnt, inv, np.where(valid_m, w_rep, 0))
+        cnt_full = np.bincount(
+            arr, weights=np.where(valid_m, w_rep, 0).astype(np.float64))
+        uniq = np.nonzero(cnt_full)[0]
+        cnt = cnt_full[uniq].astype(np.int64)  # exact below 2^53
         chars_count: Dict[int, int] = {
-            int(u): int(c) for u, c in zip(uniq, cnt) if c > 0}
+            int(u): int(c) for u, c in zip(uniq, cnt)}
         all_chars_count = int(cnt.sum())
         log.info("all chars count=%d", all_chars_count)
 

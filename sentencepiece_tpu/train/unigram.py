@@ -181,9 +181,9 @@ class Trainer(TrainerInterface):
         s_freqs = np.fromiter((f for _, f in self.sentences), np.int64,
                               len(self.sentences))
         w_rep = np.repeat(s_freqs, s_lens + 1)
-        uniq, inv = np.unique(arr, return_inverse=True)
-        cnt = np.zeros(len(uniq), np.int64)
-        np.add.at(cnt, inv, w_rep)
+        cnt_full = np.bincount(arr, weights=w_rep.astype(np.float64))
+        uniq = np.nonzero(cnt_full)[0]
+        cnt = cnt_full[uniq].astype(np.int64)  # exact below 2^53
         all_chars: Dict[str, int] = {
             chr(int(u)): int(c) for u, c in zip(uniq, cnt)
             if int(u) != UNK_CHAR and int(u) != SENTENCE_BOUNDARY}
