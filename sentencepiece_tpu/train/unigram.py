@@ -451,14 +451,15 @@ class Trainer(TrainerInterface):
     def _run_mstep(self, pieces, expected) -> List[Tuple[str, float]]:
         """Digamma Bayesian M-step (unigram_model_trainer.cc:298-332)."""
         assert len(pieces) == len(expected)
-        new_pieces = []
-        total = F32(0.0)
-        for i, (w, _) in enumerate(pieces):
-            freq = float(expected[i])
-            if freq < 0.5:
-                continue
-            new_pieces.append((w, freq))
-            total = F32(total + F32(freq))
+        exp_arr = np.asarray(expected, np.float32)
+        keep_m = ~(exp_arr < F32(0.5))
+        kept = exp_arr[keep_m]
+        # sequential float32 total (np.add.at applies adds in order)
+        tbuf = np.zeros(1, F32)
+        np.add.at(tbuf, np.zeros(len(kept), np.intp), kept)
+        total = tbuf[0]
+        words = [w for (w, _), k in zip(pieces, keep_m) if k]
+        new_pieces = list(zip(words, (float(f) for f in kept)))
         logsum = _f32(digamma(float(total)))  # `const float logsum`
         xs = np.array([f for _, f in new_pieces], np.float64)
         try:
