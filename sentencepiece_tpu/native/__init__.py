@@ -847,3 +847,56 @@ def prune_losses(freq, F_occ, vsum, always_keep, alt_ids, alt_off):
         flags.ctypes.data_as(ctypes.c_void_p),
         losses.ctypes.data_as(ctypes.c_void_p))
     return flags, losses
+
+
+def seed_filter(arr, sa, nodes_lrd, spec):
+    """Seed node filtering (validity + boundary + score) in C++.
+    Returns (node_idx int32[m], score int64[m]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_seedf_ready", False):
+        lib.spm_seed_filter.restype = ctypes.c_int64
+        lib.spm_seed_filter.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib._seedf_ready = True
+    from ..utils import unicode_script
+
+    los, his, ids, _ = unicode_script._tables()
+    a = np.ascontiguousarray(arr, np.int32)
+    s = np.ascontiguousarray(sa, np.int32)
+    nd = np.ascontiguousarray(nodes_lrd, np.int32)
+    n = len(nd)
+    slo = np.ascontiguousarray(los, np.int32)
+    shi = np.ascontiguousarray(his, np.int32)
+    sid = np.ascontiguousarray(ids, np.int32)
+    out_idx = np.empty(n, np.int32)
+    out_score = np.empty(n, np.int64)
+    m = lib.spm_seed_filter(
+        a.ctypes.data_as(ctypes.c_void_p),
+        s.ctypes.data_as(ctypes.c_void_p),
+        nd.ctypes.data_as(ctypes.c_void_p), n,
+        int(spec.max_sentencepiece_length),
+        int(bool(spec.treat_whitespace_as_suffix)),
+        int(bool(spec.split_by_whitespace)),
+        int(bool(spec.split_by_number)),
+        int(bool(spec.split_by_unicode_script)),
+        slo.ctypes.data_as(ctypes.c_void_p),
+        shi.ctypes.data_as(ctypes.c_void_p),
+        sid.ctypes.data_as(ctypes.c_void_p), len(slo),
+        unicode_script.script_id("Common"),
+        unicode_script.script_id("Han"),
+        unicode_script.script_id("Hiragana"),
+        unicode_script.script_id("Katakana"),
+        out_idx.ctypes.data_as(ctypes.c_void_p),
+        out_score.ctypes.data_as(ctypes.c_void_p))
+    if m < 0:
+        return None
+    return out_idx[:m], out_score[:m]

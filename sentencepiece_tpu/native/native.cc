@@ -1846,3 +1846,46 @@ extern "C" int64_t spm_normalize_batch(
   }
   return nb;
 }
+
+// Seed-phase node filter (unigram_model_trainer.cc:166-190): for each
+// suffix-tree internal node, the D<=1 / sentence-boundary /
+// IsValidSentencePiece checks and score = freq * len. Same validity
+// logic as the BPE trainer core (bpetrain::Ctx).
+extern "C" int64_t spm_seed_filter(
+    const int32_t* arr, const int32_t* sa,
+    const int32_t* nodes_lrd, int64_t n_nodes,
+    int32_t max_piece_len, int32_t ws_suffix, int32_t split_ws,
+    int32_t split_num, int32_t split_script,
+    const int32_t* scr_lo, const int32_t* scr_hi, const int32_t* scr_id,
+    int64_t n_scr, int32_t common_id, int32_t han_id, int32_t hira_id,
+    int32_t kata_id,
+    int32_t* out_idx, int64_t* out_score) {
+  using namespace bpetrain;
+  Ctx ctx{max_piece_len, ws_suffix != 0, split_ws != 0, split_num != 0,
+          split_script != 0, scr_lo, scr_hi, scr_id, n_scr,
+          common_id, han_id, hira_id, kata_id};
+  int64_t m = 0;
+  std::u32string buf;
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    const int32_t L = nodes_lrd[3 * i];
+    const int32_t R = nodes_lrd[3 * i + 1];
+    const int32_t D = nodes_lrd[3 * i + 2];
+    if (D <= 1) continue;
+    const int64_t offset = sa[L];
+    bool boundary = false;
+    buf.clear();
+    for (int32_t k = 0; k < D; ++k) {
+      const int32_t c = arr[offset + k];
+      if (c == 0) {
+        boundary = true;
+        break;
+      }
+      buf.push_back(static_cast<char32_t>(c));
+    }
+    if (boundary || !ctx.valid(buf)) continue;
+    out_idx[m] = static_cast<int32_t>(i);
+    out_score[m] = static_cast<int64_t>(R - L) * D;
+    ++m;
+  }
+  return m;
+}

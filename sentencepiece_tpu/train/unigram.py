@@ -195,17 +195,28 @@ class Trainer(TrainerInterface):
         # Vectorized node filter (scalar spec: the D<=1 / sentence-boundary
         # / is_valid_sentencepiece chain below in git history; semantics
         # identical, run as prefix-sum lookups over the corpus array).
-        nd = np.asarray(nodes, np.int64).reshape(-1, 3)
-        L_a, R_a, D_a = nd[:, 0], nd[:, 1], nd[:, 2]
-        off_a = sa[L_a].astype(np.int64)
-        hb = np.zeros(len(arr) + 1, np.int64)
-        np.cumsum(arr == SENTENCE_BOUNDARY, out=hb[1:])
-        keep = (D_a > 1) & (hb[off_a + D_a] == hb[off_a])
-        keep &= self.valid_substring_mask(arr, off_a, D_a)
-        kidx = np.nonzero(keep)[0]
-        score_a = (R_a[kidx] - L_a[kidx]) * D_a[kidx]
-        substr_index: List[Tuple[int, int]] = list(
-            zip(kidx.tolist(), score_a.tolist()))
+        substr_index: Optional[List[Tuple[int, int]]] = None
+        try:
+            from .. import native
+
+            r = native.seed_filter(arr, sa, np.asarray(nodes, np.int32),
+                                   self.trainer_spec)
+            if r is not None:
+                kidx_n, score_n = r
+                substr_index = list(zip(kidx_n.tolist(), score_n.tolist()))
+        except Exception:
+            substr_index = None
+        if substr_index is None:
+            nd = np.asarray(nodes, np.int64).reshape(-1, 3)
+            L_a, R_a, D_a = nd[:, 0], nd[:, 1], nd[:, 2]
+            off_a = sa[L_a].astype(np.int64)
+            hb = np.zeros(len(arr) + 1, np.int64)
+            np.cumsum(arr == SENTENCE_BOUNDARY, out=hb[1:])
+            keep = (D_a > 1) & (hb[off_a + D_a] == hb[off_a])
+            keep &= self.valid_substring_mask(arr, off_a, D_a)
+            kidx = np.nonzero(keep)[0]
+            score_a = (R_a[kidx] - L_a[kidx]) * D_a[kidx]
+            substr_index = list(zip(kidx.tolist(), score_a.tolist()))
 
         seed: List[Tuple[str, float]] = [
             (w, float(f)) for w, f in sorted_freq_desc(all_chars.items())]
