@@ -175,7 +175,7 @@ class Trainer(TrainerInterface):
         corpus = "".join(s + "\x00" for s, _ in self.sentences)
         arr = np.frombuffer(
             corpus.encode("utf-32-le", errors="surrogatepass"),
-            np.uint32).astype(np.int64)
+            np.uint32).astype(np.int32)  # codepoints < 0x110000
         s_lens = np.fromiter((len(s) for s, _ in self.sentences), np.int64,
                              len(self.sentences))
         s_freqs = np.fromiter((f for _, f in self.sentences), np.int64,
