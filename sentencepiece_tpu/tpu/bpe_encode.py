@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import trie
-from .encode import NEG_INF
+from .encode import NEG_INF, bucketed
 
 
 def build_pair_tables(model):
@@ -360,39 +360,18 @@ class BpeBatchEncoder:
         norm = self.processor.normalizer
         cps_list = [utf8_to_unicode_text(norm.normalize(t)[0])
                     for t in texts]
-        order = sorted(range(len(cps_list)), key=lambda i: len(cps_list[i]))
-        results: List[Optional[List[int]]] = [None] * len(cps_list)
-        i = 0
-        pending = []
-        while i < len(order):
-            clen = len(cps_list[order[i]])
-            bucket = next((b for b in self.BUCKETS if clen <= b),
-                          self.BUCKETS[-1])
-            group = []
-            while (i < len(order) and len(group) < self.MAX_BATCH
-                   and len(cps_list[order[i]]) <= bucket):
-                group.append(order[i])
-                i += 1
-            B = len(group)
-            Bp = 8
-            while Bp < B:
-                Bp *= 2
-            arr = np.zeros((Bp, bucket), np.int32)
-            lens = np.zeros(Bp, np.int32)
-            for j, gi in enumerate(group):
-                c = cps_list[gi][:bucket]
-                arr[j, :len(c)] = c
-                lens[j] = len(c)
-            pending.append((group, bucket, self._device_encode(arr, lens)))
-        for group, bucket, (ids, n_ids) in pending:
-            ids = np.asarray(ids)
-            n_ids = np.asarray(n_ids)
-            for j, gi in enumerate(group):
-                if len(cps_list[gi]) > bucket:
-                    results[gi] = self.processor.encode_as_ids(texts[gi])
-                else:
-                    results[gi] = ids[j, :n_ids[j]].tolist()
-        return results  # type: ignore[return-value]
+
+        def run(arr, lens, _g):
+            ids, n_ids = self._device_encode(arr, lens)
+            return np.asarray(ids), np.asarray(n_ids), arr.shape[1]
+
+        def unpack(res, j, gi):
+            ids, n_ids, bucket = res
+            if len(cps_list[gi]) > bucket:  # truncated: exact host path
+                return self.processor.encode_as_ids(texts[gi])
+            return ids[j, :n_ids[j]].tolist()
+
+        return bucketed(cps_list, self.BUCKETS, self.MAX_BATCH, run, unpack)
 
     def sample(self, texts, dropout_p: float, rng=None) -> List[List[int]]:
         """Device BPE-dropout (bpe_dropout_batch); host fallback for
@@ -411,31 +390,11 @@ class BpeBatchEncoder:
         norm = self.processor.normalizer
         cps_list = [utf8_to_unicode_text(norm.normalize(t)[0])
                     for t in texts]
-        order = sorted(range(len(cps_list)), key=lambda i: len(cps_list[i]))
-        results: List[Optional[List[int]]] = [None] * len(cps_list)
-        i = 0
-        pending = []
-        while i < len(order):
-            clen = len(cps_list[order[i]])
-            bucket = next((b for b in self.BUCKETS if clen <= b),
-                          self.BUCKETS[-1])
-            group = []
-            while (i < len(order) and len(group) < self.MAX_BATCH
-                   and len(cps_list[order[i]]) <= bucket):
-                group.append(order[i])
-                i += 1
-            B = len(group)
-            Bp = 8
-            while Bp < B:
-                Bp *= 2
-            arr = np.zeros((Bp, bucket), np.int32)
-            lens = np.zeros(Bp, np.int32)
-            for j, gi in enumerate(group):
-                c = cps_list[gi][:bucket]
-                arr[j, :len(c)] = c
-                lens[j] = len(c)
+
+        def run(arr, lens, _g):
+            nonlocal key
             key, sub = jax.random.split(key)
-            pending.append((group, bucket, bpe_dropout_batch(
+            ids, n_ids = bpe_dropout_batch(
                 self.pair_keys, self.pair_new, self.pair_score,
                 self.cp_to_sym, self.sym_to_id, jnp.asarray(arr),
                 jnp.asarray(lens), sub, universe=self.U,
@@ -443,17 +402,17 @@ class BpeBatchEncoder:
                 dropout_p=float(dropout_p), add_bos=self.add_bos,
                 add_eos=self.add_eos, reverse=self.reverse,
                 bos_id=self.bos_id, eos_id=self.eos_id,
-                pad_id=self.pad_id)))
-        for group, bucket, (ids, n_ids) in pending:
-            ids = np.asarray(ids)
-            n_ids = np.asarray(n_ids)
-            for j, gi in enumerate(group):
-                if len(cps_list[gi]) > bucket:
-                    results[gi] = self.processor.sample_encode_as_ids(
-                        texts[gi], -1, dropout_p, rng=rng)
-                else:
-                    results[gi] = ids[j, :n_ids[j]].tolist()
-        return results  # type: ignore[return-value]
+                pad_id=self.pad_id)
+            return np.asarray(ids), np.asarray(n_ids), arr.shape[1]
+
+        def unpack(res, j, gi):
+            ids, n_ids, bucket = res
+            if len(cps_list[gi]) > bucket:
+                return self.processor.sample_encode_as_ids(
+                    texts[gi], -1, dropout_p, rng=rng)
+            return ids[j, :n_ids[j]].tolist()
+
+        return bucketed(cps_list, self.BUCKETS, self.MAX_BATCH, run, unpack)
 
 
 @jax.jit

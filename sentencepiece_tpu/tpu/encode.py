@@ -221,6 +221,52 @@ def unigram_encode_batch(units: jnp.ndarray,
     return out, newT
 
 
+def bucketed(payloads, BUCKETS, MAX_BATCH, run, unpack):
+    """Shared host bucketing: sort by length, group into (MAX_BATCH,
+    bucket) padded batches, dispatch ``run(arr, lens, group_no)`` and
+    scatter ``unpack(result, j)`` back to input order. ``payloads``
+    are bytes (uint8 packing) or int sequences (int32 packing)."""
+    order = sorted(range(len(payloads)), key=lambda i: len(payloads[i]))
+    results = [None] * len(payloads)
+    i = 0
+    gno = 0
+    pending = []
+    while i < len(order):
+        blen = len(payloads[order[i]])
+        bucket = next((b for b in BUCKETS if blen <= b),
+                      BUCKETS[-1])
+        group = []
+        while (i < len(order) and len(group) < MAX_BATCH
+               and len(payloads[order[i]]) <= bucket):
+            group.append(order[i])
+            i += 1
+        B = len(group)
+        Bp = 8
+        while Bp < B:
+            Bp *= 2
+        first = payloads[group[0]]
+        if isinstance(first, (bytes, bytearray)):
+            arr = np.zeros((Bp, bucket), np.uint8)
+            lens = np.zeros(Bp, np.int32)
+            for j, gi in enumerate(group):
+                b = payloads[gi][:bucket]
+                arr[j, :len(b)] = np.frombuffer(b, np.uint8)
+                lens[j] = len(b)
+        else:
+            arr = np.zeros((Bp, bucket), np.int32)
+            lens = np.zeros(Bp, np.int32)
+            for j, gi in enumerate(group):
+                c = payloads[gi][:bucket]
+                arr[j, :len(c)] = c
+                lens[j] = len(c)
+        pending.append((group, run(arr, lens, gno)))
+        gno += 1
+    for group, res in pending:
+        for j, gi in enumerate(group):
+            results[gi] = unpack(res, j, gi)
+    return results
+
+
 class UnigramBatchEncoder:
     """Host wrapper: normalize on host, segment on device in length buckets.
 
@@ -282,6 +328,9 @@ class UnigramBatchEncoder:
             add_bos=self.add_bos, add_eos=self.add_eos, reverse=self.reverse,
             bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id)
 
+    def _bucketed(self, payloads, run, unpack):
+        return bucketed(payloads, self.BUCKETS, self.MAX_BATCH, run, unpack)
+
     def _normalize_all(self, texts: Sequence[str]) -> List[bytes]:
         norm = self.processor.normalizer
         return [norm.normalize(t)[0] for t in texts]
@@ -310,34 +359,13 @@ class UnigramBatchEncoder:
         length and batch rows padded to fixed sizes, so the jitted program
         compiles at most once per (batch, length) bucket pair."""
         normed = self._normalize_all(texts)
-        order = sorted(range(len(normed)), key=lambda i: len(normed[i]))
-        results: List[Optional[List[int]]] = [None] * len(normed)
-        i = 0
-        while i < len(order):
-            blen = len(normed[order[i]])
-            bucket = next((b for b in self.BUCKETS if blen <= b),
-                          self.BUCKETS[-1])
-            group = []
-            while (i < len(order) and len(group) < self.MAX_BATCH
-                   and len(normed[order[i]]) <= bucket):
-                group.append(order[i])
-                i += 1
-            B = len(group)
-            Bp = 8
-            while Bp < B:
-                Bp *= 2
-            arr = np.zeros((Bp, bucket), np.uint8)
-            lens = np.zeros(Bp, np.int32)
-            for j, gi in enumerate(group):
-                b = normed[gi][:bucket]
-                arr[j, :len(b)] = np.frombuffer(b, np.uint8)
-                lens[j] = len(b)
+
+        def run(arr, lens, _g):
             out, n = self._device_encode(arr, lens)
-            out = np.asarray(out)
-            n = np.asarray(n)
-            for j, gi in enumerate(group):
-                results[gi] = out[j, :n[j]].tolist()
-        return results  # type: ignore[return-value]
+            return np.asarray(out), np.asarray(n)
+
+        return self._bucketed(
+            normed, run, lambda r, j, _gi: r[0][j, :r[1][j]].tolist())
 
     def sample_from_nbest(self, texts: Sequence[str], nbest_size: int,
                           alpha: float, rng=None) -> List[List[int]]:
@@ -350,51 +378,30 @@ class UnigramBatchEncoder:
             rng = get_generator()
         K = max(1, min(int(nbest_size), 512))
         normed = self._normalize_all(texts)
-        order = sorted(range(len(normed)), key=lambda i: len(normed[i]))
-        results: List[Optional[List[int]]] = [None] * len(normed)
-        i = 0
-        while i < len(order):
-            blen = len(normed[order[i]])
-            bucket = next((b for b in self.BUCKETS if blen <= b),
-                          self.BUCKETS[-1])
-            group = []
-            while (i < len(order) and len(group) < self.MAX_BATCH
-                   and len(normed[order[i]]) <= bucket):
-                group.append(order[i])
-                i += 1
-            B = len(group)
-            Bp = 8
-            while Bp < B:
-                Bp *= 2
-            arr = np.zeros((Bp, bucket), np.uint8)
-            lens = np.zeros(Bp, np.int32)
-            for j, gi in enumerate(group):
-                b = normed[gi][:bucket]
-                arr[j, :len(b)] = np.frombuffer(b, np.uint8)
-                lens[j] = len(b)
+
+        def run(arr, lens, _g):
             rev_ids, n_toks, scores, valid = unigram_nbest_batch(
                 self.units, self.lat_score_table, jnp.asarray(arr),
                 jnp.asarray(lens), self.unk_score,
                 max_depth=self.max_depth, unk_id=self.unk_id, k=K,
                 root_state=self.root_state)
-            scores = np.asarray(scores)
-            valid = np.asarray(valid)
-            rev_ids = np.asarray(rev_ids)
-            n_toks = np.asarray(n_toks)
-            for j, gi in enumerate(group):
-                v = valid[j]
-                sc = scores[j][v]
-                probs = np.exp(alpha * sc)
-                probs /= probs.sum()
-                pick = int(rng.choice(len(sc), p=probs))
-                ranks = np.nonzero(v)[0]
-                r = int(ranks[pick])
-                nt = int(n_toks[j, r])
-                ids = rev_ids[j, r, :nt][::-1]
-                results[gi] = _apply_row_opts(
-                    ids, self.unk_id, self.add_bos, self.add_eos,
-                    self.reverse, self.bos_id, self.eos_id)
-        return results  # type: ignore[return-value]
+            return (np.asarray(rev_ids), np.asarray(n_toks),
+                    np.asarray(scores), np.asarray(valid))
+
+        def unpack(res, j, _gi):
+            rev_ids, n_toks, scores, valid = res
+            v = valid[j]
+            sc = scores[j][v]
+            probs = np.exp(alpha * sc)
+            probs /= probs.sum()
+            pick = int(rng.choice(len(sc), p=probs))
+            r = int(np.nonzero(v)[0][pick])
+            ids = rev_ids[j, r, :int(n_toks[j, r])][::-1]
+            return _apply_row_opts(
+                ids, self.unk_id, self.add_bos, self.add_eos,
+                self.reverse, self.bos_id, self.eos_id)
+
+        return self._bucketed(normed, run, unpack)
 
     def sample(self, texts: Sequence[str], alpha: float,
                rng=None) -> List[List[int]]:
@@ -407,29 +414,12 @@ class UnigramBatchEncoder:
             rng = get_generator()
         key = jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1)))
         normed = self._normalize_all(texts)
-        order = sorted(range(len(normed)), key=lambda i: len(normed[i]))
-        results: List[Optional[List[int]]] = [None] * len(normed)
-        i = 0
-        while i < len(order):
-            blen = len(normed[order[i]])
-            bucket = next((b for b in self.BUCKETS if blen <= b),
-                          self.BUCKETS[-1])
-            group = []
-            while (i < len(order) and len(group) < self.MAX_BATCH
-                   and len(normed[order[i]]) <= bucket):
-                group.append(order[i])
-                i += 1
-            B = len(group)
-            Bp = 8
-            while Bp < B:
-                Bp *= 2
-            arr = np.zeros((Bp, bucket), np.uint8)
-            lens = np.zeros(Bp, np.int32)
-            for j, gi in enumerate(group):
-                b = normed[gi][:bucket]
-                arr[j, :len(b)] = np.frombuffer(b, np.uint8)
-                lens[j] = len(b)
+        subkeys = {}
+
+        def run(arr, lens, g):
+            nonlocal key
             key, sub = jax.random.split(key)
+            subkeys[g] = sub
             out, n = unigram_sample_batch(
                 self.units, self.lat_score_table,
                 jnp.asarray(arr), jnp.asarray(lens), self.unk_score,
@@ -439,11 +429,10 @@ class UnigramBatchEncoder:
                 add_bos=self.add_bos, add_eos=self.add_eos,
                 reverse=self.reverse, bos_id=self.bos_id,
                 eos_id=self.eos_id, pad_id=self.pad_id)
-            out = np.asarray(out)
-            n = np.asarray(n)
-            for j, gi in enumerate(group):
-                results[gi] = out[j, :n[j]].tolist()
-        return results  # type: ignore[return-value]
+            return np.asarray(out), np.asarray(n)
+
+        return self._bucketed(
+            normed, run, lambda r, j, _gi: r[0][j, :r[1][j]].tolist())
 
 
 @functools.partial(
