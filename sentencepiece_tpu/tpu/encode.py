@@ -44,41 +44,15 @@ from . import trie
 NEG_INF = float(np.float32(-1e30))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_depth", "unk_id", "root_state", "add_bos",
-                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
-def unigram_encode_batch(units: jnp.ndarray,
-                         lat_score_table: jnp.ndarray,
-                         batch: jnp.ndarray,
-                         lengths: jnp.ndarray,
-                         unk_score: jnp.ndarray,
-                         *,
-                         max_depth: int,
-                         unk_id: int,
-                         root_state: int = 0,
-                         add_bos: bool = False,
-                         add_eos: bool = False,
-                         reverse: bool = False,
-                         bos_id: int = 1,
-                         eos_id: int = 2,
-                         pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Encode normalized UTF-8 bytes to token ids.
-
-    Args:
-      units: uint32[U] darts unit table over vocab pieces.
-      lat_score_table: float32[V] per-piece lattice score with the
-        user-defined rule pre-applied; -inf for UNUSED pieces.
-      batch: uint8[B, N] normalized bytes, zero-padded.
-      lengths: int32[B] byte lengths.
-      unk_score: float32[] = min_score - kUnkPenalty.
-      max_depth: max piece byte length D (static).
-
-    Returns:
-      (ids int32[B, N+2], out_lengths int32[B]); rows padded with pad_id.
-    """
+def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
+                      *, D, unk_id, root_state):
+    """Lattice populate shared by the encode / sample / n-best
+    kernels: trie walk -> end-aligned (scores, ids) bands. Extracted
+    verbatim from the encode kernel; tracing inlines it, so the
+    emitted XLA is identical (validated against the pre-refactor
+    optimized HLO). The historical fusion pathologies came from
+    traced CONSTANTS, not function structure."""
     B, N = batch.shape
-    D = max_depth
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
     is_start = in_range & ((batch & 0xC0) != 0x80)
@@ -148,8 +122,47 @@ def unigram_encode_batch(units: jnp.ndarray,
             cols.append(shifted)
         return jnp.stack(cols, axis=2)  # [B, N+1, D]
 
-    sc_end = end_align(lat_sc, NEG_INF)
-    id_end = end_align(lat_ids, -1)
+    return end_align(lat_sc, NEG_INF), end_align(lat_ids, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "unk_id", "root_state", "add_bos",
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+def unigram_encode_batch(units: jnp.ndarray,
+                         lat_score_table: jnp.ndarray,
+                         batch: jnp.ndarray,
+                         lengths: jnp.ndarray,
+                         unk_score: jnp.ndarray,
+                         *,
+                         max_depth: int,
+                         unk_id: int,
+                         root_state: int = 0,
+                         add_bos: bool = False,
+                         add_eos: bool = False,
+                         reverse: bool = False,
+                         bos_id: int = 1,
+                         eos_id: int = 2,
+                         pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode normalized UTF-8 bytes to token ids.
+
+    Args:
+      units: uint32[U] darts unit table over vocab pieces.
+      lat_score_table: float32[V] per-piece lattice score with the
+        user-defined rule pre-applied; -inf for UNUSED pieces.
+      batch: uint8[B, N] normalized bytes, zero-padded.
+      lengths: int32[B] byte lengths.
+      unk_score: float32[] = min_score - kUnkPenalty.
+      max_depth: max piece byte length D (static).
+
+    Returns:
+      (ids int32[B, N+2], out_lengths int32[B]); rows padded with pad_id.
+    """
+    B, N = batch.shape
+    D = max_depth
+    sc_end, id_end = _populate_lattice(
+        units, lat_score_table, batch, lengths, unk_score,
+        D=D, unk_id=unk_id, root_state=root_state)
 
     # -- Viterbi scan ----------------------------------------------------------
     def vit_step(win, sc_p):
@@ -469,67 +482,12 @@ def unigram_sample_batch(units: jnp.ndarray,
     fusion before (see the design note at the top of this module)."""
     B, N = batch.shape
     D = max_depth
-    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
-    in_range = pos < lengths[:, None]
-    is_start = in_range & ((batch & 0xC0) != 0x80)
-
-    lead = batch
-    charlen = jnp.where(
-        lead < 0x80, 1,
-        jnp.where(lead < 0xE0, 2, jnp.where(lead < 0xF0, 3, 4))).astype(
-            jnp.int32)
-
-    batch_pad = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
-    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
-    alive = is_start
-    id_lanes = []
-    label_mask = jnp.uint32((1 << 31) | 0xFF)
-    has_leaf_bit = jnp.uint32(1 << 8)
-    value_mask = jnp.uint32(0x7FFFFFFF)
-    for d in range(D):
-        c = batch_pad[:, d:N + d].astype(jnp.uint32)
-        byte_ok = (pos + d) < lengths[:, None]
-        live = alive & byte_ok
-        node = state ^ c
-        safe = jnp.where(live, node, jnp.uint32(0))
-        unit = trie._gather(units, safe)
-        ok = live & ((unit & label_mask) == c)
-        state = jnp.where(ok, node ^ trie.offsets(unit), state)
-        has_leaf = ok & ((unit & has_leaf_bit) != 0)
-        leaf_unit = trie._gather(
-            units, jnp.where(has_leaf, state, jnp.uint32(0)))
-        val = jnp.where(has_leaf,
-                        (leaf_unit & value_mask).astype(jnp.int32),
-                        jnp.int32(-1))
-        alive = ok
-        id_lanes.append(val)
-
-    lat_ids = jnp.stack(id_lanes, axis=2)
-    cl = jnp.clip(charlen - 1, 0, D - 1)
-    lane_at_cl = jnp.take_along_axis(lat_ids, cl[:, :, None], axis=2)[:, :, 0]
-    need_unk = is_start & (lane_at_cl < 0)
-    is_unk_node = jnp.zeros((B, N, D), jnp.bool_).at[
-        jnp.arange(B)[:, None], pos, cl].set(need_unk, mode="drop")
-    lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
-
-    vsafe = jnp.maximum(lat_ids, 0)
-    lat_sc = jnp.where(lat_ids >= 0, trie._gather(lat_score_table, vsafe),
-                       NEG_INF)
-    lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
-    # inverse temperature (theta * score everywhere, like Lattice::Sample)
-    lat_sc = jnp.where(lat_sc > NEG_INF / 2, theta * lat_sc, lat_sc)
-
-    def end_align(lat, fill):
-        cols = []
-        for j in range(D):
-            shifted = jnp.concatenate(
-                [jnp.full((B, j + 1), fill, lat.dtype),
-                 lat[:, :N - j, j]], axis=1)
-            cols.append(shifted)
-        return jnp.stack(cols, axis=2)  # [B, N+1, D]
-
-    sc_end = end_align(lat_sc, NEG_INF)
-    id_end = end_align(lat_ids, -1)
+    sc_end, id_end = _populate_lattice(
+        units, lat_score_table, batch, lengths, unk_score,
+        D=D, unk_id=unk_id, root_state=root_state)
+    # inverse temperature (theta * score, like Lattice::Sample);
+    # NEG_INF fills stay sentinels
+    sc_end = jnp.where(sc_end > NEG_INF / 2, theta * sc_end, sc_end)
 
     # -- forward filter: A[p] = LSE_j(A[p-1-j] + sc_end[p, j]) ----------------
     def fwd_step(win, sc_p):
@@ -635,65 +593,9 @@ def unigram_nbest_batch(units: jnp.ndarray,
     B, N = batch.shape
     D = max_depth
     K = k
-    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
-    in_range = pos < lengths[:, None]
-    is_start = in_range & ((batch & 0xC0) != 0x80)
-
-    lead = batch
-    charlen = jnp.where(
-        lead < 0x80, 1,
-        jnp.where(lead < 0xE0, 2, jnp.where(lead < 0xF0, 3, 4))).astype(
-            jnp.int32)
-
-    batch_pad = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
-    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
-    alive = is_start
-    id_lanes = []
-    label_mask = jnp.uint32((1 << 31) | 0xFF)
-    has_leaf_bit = jnp.uint32(1 << 8)
-    value_mask = jnp.uint32(0x7FFFFFFF)
-    for d in range(D):
-        c = batch_pad[:, d:N + d].astype(jnp.uint32)
-        byte_ok = (pos + d) < lengths[:, None]
-        live = alive & byte_ok
-        node = state ^ c
-        safe = jnp.where(live, node, jnp.uint32(0))
-        unit = trie._gather(units, safe)
-        ok = live & ((unit & label_mask) == c)
-        state = jnp.where(ok, node ^ trie.offsets(unit), state)
-        has_leaf = ok & ((unit & has_leaf_bit) != 0)
-        leaf_unit = trie._gather(
-            units, jnp.where(has_leaf, state, jnp.uint32(0)))
-        val = jnp.where(has_leaf,
-                        (leaf_unit & value_mask).astype(jnp.int32),
-                        jnp.int32(-1))
-        alive = ok
-        id_lanes.append(val)
-
-    lat_ids = jnp.stack(id_lanes, axis=2)
-    cl = jnp.clip(charlen - 1, 0, D - 1)
-    lane_at_cl = jnp.take_along_axis(lat_ids, cl[:, :, None], axis=2)[:, :, 0]
-    need_unk = is_start & (lane_at_cl < 0)
-    is_unk_node = jnp.zeros((B, N, D), jnp.bool_).at[
-        jnp.arange(B)[:, None], pos, cl].set(need_unk, mode="drop")
-    lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
-
-    vsafe = jnp.maximum(lat_ids, 0)
-    lat_sc = jnp.where(lat_ids >= 0, trie._gather(lat_score_table, vsafe),
-                       NEG_INF)
-    lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
-
-    def end_align(lat, fill):
-        cols = []
-        for j in range(D):
-            shifted = jnp.concatenate(
-                [jnp.full((B, j + 1), fill, lat.dtype),
-                 lat[:, :N - j, j]], axis=1)
-            cols.append(shifted)
-        return jnp.stack(cols, axis=2)  # [B, N+1, D]
-
-    sc_end = end_align(lat_sc, NEG_INF)
-    id_end = end_align(lat_ids, -1)
+    sc_end, id_end = _populate_lattice(
+        units, lat_score_table, batch, lengths, unk_score,
+        D=D, unk_id=unk_id, root_state=root_state)
 
     # -- K-best forward scan --------------------------------------------------
     # window win[b, j, r] = r-th best score at position p-1-j; candidates
