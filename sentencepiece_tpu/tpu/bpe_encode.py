@@ -344,7 +344,7 @@ class BpeBatchEncoder:
             processor.pad_id(), 0)
 
     def _device_encode(self, cps: np.ndarray, lens: np.ndarray):
-        return bpe_encode_batch(
+        return bpe_encode_batch_parallel(
             self.pair_keys, self.pair_new, self.pair_score, self.cp_to_sym,
             self.sym_to_id, jnp.asarray(cps), jnp.asarray(lens),
             universe=self.U, max_merges=cps.shape[1] - 1,
@@ -444,3 +444,150 @@ def utf8_to_cp_batch(batch, lengths):
     out = trie._scatter_set(out, rows, jnp.where(is_lead, seg, N),
                             jnp.where(is_lead, cp, 0))
     return out[:, :N], cp_lens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("universe", "max_merges", "unk_id", "add_bos",
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
+                              sym_to_id, cps, lengths, *, universe: int,
+                              max_merges: int, unk_id: int,
+                              add_bos: bool = False, add_eos: bool = False,
+                              reverse: bool = False, bos_id: int = 1,
+                              eos_id: int = 2, pad_id: int = 0):
+    """Batched-merge BPE encode: each while_loop iteration merges EVERY
+    occurrence of the current best-scoring pair at once (BPE pair scores
+    are -merge_rank, so the best score names a unique piece; equal-score
+    occurrences of different splits of the same piece are handled by the
+    same overlap rule). Overlapping occurrences (runs like "aaa") keep
+    alternate members left-to-right — exactly the sequential
+    leftmost-first outcome, since a skipped overlap's pair is re-derived
+    next round from the merged symbols. Trip count is the number of
+    DISTINCT merges present (typically ~L/8) instead of L-1; pair scores
+    recompute fresh each round (no incremental cache, no staleness).
+
+    Exactness vs the sequential scan (and therefore the reference agenda)
+    is gated by the same corpus-level device-vs-host tests."""
+    B, L = cps.shape
+    rows = jnp.arange(B)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+    n_pairs = max(len(pair_keys), 1)
+
+    sym0 = trie._gather(cp_to_sym, jnp.clip(cps, 0, 0x10FFFF))
+    sym0 = jnp.where(in_range, sym0, -1)
+    nxt0 = jnp.broadcast_to(pos + 1, (B, L)).astype(jnp.int32)
+    prv0 = jnp.broadcast_to(pos - 1, (B, L)).astype(jnp.int32)
+    alive0 = in_range
+
+    def pair_lookup(l_sym, r_sym):
+        valid = (l_sym >= 0) & (r_sym >= 0)
+        key = jnp.where(valid, l_sym * universe + r_sym, 0)
+        idx = jnp.clip(jnp.searchsorted(pair_keys, key), 0, n_pairs - 1)
+        hit = trie._gather(pair_keys, idx)
+        found = valid & (hit == key)
+        sc = jnp.where(found, trie._gather(pair_score, idx),
+                       jnp.float32(NEG_INF))
+        ns = jnp.where(found, trie._gather(pair_new, idx), -1)
+        return sc, ns
+
+    def scores_of(sym, nxt, alive):
+        nsafe = jnp.clip(nxt, 0, L - 1)
+        r_sym = jnp.where(alive & (nxt < L), trie._taa(sym, nsafe), -1)
+        return pair_lookup(jnp.where(alive, sym, -1), r_sym)
+
+    def cond(state):
+        sym, nxt, prv, alive, it = state
+        psc, _ = scores_of(sym, nxt, alive)
+        return (it < max_merges) & jnp.any(psc > NEG_INF / 2)
+
+    def body(state):
+        sym, nxt, prv, alive, it = state
+        psc, pnew = scores_of(sym, nxt, alive)
+        best = jnp.max(psc, axis=1)                       # [B]
+        row_on = best > NEG_INF / 2
+        sel = row_on[:, None] & (psc == best[:, None])
+        # overlap chains: candidate p whose predecessor candidate merges
+        # into p's left symbol. prev list element of p is prv[p]; the pair
+        # AT prv[p] overlaps p's pair. Keep alternate chain members,
+        # leftmost first: rank parity via segmented cumsum in position
+        # order (list order == position order).
+        pvsafe = jnp.clip(prv, 0, L - 1)
+        prev_sel = jnp.where(prv >= 0, trie._taa(sel.astype(jnp.int32),
+                                                 pvsafe), 0) > 0
+        chain_cont = sel & prev_sel
+        # segment ranks: rank[p] = #consecutive chain predecessors
+        csel = jnp.cumsum(sel, axis=1)
+        seg_start = sel & ~chain_cont
+        start_mark = jnp.where(seg_start, csel, 0)
+        seg_base = jax.lax.associative_scan(jnp.maximum, start_mark, axis=1)
+        rank = jnp.where(sel, csel - seg_base, 0)
+        keep = sel & (rank % 2 == 0)
+
+        r_idx = jnp.clip(nxt, 0, L - 1)
+        # right halves being absorbed
+        absorbed = jnp.zeros((B, L), jnp.bool_)
+        absorbed = trie._scatter_set(
+            absorbed, jnp.broadcast_to(rows[:, None], (B, L)),
+            jnp.where(keep, r_idx, L),
+            jnp.broadcast_to(jnp.bool_(True), (B, L)))
+        nxt_of_r = trie._taa(nxt, r_idx)
+        new_sym = jnp.where(keep, pnew, sym)
+        new_sym = jnp.where(absorbed, -1, new_sym)
+        new_nxt = jnp.where(keep, nxt_of_r, nxt)
+        new_alive = alive & ~absorbed
+        # prv of the element AFTER the absorbed right half -> p
+        after = jnp.clip(nxt_of_r, 0, L - 1)
+        new_prv = trie._scatter_set(
+            prv, jnp.broadcast_to(rows[:, None], (B, L)),
+            jnp.where(keep & (nxt_of_r < L), after, L),
+            jnp.broadcast_to(pos, (B, L)))
+        return new_sym, new_nxt, new_prv, new_alive, it + 1
+
+    sym, nxt, prv, alive, _ = jax.lax.while_loop(
+        cond, body,
+        (sym0, nxt0, prv0, alive0, jnp.int32(0)))
+
+    out_id = jnp.where(alive & (sym >= 0),
+                       trie._gather(sym_to_id, jnp.maximum(sym, 0)), -1)
+    out_id = jnp.where(alive, jnp.where(out_id >= 0, out_id, unk_id), -1)
+
+    # compact + adjacent-UNK merge + extra options (same tail as the
+    # sequential kernel)
+    t_idx = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
+    T0 = jnp.sum(alive, axis=1, dtype=jnp.int32)
+    seq = jnp.full((B, L + 1), -1, jnp.int32)
+    seq = trie._scatter_set(seq, jnp.broadcast_to(rows[:, None], (B, L)),
+                            jnp.where(alive, t_idx, L),
+                            jnp.where(alive, out_id, -1))
+    seq = seq[:, :L]
+    t = jnp.arange(L, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate([jnp.full((B, 1), -1, seq.dtype), seq[:, :-1]],
+                           axis=1)
+    keep2 = (t < T0[:, None]) & ~((seq == unk_id) & (prev == unk_id))
+    newidx = jnp.cumsum(keep2, axis=1, dtype=jnp.int32) - 1
+    M = L + 2
+    out = jnp.full((B, M), pad_id, jnp.int32)
+    out = trie._scatter_set(out, jnp.broadcast_to(rows[:, None], (B, L)),
+                            jnp.where(keep2, newidx, M - 1),
+                            jnp.where(keep2, seq, pad_id))
+    out = out.at[:, M - 1].set(pad_id)
+    newT = jnp.sum(keep2, axis=1, dtype=jnp.int32)
+
+    tt = jnp.arange(M, dtype=jnp.int32)[None, :]
+    if reverse:
+        src = jnp.clip(newT[:, None] - 1 - tt, 0, M - 1)
+        rev = jnp.take_along_axis(out, src, axis=1)
+        out = jnp.where(tt < newT[:, None], rev, pad_id)
+    if add_bos:
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), bos_id, jnp.int32), out[:, :M - 1]], axis=1)
+        out = jnp.where(tt <= newT[:, None], shifted, pad_id)
+        out = out.at[:, 0].set(bos_id)
+        newT = newT + 1
+    if add_eos:
+        out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
+        newT = newT + 1
+        out = jnp.where(tt < newT[:, None], out, pad_id)
+    return out, newT

@@ -108,7 +108,8 @@ class TpuTokenizer:
         w_enc = 2 * n_in + 8
 
         if self._bpe is not None:
-            from .bpe_encode import utf8_to_cp_batch, bpe_encode_batch
+            from .bpe_encode import (utf8_to_cp_batch,
+                                     bpe_encode_batch_parallel)
             bpe = self._bpe
 
             def fn_bpe(batch, lengths):
@@ -126,7 +127,7 @@ class TpuTokenizer:
                 overflow = norm_len > w_enc
                 enc_len = jnp.minimum(norm_len, w_enc)
                 cps, cp_len = utf8_to_cp_batch(norm_out, enc_len)
-                ids, n_ids = bpe_encode_batch(
+                ids, n_ids = bpe_encode_batch_parallel(
                     bpe.pair_keys, bpe.pair_new, bpe.pair_score,
                     bpe.cp_to_sym, bpe.sym_to_id, cps, cp_len,
                     universe=bpe.U, max_merges=w_enc - 1,
