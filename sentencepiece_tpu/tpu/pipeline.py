@@ -67,9 +67,16 @@ class TpuTokenizer:
     BUCKETS = (128, 512, 2048, 4096)
 
     def __init__(self, processor, add_bos=False, add_eos=False,
-                 reverse=False, pad_id: Optional[int] = None):
+                 reverse=False, pad_id: Optional[int] = None,
+                 mesh=None, axis: str = "dp"):
+        """``mesh``: optional jax.sharding.Mesh — batch rows shard over
+        ``axis`` (pure data parallelism; XLA partitions the pipeline with
+        no collectives, so it scales linearly over ICI)."""
         from .encode import UnigramBatchEncoder
         from ..proto.spec import ModelType
+
+        self.mesh = mesh
+        self.mesh_axis = axis
 
         self.processor = processor
         ts = processor.model_proto.trainer_spec
@@ -171,11 +178,31 @@ class TpuTokenizer:
         self._fns[n_in] = fn
         return fn
 
+    def _shard(self, arr, lens):
+        """Pad rows to a mesh-divisible count and device_put with a
+        batch-sharded layout; no-op without a mesh."""
+        if self.mesh is None:
+            return jnp.asarray(arr), jnp.asarray(lens)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = self.mesh.shape[self.mesh_axis]
+        B = arr.shape[0]
+        Bp = -(-B // n_dev) * n_dev
+        if Bp != B:
+            arr = np.concatenate(
+                [arr, np.zeros((Bp - B,) + arr.shape[1:], arr.dtype)])
+            lens = np.concatenate([lens, np.zeros(Bp - B, lens.dtype)])
+        sh = NamedSharding(self.mesh, P(self.mesh_axis))
+        return (jax.device_put(arr, NamedSharding(self.mesh,
+                                                  P(self.mesh_axis, None))),
+                jax.device_put(lens, sh))
+
     def encode_to_padded(self, lines: Sequence[bytes], width: int
                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         arr, lens = pack_lines(lines, width)
         fn = self._pipeline_fn(width)
-        ids, n_ids, overflow = fn(jnp.asarray(arr), jnp.asarray(lens))
+        a, l = self._shard(arr, lens)
+        ids, n_ids, overflow = fn(a, l)
         return ids, n_ids, overflow
 
     def encode(self, texts: Sequence) -> List[List[int]]:

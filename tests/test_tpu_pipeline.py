@@ -157,3 +157,24 @@ def test_device_nbest_sampling_distribution():
         p, q = host.get(kk, 0) / S, dev.get(kk, 0) / S
         sig = (max(p * (1 - p), 1e-4) / S) ** 0.5
         assert abs(p - q) < 5 * sig + 2 / S, (kk, p, q)
+
+
+def test_mesh_sharded_encode():
+    """TpuTokenizer(mesh=...) shards batch rows over a device mesh (pure
+    data parallelism — XLA partitions the pipeline, zero collectives);
+    ids identical to the host processor."""
+    import jax
+    from jax.sharding import Mesh
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device backend")
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    tok = TpuTokenizer(sp, mesh=mesh)
+    lines = ["Hello world.", "I have a pen.", "", "ＡＢＣ ﾃｽﾄ", "x" * 200]
+    assert tok.encode(lines) == [sp.encode_as_ids(t) for t in lines]
