@@ -863,17 +863,26 @@ class Trainer(TrainerInterface):
             rnd, pieces = ckpt
         while True:
             with profiling.phase("em_round"):
-                for it in range(ts.num_sub_iterations):
-                    if self.engine == "device":
-                        pieces, obj, ntok = dev.em_step(pieces)
-                    else:
+                if self.engine == "device":
+                    # one dispatch wave for all sub-iterations (see
+                    # _DeviceEM.em_rounds)
+                    pieces, stats = dev.em_rounds(pieces,
+                                                  ts.num_sub_iterations)
+                    for it, (obj, ntok) in enumerate(stats):
+                        log.info("EM sub_iter=%d size=%d obj=%s "
+                                 "num_tokens=%d num_tokens/piece=%.4f",
+                                 it, len(pieces), obj, ntok,
+                                 ntok / max(len(pieces), 1))
+                else:
+                    for it in range(ts.num_sub_iterations):
                         scores, seed_to_cur = make_maps(pieces)
                         expected, obj, ntok = self._run_estep(
                             pieces, scores, seed_to_cur, tables)
                         pieces = self._run_mstep(pieces, expected)
-                    log.info("EM sub_iter=%d size=%d obj=%s num_tokens=%d "
-                             "num_tokens/piece=%.4f", it, len(pieces), obj,
-                             ntok, ntok / max(len(pieces), 1))
+                        log.info("EM sub_iter=%d size=%d obj=%s "
+                                 "num_tokens=%d num_tokens/piece=%.4f",
+                                 it, len(pieces), obj, ntok,
+                                 ntok / max(len(pieces), 1))
             if len(pieces) <= self.desired_vocab_size:
                 break
             with profiling.phase("prune"):
@@ -937,10 +946,17 @@ class _DeviceEM:
         self._estep_fn = _estep
 
     def em_step(self, pieces):
+        new_pieces, stats = self.em_rounds(pieces, 1)
+        return (new_pieces, stats[0][0], stats[0][1])
+
+    def em_rounds(self, pieces, n_iters: int):
+        """Run n_iters E/M sub-iterations with ONE host sync at the end:
+        all device steps dispatch asynchronously (no interleaved
+        readbacks — on tunneled rigs a readback between dispatches costs
+        ~1.2 s each). Returns (new_pieces, [(obj, ntok) per iter])."""
         import jax.numpy as jnp
         import jax
 
-        # map current pieces onto seed-indexed state
         scores = np.full(self.num_seed, self.em.NEG_INF, np.float32)
         alive = np.zeros(self.num_seed, bool)
         for w, sc in pieces:
@@ -950,12 +966,16 @@ class _DeviceEM:
                 alive[si] = True
         sc_d = jax.device_put(jnp.asarray(scores), self._rep)
         al_d = jax.device_put(jnp.asarray(alive), self._rep)
-        expected, obj, ntok = self._estep_fn(
-            self.lat, self.lens, self.freqs, sc_d, al_d)
-        new_scores, new_alive = self.em.mstep(expected, al_d)
-        new_scores = np.asarray(new_scores)
-        new_alive = np.asarray(new_alive)
+        stats_d = []
+        for _ in range(n_iters):
+            expected, obj, ntok = self._estep_fn(
+                self.lat, self.lens, self.freqs, sc_d, al_d)
+            sc_d, al_d = self.em.mstep(expected, al_d)
+            stats_d.append((obj, ntok))
+        new_scores = np.asarray(sc_d)
+        new_alive = np.asarray(al_d)
+        stats = [(float(np.asarray(o)) / self.all_freq,
+                  int(np.asarray(t))) for o, t in stats_d]
         new_pieces = [(self.seed_pieces[i][0], float(new_scores[i]))
                       for i in range(self.num_seed) if new_alive[i]]
-        return (new_pieces, float(np.asarray(obj)) / self.all_freq,
-                int(np.asarray(ntok)))
+        return new_pieces, stats
