@@ -164,3 +164,47 @@ def test_unigram_megafreq_float32_narrowing(tmp_path, fixtures_dir):
                  "--minloglevel=2")
     assert (tmp_path / "m.vocab").read_bytes() == \
         (fixtures_dir / "train" / "megafreq_unigram_100.vocab").read_bytes()
+
+
+def test_unigram_checkpoint_resume(tmp_path):
+    """Resumable EM (Trainer(checkpoint_path=...)): a run killed after a
+    prune round and restarted from its checkpoint produces the same vocab
+    as an uninterrupted run."""
+    from sentencepiece_tpu.train import facade
+    import sentencepiece_tpu.train.unigram as U
+
+    corpus = tmp_path / "c.txt"
+    data = open("/root/reference/data/botchan.txt", "rb").read()
+    corpus.write_bytes(b"\n".join(data.split(b"\n")[:800]))
+    args = (f"--input={corpus} --model_type=unigram --vocab_size=800 "
+            "--minloglevel=2")
+    facade.train(args + f" --model_prefix={tmp_path}/full")
+
+    ckpt = str(tmp_path / "em.ckpt")
+
+    class _Stop(Exception):
+        pass
+
+    orig = U.Trainer._save_ckpt
+    calls = {"n": 0}
+
+    def dying(self, pieces, rnd):
+        orig(self, pieces, rnd)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise _Stop()  # crash right after the first checkpoint
+
+    U.Trainer._save_ckpt = dying
+    try:
+        try:
+            facade.train(args + f" --model_prefix={tmp_path}/dead",
+                         checkpoint_path=ckpt)
+        except _Stop:
+            pass
+    finally:
+        U.Trainer._save_ckpt = orig
+    assert (tmp_path / "em.ckpt").exists()
+    facade.train(args + f" --model_prefix={tmp_path}/resumed",
+                 checkpoint_path=ckpt)
+    assert (tmp_path / "resumed.vocab").read_bytes() == \
+        (tmp_path / "full.vocab").read_bytes()
