@@ -127,7 +127,9 @@ def load_charsmap_tsv(text: str) -> CharsMap:
     optional trailing comment after a second tab.
     """
     out: CharsMap = {}
-    for line in text.splitlines():
+    # ReadLine semantics: \n only (a stray \r stays in the field and fails
+    # hex parsing, exactly like the reference's lexical_cast)
+    for line in text.split("\n"):
         if not line:
             continue
         fields = line.split("\t")

@@ -243,8 +243,14 @@ class SentencePieceProcessor:
 
     def load_vocabulary(self, filename: str, threshold: int) -> None:
         vocab = []
-        with open(filename, "r", encoding="utf-8") as f:
-            for line in f.read().splitlines():
+        with open(filename, "rb") as f:
+            # ReadLine semantics: split on \n ONLY — \r can be a real
+            # piece (CRLF corpora tokenize it); splitlines() would split it
+            lines = f.read().split(b"\n")
+            if lines and lines[-1] == b"":
+                lines.pop()
+            for raw in lines:
+                line = raw.decode("utf-8", errors="surrogateescape")
                 v = line.split("\t")
                 assert len(v) >= 1 and v[0]
                 freq = int(v[1]) if len(v) >= 2 else 1
