@@ -134,3 +134,56 @@ def test_mock_model_di_hook(test_model_path):
     # begin/end byte offsets tile the original string
     assert spt.pieces[0].begin == 0
     assert spt.pieces[-1].end == len("hello")
+
+
+def test_reference_binding_suite_mirror(sp, jasp):
+    """The reference python/test/sentencepiece_test.py assertions, run
+    verbatim against our binding (CamelCase surface + roundtrips +
+    serialized protos)."""
+    import numpy as np
+
+    # test_load
+    assert sp.GetPieceSize() == 1000
+    for i in range(sp.GetPieceSize()):
+        assert sp.PieceToId(sp.IdToPiece(i)) == i
+    # test_roundtrip
+    text = "I saw a girl with a telescope."
+    ids = sp.EncodeAsIds(text)
+    pieces1 = sp.EncodeAsPieces(text)
+    pieces2 = sp.NBestEncodeAsPieces(text, 10)[0]
+    assert pieces1 == pieces2
+    assert sp.DecodePieces(pieces1) == text
+    assert sp.DecodeIds(ids) == text
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        assert sp.DecodePieces(
+            sp.SampleEncodeAsPieces(text, 64, 0.5, rng=rng)) == text
+        assert sp.DecodePieces(
+            sp.SampleEncodeAsPieces(text, -1, 0.5, rng=rng)) == text
+        assert sp.DecodeIds(
+            sp.SampleEncodeAsIds(text, 64, 0.5, rng=rng)) == text
+        assert sp.DecodeIds(
+            sp.SampleEncodeAsIds(text, -1, 0.5, rng=rng)) == text
+    # test_ja_roundtrip
+    jtext = "吾輩は猫である。"
+    jids = jasp.EncodeAsIds(jtext)
+    jp = jasp.EncodeAsPieces(jtext)
+    assert jasp.DecodePieces(jp) == jtext
+    assert jasp.DecodeIds(jids) == jtext
+    # test_unicode_roundtrip
+    utext = "I saw a girl"
+    assert sp.DecodePieces(sp.EncodeAsPieces(utext)) == utext
+    # test_serialized_proto (both casings)
+    assert sp.EncodeAsSerializedProto(text) != b""
+    assert sp.SampleEncodeAsSerializedProto(text, 10, 0.2) != b""
+    assert sp.NBestEncodeAsSerializedProto(text, 10) != b""
+    assert sp.DecodePiecesAsSerializedProto(["foo", "bar"]) != b""
+    assert sp.DecodeIdsAsSerializedProto([20, 30]) != b""
+    assert sp.encode_as_serialized_proto(text) != b""
+    assert sp.sample_encode_as_serialized_proto(text, 10, 0.2) != b""
+    assert sp.nbest_encode_as_serialized_proto(text, 10) != b""
+    assert sp.decode_pieces_as_serialized_proto(["foo", "bar"]) != b""
+    assert sp.decode_ids_as_serialized_proto([20, 30]) != b""
+    # __len__ / __getitem__ sugar
+    assert len(sp) == 1000
+    assert sp["<unk>"] == 0
