@@ -12,6 +12,7 @@ the package; ``available()`` reports whether the fast path loaded.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -24,16 +25,26 @@ log = logging.getLogger("sentencepiece_tpu.native")
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "native.cc")
-_SO = os.path.join(_DIR, "_native.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+def _so_path() -> str:
+    # The source hash is baked into the filename so a stale binary can
+    # never shadow an edited native.cc (mtimes are unreliable after a
+    # fresh git checkout).
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"_native-{h}.so")
+
+
+def _build(so: str) -> bool:
+    tmp = so + ".tmp"
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, so)
         return True
     except Exception as e:  # pragma: no cover
         log.warning("native build failed: %s", e)
@@ -46,13 +57,12 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                       os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
-            if not _build():
+        so = _so_path()
+        if not os.path.exists(so):
+            if not _build(so):
                 return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError as e:  # pragma: no cover
             log.warning("native load failed: %s", e)
             return None
@@ -67,7 +77,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,      # matcher units
             ctypes.c_void_p, ctypes.c_int64,      # data
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_void_p]     # out, n2o
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]  # out, cap, n2o
         lib.spm_sais.restype = None
         lib.spm_sais.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int64, ctypes.c_int64]
@@ -185,27 +195,36 @@ class NativeNormalizer:
             return None
         return out, out_off
 
-    def normalize(self, data: bytes) -> Tuple[bytes, np.ndarray]:
+    def normalize(self, data: bytes):
+        """Returns (normalized bytes, n2o) or None when the native path
+        can't serve this input (e.g. a charsmap rule expands past the
+        retry bound) — callers fall back to the exact Python path."""
         n = len(data)
         cap = n * 13 + 16
-        out = np.empty(cap, np.uint8)
-        n2o = np.empty(cap + 1, np.int64)
         d = np.frombuffer(data, np.uint8)
-        olen = self.lib.spm_normalize(
-            None if self.units is None else
-            self.units.ctypes.data_as(ctypes.c_void_p),
-            0 if self.units is None else len(self.units),
-            None if self.pool is None else
-            self.pool.ctypes.data_as(ctypes.c_void_p),
-            0 if self.pool is None else len(self.pool),
-            None if self.matcher is None else
-            self.matcher.ctypes.data_as(ctypes.c_void_p),
-            0 if self.matcher is None else len(self.matcher),
-            d.ctypes.data_as(ctypes.c_void_p) if n else None, n,
-            *self.flags,
-            out.ctypes.data_as(ctypes.c_void_p),
-            n2o.ctypes.data_as(ctypes.c_void_p))
-        return out[:olen].tobytes(), n2o[:olen + 1].copy()
+        for _ in range(4):  # grow-and-retry on -2 (rule expanded past 13x)
+            out = np.empty(cap, np.uint8)
+            n2o = np.empty(cap + 1, np.int64)
+            olen = self.lib.spm_normalize(
+                None if self.units is None else
+                self.units.ctypes.data_as(ctypes.c_void_p),
+                0 if self.units is None else len(self.units),
+                None if self.pool is None else
+                self.pool.ctypes.data_as(ctypes.c_void_p),
+                0 if self.pool is None else len(self.pool),
+                None if self.matcher is None else
+                self.matcher.ctypes.data_as(ctypes.c_void_p),
+                0 if self.matcher is None else len(self.matcher),
+                d.ctypes.data_as(ctypes.c_void_p) if n else None, n,
+                *self.flags,
+                out.ctypes.data_as(ctypes.c_void_p), cap,
+                n2o.ctypes.data_as(ctypes.c_void_p))
+            if olen >= 0:
+                return out[:olen].tobytes(), n2o[:olen + 1].copy()
+            if olen != -2:
+                return None
+            cap *= 8
+        return None
 
 
 def sais(arr: np.ndarray, alphabet: int) -> Optional[np.ndarray]:

@@ -331,8 +331,11 @@ static int utf8_char_len(const uint8_t *d, int64_t pos, int64_t n,
   return 1;
 }
 
-// Normalize one string. Returns output length; out must have room for
-// n * 13 + 8 bytes, n2o for (that + 1) int64s.
+// Normalize one string. Returns output length, or -2 if out_cap is too
+// small (a charsmap replacement may expand arbitrarily — e.g. a custom
+// rule mapping one byte to 40 spaces, tripled again by whitespace
+// escaping — so callers must handle -2 by growing or falling back).
+// out must have out_cap bytes, n2o room for out_cap + 1 int64s.
 // matcher_units may be null (no user-defined symbols).
 int64_t spm_normalize(const uint32_t *units, int64_t n_units,
                       const uint8_t *pool, int64_t pool_len,
@@ -340,7 +343,7 @@ int64_t spm_normalize(const uint32_t *units, int64_t n_units,
                       const uint8_t *data, int64_t n,
                       int add_dummy_prefix, int remove_extra_whitespaces,
                       int escape_whitespaces, int suffix_mode,
-                      uint8_t *out, int64_t *n2o) {
+                      uint8_t *out, int64_t out_cap, int64_t *n2o) {
   static const uint8_t kSpaceSym[3] = {0xE2, 0x96, 0x81};
   static const uint8_t kFFFD[3] = {0xEF, 0xBF, 0xBD};
   if (n == 0) {
@@ -406,17 +409,21 @@ int64_t spm_normalize(const uint32_t *units, int64_t n_units,
   }
 
   auto add_ws = [&]() {
+    if (olen + ws_len > out_cap) return false;
     for (int i = 0; i < ws_len; ++i) {
       out[olen] = ws[i];
       n2o[olen] = consumed;
       ++olen;
     }
+    return true;
   };
-  if (!suffix_mode && add_dummy_prefix) add_ws();
+  if (!suffix_mode && add_dummy_prefix && !add_ws()) return -2;
 
   bool is_prev_space = remove_extra_whitespaces;
   while (pos < n) {
     fetch(pos, &rep, &rep_len, &cons, tmp);
+    // worst case every replacement byte is a space expanding to 3 bytes
+    if (olen + (int64_t)rep_len * 3 > out_cap) return -2;
     int start = 0;
     if (is_prev_space) {
       while (start < rep_len && rep[start] == ' ') ++start;
@@ -448,7 +455,7 @@ int64_t spm_normalize(const uint32_t *units, int64_t n_units,
       consumed = n2o[olen];
     }
   }
-  if (suffix_mode && add_dummy_prefix) add_ws();
+  if (suffix_mode && add_dummy_prefix && !add_ws()) return -2;
   n2o[olen] = consumed;
   return olen;
 }
@@ -1257,20 +1264,29 @@ extern "C" int64_t spm_unigram_encode_ids_batch(
   for (int64_t li = 0; li < n_lines; ++li) {
     const uint8_t* d = data + off[li];
     const int64_t n = off[li + 1] - off[li];
-    const int64_t cap = n * 13 + 16;
+    int64_t cap = n * 13 + 16;
     uint8_t* nout;
+    int64_t olen;
     if (want_pieces) {
       if (nb + cap > norm_cap) return -2;
       nout = out_norm + nb;
+      if ((int64_t)n2o.size() < norm_cap - nb + 1) n2o.resize(norm_cap - nb + 1);
+      olen = spm_normalize(n_units, n_nunits, pool, pool_len, m_units,
+                           n_munits, d, n, add_dummy, remove_ws, escape_ws,
+                           suffix_mode, nout, norm_cap - nb, n2o.data());
+      if (olen == -2) return -2;  // caller's norm buffer too small
     } else {
-      if ((int64_t)norm_buf.size() < cap) norm_buf.resize(cap);
-      nout = norm_buf.data();
+      for (;;) {
+        if ((int64_t)norm_buf.size() < cap) norm_buf.resize(cap);
+        if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
+        nout = norm_buf.data();
+        olen = spm_normalize(n_units, n_nunits, pool, pool_len, m_units,
+                             n_munits, d, n, add_dummy, remove_ws, escape_ws,
+                             suffix_mode, nout, cap, n2o.data());
+        if (olen != -2) break;
+        cap *= 2;  // custom rule expanded past 13x: grow and retry
+      }
     }
-    if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
-    const int64_t olen =
-        spm_normalize(n_units, n_nunits, pool, pool_len, m_units, n_munits,
-                      d, n, add_dummy, remove_ws, escape_ws, suffix_mode,
-                      nout, n2o.data());
     if (olen < 0) return -1;
     if ((int64_t)ids.size() < olen) {
       ids.resize(olen);
@@ -1333,11 +1349,12 @@ extern "C" int64_t spm_bpe_encode_ids_batch(
     const int64_t n = off[li + 1] - off[li];
     const int64_t cap = n * 13 + 16;
     if (nb + cap > norm_cap) return -2;
-    if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
+    if ((int64_t)n2o.size() < norm_cap - nb + 1) n2o.resize(norm_cap - nb + 1);
     const int64_t olen =
         spm_normalize(n_units, n_nunits, pool, pool_len, m_units, n_munits,
                       d, n, add_dummy, remove_ws, escape_ws, suffix_mode,
-                      out_norm + nb, n2o.data());
+                      out_norm + nb, norm_cap - nb, n2o.data());
+    if (olen == -2) return -2;
     if (olen < 0) return -1;
     if ((int64_t)ids.size() < olen) {
       ids.resize(olen);
@@ -1835,11 +1852,12 @@ extern "C" int64_t spm_normalize_batch(
     const int64_t n = off[li + 1] - off[li];
     const int64_t cap = n * 13 + 16;
     if (nb + cap > out_cap) return -2;
-    if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
+    if ((int64_t)n2o.size() < out_cap - nb + 1) n2o.resize(out_cap - nb + 1);
     const int64_t olen =
         spm_normalize(units, n_units, pool, pool_len, m_units, n_munits,
                       data + off[li], n, add_dummy, remove_ws, escape_ws,
-                      suffix_mode, out + nb, n2o.data());
+                      suffix_mode, out + nb, out_cap - nb, n2o.data());
+    if (olen == -2) return -2;
     if (olen < 0) return -1;
     nb += olen;
     out_off[li + 1] = nb;

@@ -182,7 +182,10 @@ class Normalizer:
 
         native = self._native_impl()
         if native is not None:
-            return native.normalize(data)
+            r = native.normalize(data)
+            if r is not None:
+                return r
+            # pathological charsmap expansion: exact Python path below
 
         arr = np.frombuffer(data, dtype=np.uint8)
         rule_len, rule_val = self._match_table(arr)
