@@ -18,6 +18,7 @@ Host API (`SentencePieceProcessor`, `SentencePieceTrainer`) is drop-in
 compatible with the reference python package and bit-exact on token ids.
 """
 
+from . import distributed
 from .processor import SentencePieceProcessor
 from .proto.spec import (ModelProto, ModelType, NormalizerSpec, PieceType,
                          TrainerSpec)
@@ -26,6 +27,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SentencePieceProcessor",
+    "distributed",
     "ModelProto",
     "ModelType",
     "NormalizerSpec",

@@ -108,6 +108,20 @@ _TRAINER_REPEATED = ["input", "accept_language", "control_symbols",
                      "user_defined_symbols"]
 _NORMALIZER_SCALARS = ["add_dummy_prefix", "remove_extra_whitespaces"]
 
+# TPU-native extensions (no reference analog): device-mesh training engine
+# + multi-host process wiring (SURVEY.md §2.9)
+SPEC.update({
+    "engine": ("s", "exact",
+               "training engine: exact (host, byte-identical to the "
+               "reference) or device (data-parallel over the jax device "
+               "mesh)"),
+    "distributed_coordinator": ("s", "",
+                                "host:port of rank 0 for multi-host "
+                                "training (jax.distributed)"),
+    "distributed_num_processes": ("i", 0, "number of training processes"),
+    "distributed_process_id": ("i", -1, "this process's rank"),
+})
+
 
 def main(argv=None) -> None:
     from ..train import facade
@@ -117,6 +131,14 @@ def main(argv=None) -> None:
     if not flags.input or not flags.model_prefix:
         raise SystemExit("ERROR: --input and --model_prefix must not be "
                          "empty\n\n" + flags.usage())
+
+    if flags.distributed_coordinator or flags.distributed_num_processes:
+        from .. import distributed
+        distributed.initialize(
+            coordinator_address=flags.distributed_coordinator or None,
+            num_processes=flags.distributed_num_processes or None,
+            process_id=(flags.distributed_process_id
+                        if flags.distributed_process_id >= 0 else None))
 
     trainer_spec = TrainerSpec()
     normalizer_spec = NormalizerSpec()
@@ -131,7 +153,8 @@ def main(argv=None) -> None:
         setattr(normalizer_spec, name, flags.values[name])
     normalizer_spec.name = flags.normalization_rule_name
     normalizer_spec.normalization_rule_tsv = flags.normalization_rule_tsv
-    facade.train(trainer_spec=trainer_spec, normalizer_spec=normalizer_spec)
+    facade.train(trainer_spec=trainer_spec, normalizer_spec=normalizer_spec,
+                 engine=flags.engine)
 
 
 if __name__ == "__main__":

@@ -24,15 +24,18 @@ active-symbol heap become, per merge step,
      compaction so adjacency stays position+1.
 
 The merge SEQUENCE (l, r universe ids per step) is the only readback;
-piece strings are reconstructed on the host. This is the scale engine —
-the host trainer (train/bpe.py) stays the byte-exact conformance engine.
+piece strings are reconstructed on the host. Tie-breaks replicate the
+reference comparator exactly (bpe_model_trainer.cc:240-254): freq desc,
+then merged length asc, then lexicographic order of the merged string —
+the lex pass compares per-symbol codepoint tables position by position
+(UTF-8 byte order equals codepoint order, so codepoint lex == ToString()
+lex) and is `cond`-gated so it only runs on actual (freq, len) ties.
 
-Documented deviations from the reference: equal-(freq, length) ties
-resolve by smallest pair key rather than merged-string byte order, and
-counts are always exact (the reference's active-set cache only
-approximates them between refreshes). Universe (alphabet + merges) is
-bounded by the dense histogram to ~4k symbols; bigger runs use the host
-engine.
+Documented deviations from the reference: counts are always exact (the
+reference's active-set cache only approximates them between refreshes,
+which can reorder the freq-1 tail — see docs/conformance.md). Universe
+(alphabet + merges) is bounded by the dense histogram to ~4k symbols;
+bigger runs use the host engine.
 """
 
 from __future__ import annotations
@@ -54,7 +57,7 @@ SCRIPT_MIXED = -2
     jax.jit,
     static_argnames=("universe", "n_merges", "max_piece_len", "axis_name"))
 def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
-                     sym_ws_inner0, sym_script0, sym_valid0, *,
+                     sym_ws_inner0, sym_script0, sym_valid0, sym_chars0, *,
                      universe: int, n_merges: int, max_piece_len: int,
                      axis_name: Optional[str] = None):
     """Run the merge loop. Returns (merge_l, merge_r, merge_freq) arrays of
@@ -62,10 +65,13 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
 
     sym0 int32[W, L]: per-char symbol ids (-1 pad); freqs f32[W];
     first_new_id: universe id assigned to the first merge product.
-    Per-symbol attribute vectors are sized [universe].
+    Per-symbol attribute vectors are sized [universe];
+    sym_chars0 int32[universe, max_piece_len]: codepoints (0 pad) — the
+    lex tie-break table.
     """
     W, L = sym0.shape
     U = universe
+    Lp = max_piece_len
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     def run_parity(flag):
@@ -93,9 +99,12 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
         return jax.lax.optimization_barrier(counts[:U * U])
 
     def step(carry, _):
-        (sym, s_len, s_wsp, s_wsi, s_scr, s_val, next_id) = carry
+        (sym, s_len, s_wsp, s_wsi, s_scr, s_val, s_chr, next_id) = carry
         counts = histogram(sym)
         if axis_name is not None:
+            # pair counts are integer-valued float32 (sums of integer word
+            # freqs), so psum is order-exact below 2^24 — the merge
+            # sequence is independent of the process topology
             counts = jax.lax.psum(counts, axis_name)
         len_l = s_len[:, None]
         len_r = s_len[None, :]
@@ -111,14 +120,38 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
                   & (scr_l != SCRIPT_MIXED) & (scr_r != SCRIPT_MIXED))
         ok = (ok & compat).reshape(-1)
         cnt2 = jnp.where(ok, counts, 0.0)
-        # exact tie-break in two passes (single-pass composites lose
-        # integer precision in float32): freq desc -> len asc -> key asc
+        # exact reference tie-break (bpe_model_trainer.cc:240-254), in
+        # passes (single-pass composites lose integer precision in
+        # float32): freq desc -> merged length asc -> merged-string lex
         m = jnp.max(cnt2)
         at_max = cnt2 >= m
-        neg_len = jnp.where(at_max,
-                            -(len_l + len_r).astype(jnp.float32).reshape(-1),
-                            -jnp.inf)
-        best = jnp.argmax(neg_len).astype(jnp.int32)  # first max: min key
+        pair_len = (len_l + len_r).reshape(-1)
+        neg_len = jnp.where(at_max, -pair_len.astype(jnp.float32), -jnp.inf)
+        best_len = -jnp.max(neg_len)
+        tie = at_max & (pair_len.astype(jnp.float32) == best_len)
+
+        def lex_refine(mask):
+            # among equal-(freq, total-length) pairs, keep the ones whose
+            # merged codepoint string is lexicographically smallest; all
+            # candidates share a total length, so scanning the first
+            # max_piece_len concat positions fully orders them
+            mask2 = mask.reshape(U, U)
+            chars_t = s_chr.T  # [Lp, U]
+
+            def body(j, mk):
+                from_l = j < s_len  # [U] per left symbol
+                idx_r = jnp.clip(j - s_len, 0, Lp - 1)
+                cr = jax.lax.optimization_barrier(
+                    chars_t[idx_r, :])  # [U, U]: [l, r] = chars[r, j-len_l]
+                c = jnp.where(from_l[:, None], s_chr[:, j][:, None], cr)
+                c = jnp.where(mk, c, jnp.int32(0x7FFFFFFF))
+                return mk & (c == jnp.min(c))
+
+            return jax.lax.fori_loop(0, Lp, body, mask2).reshape(-1)
+
+        n_tied = jnp.sum(tie)
+        tie = jax.lax.cond(n_tied > 1, lex_refine, lambda t: t, tie)
+        best = jnp.argmax(tie).astype(jnp.int32)  # first survivor
         active = m > 0.5
         bl = best // U
         br = best % U
@@ -155,13 +188,20 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
                                 SCRIPT_MIXED)))
         s_scr = s_scr.at[next_id].set(jnp.where(active, new_scr, 0))
         s_val = s_val.at[next_id].set(active)
+        # merged codepoints: chars[bl] ++ chars[br], 0-padded
+        jpos = jnp.arange(Lp, dtype=jnp.int32)
+        idx_r = jnp.clip(jpos - s_len[bl], 0, Lp - 1)
+        merged = jnp.where(jpos < s_len[bl], s_chr[bl],
+                           jnp.where(jpos < s_len[bl] + s_len[br],
+                                     s_chr[br][idx_r], 0))
+        s_chr = s_chr.at[next_id].set(jnp.where(active, merged, 0))
         out = (jnp.where(active, bl, -1), jnp.where(active, br, -1),
                jnp.where(active, m, 0.0))
-        return ((sym, s_len, s_wsp, s_wsi, s_scr, s_val,
+        return ((sym, s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
                  next_id + jnp.where(active, 1, 0)), out)
 
     carry0 = (sym0, sym_len0, sym_ws_prefix0, sym_ws_inner0, sym_script0,
-              sym_valid0, jnp.asarray(first_new_id, jnp.int32))
+              sym_valid0, sym_chars0, jnp.asarray(first_new_id, jnp.int32))
     (_, (ml, mr, mf)) = jax.lax.scan(step, carry0, None, length=n_merges)
     return ml, mr, mf
 
@@ -169,14 +209,16 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
 def train_device_bpe(trainer, n_merges: int):
     """Host driver: build char symbols + attributes, run the device loop
     over the mesh, reconstruct merged piece strings in merge order."""
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
     from ..train.interface import UNK_CHAR
     from ..utils import unicode_script
+    from .. import distributed as dist
 
     words = trainer.sentences
     ts = trainer.trainer_spec
-    # alphabet = chars of the corpus, universe ids 0..A-1
+    # alphabet = chars of the corpus, universe ids 0..A-1 (every process
+    # derives it from the full word list, so it is identical everywhere)
     chars = sorted({c for w, _ in words for c in w})
     char_id = {c: i for i, c in enumerate(chars)}
     A = len(chars)
@@ -184,19 +226,23 @@ def train_device_bpe(trainer, n_merges: int):
     if U >= 4096:
         return None  # dense histogram too large; host engine instead
 
-    n_dev = len(jax.devices())
     W = len(words)
-    Wp = -(-max(W, 1) // n_dev) * n_dev
     L = max((len(w) for w, _ in words), default=1)
-    sym = np.full((Wp, L), -1, np.int32)
-    freqs = np.zeros(Wp, np.float32)
-    for i, (w, f) in enumerate(words):
+    # per-process corpus shard (SURVEY.md §2.9)
+    mesh = dist.data_mesh("dp")
+    Wp = dist.pad_rows(W, mesh)
+    lo, hi = dist.local_row_range(Wp, mesh)
+    sym = np.full((hi - lo, L), -1, np.int32)
+    freqs = np.zeros(hi - lo, np.float32)
+    for i, (w, f) in enumerate(words[lo:min(hi, W)]):
         sym[i, :len(w)] = [char_id[c] for c in w]
         freqs[i] = f
 
     han = unicode_script.script_id("Han")
     hira = unicode_script.script_id("Hiragana")
     kata = unicode_script.script_id("Katakana")
+    Lp = ts.max_sentencepiece_length
+    s_chr = np.zeros((U, Lp), np.int32)
     s_len = np.zeros(U, np.int32)
     s_wsp = np.zeros(U, bool)
     s_wsi = np.zeros(U, bool)
@@ -205,6 +251,7 @@ def train_device_bpe(trainer, n_merges: int):
     for c, i in char_id.items():
         cp = ord(c)
         s_len[i] = 1
+        s_chr[i, 0] = cp
         s_wsp[i] = cp == 0x2581
         s_val[i] = cp not in (UNK_CHAR, 0, 9, 0x20)
         if cp == 0x2581:
@@ -219,31 +266,30 @@ def train_device_bpe(trainer, n_merges: int):
                 scr = SCRIPT_ANY
         s_scr[i] = scr
 
-    mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
-    shard = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
-    sym_d = jax.device_put(jnp.asarray(sym), shard)
-    freqs_d = jax.device_put(jnp.asarray(freqs), shard)
+    sym_d = dist.put_sharded(sym, mesh)
+    freqs_d = dist.put_sharded(freqs, mesh)
 
     import functools as ft
 
     @jax.jit
     @ft.partial(shard_map, mesh=mesh,
-                in_specs=(P("dp"), P("dp"), P(), P(), P(), P(), P(), P()),
+                in_specs=(P("dp"), P("dp"), P(), P(), P(), P(), P(), P(),
+                          P()),
                 out_specs=(P(), P(), P()), check_vma=False)
-    def run(sym_s, freqs_s, fni, sl, swp, swi, ssc, sva):
+    def run(sym_s, freqs_s, fni, sl, swp, swi, ssc, sva, sch):
         return bpe_train_merges(
-            sym_s, freqs_s, fni, sl, swp, swi, ssc, sva,
+            sym_s, freqs_s, fni, sl, swp, swi, ssc, sva, sch,
             universe=U, n_merges=n_merges,
-            max_piece_len=ts.max_sentencepiece_length, axis_name="dp")
+            max_piece_len=Lp, axis_name="dp")
 
     ml, mr, mf = run(sym_d, freqs_d,
-                     jax.device_put(jnp.int32(A), rep),
-                     jax.device_put(jnp.asarray(s_len), rep),
-                     jax.device_put(jnp.asarray(s_wsp), rep),
-                     jax.device_put(jnp.asarray(s_wsi), rep),
-                     jax.device_put(jnp.asarray(s_scr), rep),
-                     jax.device_put(jnp.asarray(s_val), rep))
+                     dist.put_replicated(np.int32(A), mesh),
+                     dist.put_replicated(s_len, mesh),
+                     dist.put_replicated(s_wsp, mesh),
+                     dist.put_replicated(s_wsi, mesh),
+                     dist.put_replicated(s_scr, mesh),
+                     dist.put_replicated(s_val, mesh),
+                     dist.put_replicated(s_chr, mesh))
     ml = np.asarray(ml)
     mr = np.asarray(mr)
     # reconstruct strings

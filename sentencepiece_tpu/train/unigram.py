@@ -907,29 +907,33 @@ class _DeviceEM:
 
     def __init__(self, trainer: Trainer, seed_pieces):
         import jax
-        import jax.numpy as jnp
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
         from ..tpu import em
+        from .. import distributed as dist
 
         self.em = em
+        self.dist = dist
         self.seed_pieces = seed_pieces
         self.seed_index = {w: i for i, (w, _) in enumerate(seed_pieces)}
-        n_dev = len(jax.devices())
         words = trainer.sentences
         W = len(words)
-        Wp = -(-max(W, 1) // n_dev) * n_dev
         max_len = trainer.trainer_spec.max_sentencepiece_length
+        # Per-process corpus sharding (SURVEY.md §2.9): each process builds
+        # + uploads only its own contiguous row slice of the padded word
+        # table; shapes are pinned by the GLOBAL max word length so every
+        # shard compiles the same program.
+        self.mesh = dist.data_mesh("dp")
+        Wp = dist.pad_rows(W, self.mesh)
+        lo, hi = dist.local_row_range(Wp, self.mesh)
+        max_word = max((len(w) for w, _ in words), default=1)
         lat, lens, freqs = em.build_word_lattices(
-            words, self.seed_index, max_len, pad_words_to=Wp)
+            words[lo:min(hi, W)], self.seed_index, max_len,
+            pad_words_to=hi - lo, max_word_len=max_word)
         self.all_freq = float(sum(f for _, f in words))
         self.num_seed = len(seed_pieces)
-        self.mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
-        shard = NamedSharding(self.mesh, P("dp"))
-        rep = NamedSharding(self.mesh, P())
-        self.lat = jax.device_put(jnp.asarray(lat), shard)
-        self.lens = jax.device_put(jnp.asarray(lens), shard)
-        self.freqs = jax.device_put(jnp.asarray(freqs), shard)
-        self._rep = rep
+        self.lat = dist.put_sharded(lat, self.mesh)
+        self.lens = dist.put_sharded(lens, self.mesh)
+        self.freqs = dist.put_sharded(freqs, self.mesh)
         num_seed = self.num_seed
 
         import functools as ft
@@ -964,8 +968,8 @@ class _DeviceEM:
             if si is not None:
                 scores[si] = sc
                 alive[si] = True
-        sc_d = jax.device_put(jnp.asarray(scores), self._rep)
-        al_d = jax.device_put(jnp.asarray(alive), self._rep)
+        sc_d = self.dist.put_replicated(scores, self.mesh)
+        al_d = self.dist.put_replicated(alive, self.mesh)
         stats_d = []
         for _ in range(n_iters):
             expected, obj, ntok = self._estep_fn(

@@ -1,38 +1,59 @@
 """Device-engine BPE training over the (virtual 8-device) mesh.
 
 Pair counts are histogrammed per shard and psum-reduced (tpu/bpe_train.py);
-merge decisions are replicated. Equal-(freq,len) ties resolve by pair key
-instead of merged-string bytes, so vocabularies are compared as sets with
-high overlap (the exact host engine remains byte-identical to the
-reference)."""
+merge decisions are replicated. Counts are integer-valued (order-exact
+under psum) and the tie-break replicates the reference comparator — freq
+desc, merged length asc, merged-string lex (bpe_model_trainer.cc:240-254)
+— so the device engine's vocab is BYTE-IDENTICAL to the exact host
+engine's (which is byte-identical to the reference), on any mesh size.
+"""
 
+import os
 import pathlib
+
+import pytest
 
 FIX = pathlib.Path(__file__).parent / "fixtures" / "train"
 
 
-def test_bpe_device_engine(tmp_path):
+@pytest.mark.parametrize("corpus,vocab", [("sub.txt", 300),
+                                          ("subja.txt", 900)])
+def test_bpe_device_engine_byte_exact(tmp_path, corpus, vocab):
     import jax
     from sentencepiece_tpu.train import facade
     from sentencepiece_tpu import SentencePieceProcessor
 
     assert len(jax.devices()) == 8
 
-    corpus = FIX / "sub.txt"
-    facade.train(
-        f"--input={corpus} --model_prefix={tmp_path}/dev --model_type=bpe "
-        "--vocab_size=300 --hard_vocab_limit=false --minloglevel=2",
-        engine="device")
-    facade.train(
-        f"--input={corpus} --model_prefix={tmp_path}/ex --model_type=bpe "
-        "--vocab_size=300 --hard_vocab_limit=false --minloglevel=2",
-        engine="exact")
-    dv = {l.split("\t")[0] for l in open(tmp_path / "dev.vocab",
-                                         encoding="utf-8")}
-    ex = {l.split("\t")[0] for l in open(tmp_path / "ex.vocab",
-                                         encoding="utf-8")}
-    assert len(dv & ex) / len(ex) > 0.95
+    flags = (f"--input={FIX / corpus} --model_type=bpe "
+             f"--vocab_size={vocab} --hard_vocab_limit=false "
+             "--minloglevel=2")
+    facade.train(f"{flags} --model_prefix={tmp_path}/dev", engine="device")
+    facade.train(f"{flags} --model_prefix={tmp_path}/ex", engine="exact")
+    dev = (tmp_path / "dev.vocab").read_bytes()
+    ex = (tmp_path / "ex.vocab").read_bytes()
+    assert dev == ex  # byte equality, not overlap
 
     sp = SentencePieceProcessor(str(tmp_path / "dev.model"))
-    ids = sp.encode_as_ids("I have a pen.")
-    assert ids and sp.decode_ids(ids) == "I have a pen."
+    text = "I have a pen." if corpus == "sub.txt" else "吾輩は猫である"
+    ids = sp.encode_as_ids(text)
+    assert ids and sp.decode_ids(ids) == text
+
+
+def test_bpe_device_engine_mesh_size_invariant(tmp_path):
+    """Integer pair counts make the merge sequence independent of the
+    device count (stronger than the reference, whose result depends on
+    num_threads via partial-merge order)."""
+    from sentencepiece_tpu.train import facade
+
+    flags = (f"--input={FIX / 'sub.txt'} --model_type=bpe --vocab_size=300 "
+             "--hard_vocab_limit=false --minloglevel=2")
+    facade.train(f"{flags} --model_prefix={tmp_path}/d8", engine="device")
+    os.environ["SPM_DATA_MESH_DEVICES"] = "1"
+    try:
+        facade.train(f"{flags} --model_prefix={tmp_path}/d1",
+                     engine="device")
+    finally:
+        del os.environ["SPM_DATA_MESH_DEVICES"]
+    assert (tmp_path / "d8.vocab").read_bytes() == \
+        (tmp_path / "d1.vocab").read_bytes()
