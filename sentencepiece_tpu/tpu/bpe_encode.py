@@ -361,7 +361,7 @@ class BpeBatchEncoder:
         cps_list = [utf8_to_unicode_text(norm.normalize(t)[0])
                     for t in texts]
 
-        def run(arr, lens, _g):
+        def run(arr, lens, _g, _group):
             ids, n_ids = self._device_encode(arr, lens)
             return np.asarray(ids), np.asarray(n_ids), arr.shape[1]
 
@@ -391,7 +391,7 @@ class BpeBatchEncoder:
         cps_list = [utf8_to_unicode_text(norm.normalize(t)[0])
                     for t in texts]
 
-        def run(arr, lens, _g):
+        def run(arr, lens, _g, _group):
             nonlocal key
             key, sub = jax.random.split(key)
             ids, n_ids = bpe_dropout_batch(

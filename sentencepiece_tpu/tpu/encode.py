@@ -234,6 +234,19 @@ def unigram_encode_batch(units: jnp.ndarray,
     return out, newT
 
 
+def _per_row(value, n: int) -> np.ndarray:
+    """Resolve a scalar-or-sequence parameter to a float32[n] vector (the
+    TF ops accept nbest_size/alpha as scalars or per-row tensors,
+    sentencepiece_processor_ops.cc:120-158)."""
+    arr = np.asarray(value, np.float32)
+    if arr.ndim == 0:
+        return np.full(n, float(arr), np.float32)
+    if arr.shape != (n,):
+        raise ValueError(f"per-row parameter must be scalar or length {n}, "
+                         f"got shape {arr.shape}")
+    return arr
+
+
 def bucketed(payloads, BUCKETS, MAX_BATCH, run, unpack):
     """Shared host bucketing: sort by length, group into (MAX_BATCH,
     bucket) padded batches, dispatch ``run(arr, lens, group_no)`` and
@@ -272,7 +285,7 @@ def bucketed(payloads, BUCKETS, MAX_BATCH, run, unpack):
                 c = payloads[gi][:bucket]
                 arr[j, :len(c)] = c
                 lens[j] = len(c)
-        pending.append((group, run(arr, lens, gno)))
+        pending.append((group, run(arr, lens, gno, group)))
         gno += 1
     for group, res in pending:
         for j, gi in enumerate(group):
@@ -373,7 +386,7 @@ class UnigramBatchEncoder:
         compiles at most once per (batch, length) bucket pair."""
         normed = self._normalize_all(texts)
 
-        def run(arr, lens, _g):
+        def run(arr, lens, _g, _group):
             out, n = self._device_encode(arr, lens)
             return np.asarray(out), np.asarray(n)
 
@@ -381,18 +394,21 @@ class UnigramBatchEncoder:
             normed, run, lambda r, j, _gi: r[0][j, :r[1][j]].tolist())
 
     def sample_from_nbest(self, texts: Sequence[str], nbest_size: int,
-                          alpha: float, rng=None) -> List[List[int]]:
+                          alpha, rng=None) -> List[List[int]]:
         """Device n-best sampling (the processor's nbest_size>1 dispatch,
         sentencepiece_processor.cc:636-646): k-best Viterbi on device,
-        then one softmax(alpha * score) draw per row via Gumbel-max."""
+        then one softmax(alpha * score) draw per row via Gumbel-max.
+        ``alpha`` may be a scalar or a per-row sequence (the TF op's
+        per-row attribute resolution, ops.cc:244-305)."""
         if rng is None:
             from ..utils.rng import get_generator
 
             rng = get_generator()
         K = max(1, min(int(nbest_size), 512))
+        alphas = _per_row(alpha, len(texts))
         normed = self._normalize_all(texts)
 
-        def run(arr, lens, _g):
+        def run(arr, lens, _g, _group):
             rev_ids, n_toks, scores, valid = unigram_nbest_batch(
                 self.units, self.lat_score_table, jnp.asarray(arr),
                 jnp.asarray(lens), self.unk_score,
@@ -401,11 +417,11 @@ class UnigramBatchEncoder:
             return (np.asarray(rev_ids), np.asarray(n_toks),
                     np.asarray(scores), np.asarray(valid))
 
-        def unpack(res, j, _gi):
+        def unpack(res, j, gi):
             rev_ids, n_toks, scores, valid = res
             v = valid[j]
             sc = scores[j][v]
-            probs = np.exp(alpha * sc)
+            probs = np.exp(alphas[gi] * sc)
             probs /= probs.sum()
             pick = int(rng.choice(len(sc), p=probs))
             r = int(np.nonzero(v)[0][pick])
@@ -416,27 +432,29 @@ class UnigramBatchEncoder:
 
         return self._bucketed(normed, run, unpack)
 
-    def sample(self, texts: Sequence[str], alpha: float,
+    def sample(self, texts: Sequence[str], alpha,
                rng=None) -> List[List[int]]:
         """Device lattice sampling (unigram_sample_batch) with the same
-        bucketing as encode(). The jax PRNG key is seeded from the caller's
-        numpy Generator (docs/conformance.md RNG contract)."""
+        bucketing as encode(). ``alpha`` may be a scalar or a per-row
+        sequence. The jax PRNG key is seeded from the caller's numpy
+        Generator (docs/conformance.md RNG contract)."""
         if rng is None:
             from ..utils.rng import get_generator
 
             rng = get_generator()
         key = jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1)))
+        alphas = _per_row(alpha, len(texts))
         normed = self._normalize_all(texts)
-        subkeys = {}
 
-        def run(arr, lens, g):
+        def run(arr, lens, g, group):
             nonlocal key
             key, sub = jax.random.split(key)
-            subkeys[g] = sub
+            av = np.zeros(arr.shape[0], np.float32)
+            av[:len(group)] = alphas[group]
             out, n = unigram_sample_batch(
                 self.units, self.lat_score_table,
                 jnp.asarray(arr), jnp.asarray(lens), self.unk_score,
-                jnp.float32(alpha), sub,
+                jnp.asarray(av), sub,
                 max_depth=self.max_depth, unk_id=self.unk_id,
                 root_state=self.root_state,
                 add_bos=self.add_bos, add_eos=self.add_eos,
@@ -485,9 +503,13 @@ def unigram_sample_batch(units: jnp.ndarray,
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
         D=D, unk_id=unk_id, root_state=root_state)
-    # inverse temperature (theta * score, like Lattice::Sample);
-    # NEG_INF fills stay sentinels
-    sc_end = jnp.where(sc_end > NEG_INF / 2, theta * sc_end, sc_end)
+    # inverse temperature (theta * score, like Lattice::Sample); theta is
+    # PER-ROW [B] — the TF op resolves nbest_size/alpha per batch row
+    # (sentencepiece_processor_ops.cc:244-305). NEG_INF fills stay
+    # sentinels.
+    theta = jnp.broadcast_to(theta, (B,))
+    sc_end = jnp.where(sc_end > NEG_INF / 2,
+                       theta[:, None, None] * sc_end, sc_end)
 
     # -- forward filter: A[p] = LSE_j(A[p-1-j] + sc_end[p, j]) ----------------
     def fwd_step(win, sc_p):

@@ -84,6 +84,7 @@ class TpuTokenizer:
         self.model_type = mt
         self._bpe = None
         self.enc = None
+        self._span = None
         self._host_opts = (add_bos, add_eos, reverse)
         if mt == ModelType.BPE:
             from .bpe_encode import BpeBatchEncoder
@@ -95,7 +96,14 @@ class TpuTokenizer:
             self.enc = UnigramBatchEncoder(processor, add_bos=add_bos,
                                            add_eos=add_eos, reverse=reverse,
                                            pad_id=pad_id)
-        # WORD/CHAR segmentation is trivial; those models use the host path
+        else:
+            # WORD/CHAR: device span-lookup segmentation (span_encode.py)
+            from .span_encode import SpanBatchEncoder
+
+            mode = "word" if mt == ModelType.WORD else "char"
+            self._span = SpanBatchEncoder(processor, mode, add_bos=add_bos,
+                                          add_eos=add_eos, reverse=reverse,
+                                          pad_id=pad_id)
         suffix = bool(ts.treat_whitespace_as_suffix) if ts else False
         self.norm = tpu_normalize.NormalizerTables(
             processor.model_proto.normalizer_spec, suffix)
@@ -146,6 +154,36 @@ class TpuTokenizer:
 
             self._fns[n_in] = fn_bpe
             return fn_bpe
+
+        if self._span is not None:
+            from .span_encode import span_encode_batch
+            se = self._span
+
+            def fn_span(batch, lengths):
+                norm_out, norm_len = tpu_normalize.normalize_batch(
+                    t.units, t.esc_pool, t.v_esc_off, t.v_esc_len,
+                    t.v_lead_sp, t.v_all_sp, t.v_ends_sp, t.ws_arr,
+                    t.fffd_arr, batch, lengths,
+                    max_rule_len=t.max_rule_len, root_state=t.root_state,
+                    n_out=w_enc, ws_len=t.ws_len,
+                    max_rep_len=t.max_rep_len,
+                    add_dummy_prefix=t.add_dummy_prefix,
+                    remove_extra_whitespaces=t.remove_extra_whitespaces,
+                    escape_whitespaces=t.escape_whitespaces,
+                    suffix=t.suffix)
+                overflow = norm_len > w_enc
+                enc_len = jnp.minimum(norm_len, w_enc)
+                ids, n_ids = span_encode_batch(
+                    se.units, se.zero_scores, norm_out, enc_len,
+                    mode=se.mode, max_depth=se.max_depth,
+                    unk_id=se.unk_id, root_state=se.root_state,
+                    suffix=se.suffix, add_bos=se.add_bos,
+                    add_eos=se.add_eos, reverse=se.reverse,
+                    bos_id=se.bos_id, eos_id=se.eos_id, pad_id=se.pad_id)
+                return ids, n_ids, overflow
+
+            self._fns[n_in] = fn_span
+            return fn_span
 
         # Two separate dispatches of the ALREADY-JITTED stage functions with
         # the tables passed as explicit arguments. Do NOT wrap them in
@@ -215,8 +253,9 @@ class TpuTokenizer:
         if self._bpe is not None and self._bpe.host_only:
             # user-defined / unused pieces: host normalize + exact host path
             return self._bpe.encode(list(texts))
-        if self._bpe is None and self.enc is None:
-            # word/char models: trivial segmentation, host path
+        if self._span is not None and self._span.host_only:
+            # char model with user-defined symbols: multi-char spans via
+            # the PrefixMatcher — exact host path
             add_bos, add_eos, reverse = self._host_opts
             opts = ":".join(o for o, f in
                             [("reverse", reverse), ("bos", add_bos),
@@ -264,7 +303,8 @@ class TpuTokenizer:
         B = len(ragged)
         T = max((len(r) for r in ragged), default=1)
         pad = (self.enc.pad_id if self.enc is not None
-               else self._bpe.pad_id if self._bpe is not None else 0)
+               else self._bpe.pad_id if self._bpe is not None
+               else self._span.pad_id if self._span is not None else 0)
         out = np.full((B, T), pad, np.int32)
         lens = np.zeros(B, np.int32)
         for i, r in enumerate(ragged):
@@ -289,23 +329,71 @@ class TpuTokenizer:
                 np.asarray(values, np.int32),
                 np.asarray([len(ragged), maxlen], np.int64))
 
-    def sample_encode(self, texts: Sequence, nbest_size: int, alpha: float,
+    def sample_encode(self, texts: Sequence, nbest_size, alpha,
                       rng=None) -> List[List[int]]:
-        """Per-row sampled segmentation — the TF ops' nbest_size/alpha
-        attribute path (ops.cc:244-305). Unigram lattice sampling
-        (nbest_size < 0) runs on device via forward-filter backward-sample
-        (encode.unigram_sample_batch); n-best sampling and BPE-dropout draw
-        on the host lattice under the documented numpy PRNG contract."""
-        if nbest_size < 0 and self.enc is not None:
-            return self.enc.sample(list(texts), alpha, rng=rng)
-        if nbest_size < 0 and self._bpe is not None:
-            return self._bpe.sample(list(texts), alpha, rng=rng)
-        if nbest_size > 1 and self.enc is not None:
-            return self.enc.sample_from_nbest(list(texts), nbest_size,
-                                              alpha, rng=rng)
-        return [self.processor.sample_encode_as_ids(t, nbest_size, alpha,
-                                                    rng=rng)
-                for t in texts]
+        """Per-ROW sampled segmentation — the TF ops' nbest_size/alpha
+        path (ops.cc:244-305): both parameters accept a scalar or a
+        per-row sequence, and each row dispatches independently —
+        nbest 0/1 -> deterministic Encode; nbest < 0 -> lattice sampling
+        (unigram, device forward-filter/backward-sample with per-row
+        alpha) or BPE-dropout (device, grouped by dropout value);
+        nbest > 1 -> n-best draw (unigram device k-best Viterbi).
+        One batch can mix all of these."""
+        from .encode import _per_row
+
+        texts = list(texts)
+        B = len(texts)
+        if rng is None:
+            from ..utils.rng import get_generator
+
+            rng = get_generator()
+        nb = _per_row(nbest_size, B).astype(np.int64)
+        al = _per_row(alpha, B)
+        results: List[Optional[List[int]]] = [None] * B
+
+        det = [i for i in range(B) if nb[i] in (0, 1)]
+        samp = [i for i in range(B) if nb[i] < 0]
+        from_nbest = [i for i in range(B) if nb[i] > 1]
+
+        if det:
+            for i, r in zip(det, self.encode([texts[i] for i in det])):
+                results[i] = r
+        if samp:
+            sub = [texts[i] for i in samp]
+            if self.enc is not None:
+                rs = self.enc.sample(sub, al[samp], rng=rng)
+            elif self._bpe is not None and not self._bpe.host_only:
+                # bpe_dropout_batch takes one dropout probability per
+                # dispatch: group rows by value (few distinct in practice)
+                rs: List[Optional[List[int]]] = [None] * len(sub)
+                by_p = {}
+                for j, i in enumerate(samp):
+                    by_p.setdefault(float(al[i]), []).append(j)
+                for p, js in sorted(by_p.items()):
+                    out = self._bpe.sample([sub[j] for j in js], p, rng=rng)
+                    for j, o in zip(js, out):
+                        rs[j] = o
+            else:
+                rs = [self.processor.sample_encode_as_ids(
+                          t, -1, float(a), rng=rng)
+                      for t, a in zip(sub, al[samp])]
+            for i, r in zip(samp, rs):
+                results[i] = r
+        if from_nbest:
+            if self.enc is not None:
+                by_k = {}
+                for i in from_nbest:
+                    by_k.setdefault(int(nb[i]), []).append(i)
+                for k, rows in sorted(by_k.items()):
+                    out = self.enc.sample_from_nbest(
+                        [texts[i] for i in rows], k, al[rows], rng=rng)
+                    for i, o in zip(rows, out):
+                        results[i] = o
+            else:
+                for i in from_nbest:
+                    results[i] = self.processor.sample_encode_as_ids(
+                        texts[i], int(nb[i]), float(al[i]), rng=rng)
+        return results  # type: ignore[return-value]
 
     def decode(self, ids_batch: Sequence[Sequence[int]]) -> List[str]:
         """Batched detokenization — the SentencepieceDecode analog

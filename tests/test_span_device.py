@@ -1,0 +1,73 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Device word/char segmentation (tpu/span_encode.py) vs the exact host
+path — all four model types now run the TpuTokenizer device pipeline
+(the reference TF ops serve all four, sentencepiece_processor_ops.cc)."""
+
+import pathlib
+
+import pytest
+
+FIX = pathlib.Path(__file__).parent / "fixtures" / "train"
+
+
+@pytest.fixture(scope="module")
+def corpus_lines(botchan_path):
+    raw = open(botchan_path, "rb").read().split(b"\n")
+    if raw and raw[-1] == b"":
+        raw.pop()
+    return [l.decode("utf-8", "surrogateescape") for l in raw[:300]]
+
+
+def _train(tmp, model_type, extra=""):
+    from sentencepiece_tpu.train import facade
+    prefix = tmp / f"{model_type}{'_sfx' if extra else ''}"
+    facade.train(
+        f"--input={FIX / 'sub.txt'} --model_prefix={prefix} "
+        f"--model_type={model_type} --vocab_size=300 "
+        f"--hard_vocab_limit=false --minloglevel=2 {extra}".strip())
+    return str(prefix) + ".model"
+
+
+@pytest.mark.parametrize("model_type", ["word", "char"])
+def test_device_span_encode_matches_host(tmp_path, corpus_lines,
+                                         model_type):
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(_train(tmp_path, model_type))
+    tok = TpuTokenizer(sp)
+    assert tok._span is not None and not tok._span.host_only
+    dev = tok.encode(corpus_lines)
+    host = [sp.encode_as_ids(t) for t in corpus_lines]
+    assert dev == host
+
+
+@pytest.mark.parametrize("model_type", ["word", "char"])
+def test_device_span_encode_suffix_mode(tmp_path, corpus_lines, model_type):
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(_train(
+        tmp_path, model_type, "--treat_whitespace_as_suffix=true"))
+    tok = TpuTokenizer(sp)
+    assert tok._span is not None and not tok._span.host_only
+    dev = tok.encode(corpus_lines[:120])
+    host = [sp.encode_as_ids(t) for t in corpus_lines[:120]]
+    assert dev == host
+
+
+def test_device_span_extra_options(tmp_path, corpus_lines):
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    model = _train(tmp_path, "word")
+    sp = SentencePieceProcessor(model)
+    tok = TpuTokenizer(sp, add_bos=True, add_eos=True, reverse=True)
+    sp2 = SentencePieceProcessor(model)
+    sp2.set_encode_extra_options("reverse:bos:eos")
+    dev = tok.encode(corpus_lines[:80])
+    host = [sp2.encode_as_ids(t) for t in corpus_lines[:80]]
+    assert dev == host

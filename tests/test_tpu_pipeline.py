@@ -178,3 +178,67 @@ def test_mesh_sharded_encode():
     tok = TpuTokenizer(sp, mesh=mesh)
     lines = ["Hello world.", "I have a pen.", "", "ＡＢＣ ﾃｽﾄ", "x" * 200]
     assert tok.encode(lines) == [sp.encode_as_ids(t) for t in lines]
+
+
+def test_per_row_sampling_parameters():
+    """One batch mixing deterministic, lattice-sampled, and n-best rows
+    with PER-ROW nbest_size/alpha — the TF op's per-row attribute
+    resolution (sentencepiece_processor_ops.cc:244-305)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    texts = ["I have a pen.", "hello world", "this is a test",
+             "I have a pen.", "the quick brown fox", "a b c"]
+    nbest = [0, -1, 5, 1, -1, 8]
+    alpha = [0.0, 0.5, 0.7, 0.0, 0.2, 0.9]
+    out = tok.sample_encode(texts, nbest, alpha,
+                            rng=np.random.default_rng(7))
+    # deterministic rows are exactly the Encode result
+    assert out[0] == sp.encode_as_ids(texts[0])
+    assert out[3] == sp.encode_as_ids(texts[3])
+    # sampled rows decode back (lossless) and are valid segmentations
+    for i in (1, 2, 4, 5):
+        assert out[i] and sp.decode_ids(out[i]) == texts[i]
+    # different alphas on the same text must be able to diverge: alpha
+    # near 0 ~ uniform over paths, high alpha ~ Viterbi. Statistically:
+    # sample row "hello world" many times at alpha=5 -> mostly the
+    # Viterbi ids.
+    many = tok.sample_encode(["hello world"] * 50, -1, 5.0,
+                             rng=np.random.default_rng(8))
+    vit = sp.encode_as_ids("hello world")
+    assert sum(1 for m in many if m == vit) > 25
+
+
+def test_per_row_alpha_distribution():
+    """Per-row alphas in ONE dispatch reproduce the per-alpha host
+    distributions (row independence of the vectorized theta)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    text = "hello"
+    S = 800
+    # one batch: S rows at alpha=0.3 interleaved with S rows at alpha=3.0
+    texts = [text] * (2 * S)
+    alphas = [0.3, 3.0] * S
+    out = tok.sample_encode(texts, -1, alphas,
+                            rng=np.random.default_rng(3))
+    lo = [tuple(out[i]) for i in range(0, 2 * S, 2)]
+    hi = [tuple(out[i]) for i in range(1, 2 * S, 2)]
+    vit = tuple(sp.encode_as_ids(text))
+    p_lo = sum(1 for o in lo if o == vit) / S
+    p_hi = sum(1 for o in hi if o == vit) / S
+    # host references for the two alphas
+    hr = np.random.default_rng(4)
+    h_lo = sum(1 for _ in range(S) if tuple(
+        sp.sample_encode_as_ids(text, -1, 0.3, rng=hr)) == vit) / S
+    h_hi = sum(1 for _ in range(S) if tuple(
+        sp.sample_encode_as_ids(text, -1, 3.0, rng=hr)) == vit) / S
+    assert abs(p_lo - h_lo) < 0.12
+    assert abs(p_hi - h_hi) < 0.12
+    assert p_hi > p_lo + 0.2  # the rows really got different alphas
