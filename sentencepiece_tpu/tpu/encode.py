@@ -259,8 +259,14 @@ def bucketed(payloads, BUCKETS, MAX_BATCH, run, unpack):
     pending = []
     while i < len(order):
         blen = len(payloads[order[i]])
-        bucket = next((b for b in BUCKETS if blen <= b),
-                      BUCKETS[-1])
+        bucket = next((b for b in BUCKETS if blen <= b), None)
+        if bucket is None:
+            # longer than the largest configured bucket: round up to the
+            # next power of two so the line still encodes exactly (one
+            # extra compile per distinct overflow width, rare by design)
+            bucket = BUCKETS[-1]
+            while bucket < blen:
+                bucket *= 2
         group = []
         while (i < len(order) and len(group) < MAX_BATCH
                and len(payloads[order[i]]) <= bucket):

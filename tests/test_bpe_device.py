@@ -29,6 +29,30 @@ def test_bpe_device_bit_exact(botchan_path, fixtures_dir):
     assert sum(1 for a, b in zip(dev, gold) if a != b) == 0
 
 
+def test_bpe_device_bit_exact_ja(fixtures_dir):
+    """JA device BPE vs the committed reference golden: fixture
+    bpe_ja.ids.txt is reference spm_encode over wagahaiwa_nekodearu.txt
+    with tests/fixtures/bpe_ja_900.model (reference-trained; our trainer
+    reproduces its .vocab byte-identically — matrix case
+    ja_bpe_900_nmt_nfkc)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.bpe_encode import BpeBatchEncoder
+
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_ja_900.model"))
+    enc = BpeBatchEncoder(sp)
+    assert not enc.host_only
+    raw = open("/root/reference/data/wagahaiwa_nekodearu.txt",
+               "rb").read().split(b"\n")
+    if raw and raw[-1] == b"":
+        raw.pop()
+    lines = [l.decode("utf-8", "surrogateescape") for l in raw[:400]]
+    gold = [list(map(int, l.split())) if l else []
+            for l in open(fixtures_dir / "bpe_ja.ids.txt").read()
+            .splitlines()][:400]
+    dev = enc.encode(lines)
+    assert sum(1 for a, b in zip(dev, gold) if a != b) == 0
+
+
 def test_bpe_pipeline_dispatch(fixtures_dir):
     from sentencepiece_tpu import SentencePieceProcessor
     from sentencepiece_tpu.tpu.pipeline import TpuTokenizer

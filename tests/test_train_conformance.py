@@ -1,11 +1,19 @@
 """Trainer conformance: byte-identical .vocab vs the reference spm_train.
 
-Fixtures in tests/fixtures/train/ were produced by the reference C++
-spm_train (built from /root/reference with charsmaps compiled by
+The full flag matrix lives in tests/fixtures/train/matrix.json; every
+golden .vocab there was produced by the reference C++ spm_train (built
+from /root/reference with charsmaps compiled by
 sentencepiece_tpu.normalizer.builder — same blobs both sides) over the
-committed corpus subsets. Verified at larger scale out-of-band: full
-botchan.txt and wagahaiwa_nekodearu.txt at vocab 4000, identity and
-nmt_nfkc normalization, all byte-identical (see git history).
+committed corpus subsets, by scripts/gen_train_fixtures.py. The sweep
+covers all four model types, EN + JA, suffix mode, no-whitespace-split,
+user/control symbols, raw-whitespace normalization, custom meta ids and
+unk_piece/unk_surface, character-coverage UNK rewrite, nfkc vs nmt_nfkc,
+the seeded shuffle reservoir, script/number split flags, use_all_vocab,
+max_sentencepiece_length, and TSV input with >=2^24 frequencies (every
+float32 narrowing the reference applies to large counts). Verified at
+larger scale out-of-band: full botchan.txt and wagahaiwa_nekodearu.txt at
+vocab 4000, identity and nmt_nfkc normalization, all byte-identical (see
+git history).
 
 Known reference-side nondeterminism (documented, not tested): the BPE
 freq-1 merge tail depends on libstdc++ unordered_map iteration order via
@@ -14,36 +22,28 @@ so very large vocab_size values (e.g. 8000 on botchan) diverge in the tail
 region on any reimplementation.
 """
 
+import json
 import pathlib
 
 import pytest
 
 FIX = pathlib.Path(__file__).parent / "fixtures" / "train"
+MATRIX = json.loads((FIX / "matrix.json").read_text())
 
 
-def _train(tmp_path, corpus, mt, vocab_size):
+@pytest.mark.parametrize(
+    "case", MATRIX, ids=[c["name"] for c in MATRIX])
+def test_matrix_vocab_identical(tmp_path, case):
+    """Every matrix case trains to a byte-identical .vocab vs the
+    committed reference golden."""
     from sentencepiece_tpu.train import SentencePieceTrainer
 
-    prefix = str(tmp_path / f"m_{mt}")
+    prefix = str(tmp_path / "m")
     SentencePieceTrainer.Train(
-        f"--input={corpus} --model_prefix={prefix} --model_type={mt} "
-        f"--vocab_size={vocab_size} --hard_vocab_limit=false "
-        f"--minloglevel=2")
-    return open(prefix + ".vocab", encoding="utf-8").read()
-
-
-@pytest.mark.parametrize("mt", ["word", "char", "bpe", "unigram"])
-def test_en_vocab_identical(tmp_path, mt):
-    got = _train(tmp_path, FIX / "sub.txt", mt, 300)
-    want = open(FIX / f"en_{mt}_300_nmt_nfkc.vocab",
-                encoding="utf-8").read()
-    assert got == want
-
-
-def test_ja_unigram_vocab_identical(tmp_path):
-    got = _train(tmp_path, FIX / "subja.txt", "unigram", 900)
-    want = open(FIX / "ja_unigram_900_nmt_nfkc.vocab",
-                encoding="utf-8").read()
+        f"--input={FIX / case['corpus']} --model_prefix={prefix} "
+        f"{case['flags']} --minloglevel=2")
+    got = open(prefix + ".vocab", encoding="utf-8").read()
+    want = open(FIX / (case["name"] + ".vocab"), encoding="utf-8").read()
     assert got == want
 
 
@@ -84,34 +84,6 @@ def test_self_test_embedding(tmp_path):
         assert " ".join(sp.encode_as_pieces(s.input)) == s.expected
 
 
-import pytest as _pytest
-
-
-@_pytest.mark.parametrize("fixture,mt,corpus,extra", [
-    ("en_bpe_300_suffix.vocab", "bpe", "sub.txt",
-     "--vocab_size=300 --treat_whitespace_as_suffix=true"),
-    ("ja_unigram_900_nosplit.vocab", "unigram", "subja.txt",
-     "--vocab_size=900 --split_by_whitespace=false "
-     "--max_sentencepiece_length=8"),
-    ("en_unigram_300_usersym.vocab", "unigram", "sub.txt",
-     "--vocab_size=300 --user_defined_symbols=<sep>,<cls> "
-     "--control_symbols=<ctrl>"),
-])
-def test_flag_modes_vocab_identical(tmp_path, fixture, mt, corpus, extra):
-    """Suffix mode, CJK-style no-whitespace-split, and user/control symbol
-    training all produce byte-identical vocab vs the reference (full
-    14-case flag sweep verified out-of-band)."""
-    from sentencepiece_tpu.train import SentencePieceTrainer
-
-    prefix = str(tmp_path / "m")
-    SentencePieceTrainer.Train(
-        f"--input={FIX / corpus} --model_prefix={prefix} --model_type={mt} "
-        f"--hard_vocab_limit=false {extra} --minloglevel=2")
-    got = open(prefix + ".vocab", encoding="utf-8").read()
-    want = open(FIX / fixture, encoding="utf-8").read()
-    assert got == want
-
-
 def test_bpe_python_fallback_matches_native(tmp_path, monkeypatch):
     """The Python merge loop (the spec the C++ core is ported from) and
     spm_bpe_train produce identical vocabs."""
@@ -148,22 +120,6 @@ def test_mt19937_lemire_reservoir_emulation():
     assert [std_uniform_int(e2, t - 1)
             for t in (3001, 5000, 12345, 4294967294)] == [
         737, 3983, 7362, 1376353667]
-
-
-def test_unigram_megafreq_float32_narrowing(tmp_path, fixtures_dir):
-    """TSV corpus with frequencies >= 2^24: exercises every float32
-    narrowing the reference applies to large counts — seed scores stored
-    as float before ToLogProb, PopulateMarginal's float freq parameter,
-    the prune sum/logsum_alt float chain, and the float += double
-    accumulations. Golden vocab from the reference binary."""
-    from sentencepiece_tpu.train import facade
-
-    facade.train(f"--input={fixtures_dir}/train/megafreq.tsv "
-                 f"--input_format=tsv --model_prefix={tmp_path}/m "
-                 "--model_type=unigram --vocab_size=100 --num_threads=16 "
-                 "--minloglevel=2")
-    assert (tmp_path / "m.vocab").read_bytes() == \
-        (fixtures_dir / "train" / "megafreq_unigram_100.vocab").read_bytes()
 
 
 def test_unigram_checkpoint_resume(tmp_path):
