@@ -154,9 +154,12 @@ class NativeNormalizer:
     def ok(self) -> bool:
         return self.lib is not None
 
-    def normalize_batch(self, lines):
+    def normalize_batch(self, lines, num_threads: int = 1):
         """CSR batch normalize: list[bytes] -> (out uint8[], off int64[]).
-        One library call for a whole corpus; None on failure."""
+        One library call for a whole corpus; None on failure. Runs on
+        ``num_threads`` (the reference's corpus-normalization pool,
+        trainer_interface.cc:361-372); output is byte-identical at any
+        thread count."""
         if not getattr(self.lib, "_nbatch_ready", False):
             self.lib.spm_normalize_batch.restype = ctypes.c_int64
             self.lib.spm_normalize_batch.argtypes = [
@@ -165,7 +168,8 @@ class NativeNormalizer:
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int]
             self.lib._nbatch_ready = True
         n_lines = len(lines)
         off = np.zeros(n_lines + 1, np.int64)
@@ -173,27 +177,33 @@ class NativeNormalizer:
                   out=off[1:])
         data = np.frombuffer(b"".join(lines), np.uint8) if off[-1] else \
             np.zeros(1, np.uint8)
-        cap = int(off[-1]) * 13 + 16 * n_lines + 16
-        out = np.empty(cap, np.uint8)
         out_off = np.zeros(n_lines + 1, np.int64)
-        nb = self.lib.spm_normalize_batch(
-            None if self.units is None else
-            ctypes.c_void_p(self.units.ctypes.data),
-            0 if self.units is None else len(self.units),
-            None if self.pool is None else
-            ctypes.c_void_p(self.pool.ctypes.data),
-            0 if self.pool is None else len(self.pool),
-            None if self.matcher is None else
-            ctypes.c_void_p(self.matcher.ctypes.data),
-            0 if self.matcher is None else len(self.matcher),
-            *self.flags,
-            ctypes.c_void_p(data.ctypes.data),
-            ctypes.c_void_p(off.ctypes.data), n_lines,
-            ctypes.c_void_p(out.ctypes.data), cap,
-            ctypes.c_void_p(out_off.ctypes.data))
-        if nb < 0:
-            return None
-        return out, out_off
+        # 4x covers real text (ws escaping is 3x); retry at the NFKC
+        # worst-case 13x only if some line overflows its slab
+        for factor in (4, 13):
+            cap = int(off[-1]) * factor + 16 * n_lines + 16
+            out = np.empty(cap, np.uint8)
+            nb = self.lib.spm_normalize_batch(
+                None if self.units is None else
+                ctypes.c_void_p(self.units.ctypes.data),
+                0 if self.units is None else len(self.units),
+                None if self.pool is None else
+                ctypes.c_void_p(self.pool.ctypes.data),
+                0 if self.pool is None else len(self.pool),
+                None if self.matcher is None else
+                ctypes.c_void_p(self.matcher.ctypes.data),
+                0 if self.matcher is None else len(self.matcher),
+                *self.flags,
+                ctypes.c_void_p(data.ctypes.data),
+                ctypes.c_void_p(off.ctypes.data), n_lines,
+                ctypes.c_void_p(out.ctypes.data), cap,
+                ctypes.c_void_p(out_off.ctypes.data),
+                int(num_threads), factor)
+            if nb >= 0:
+                return out, out_off
+            if nb != -2:
+                return None
+        return None
 
     def normalize(self, data: bytes):
         """Returns (normalized bytes, n2o) or None when the native path
@@ -445,7 +455,7 @@ class NativeBpeEncoder:
 
 
 def unigram_prune_nbest(word_len, cand_off, cand_pos, cand_len, cand_cur,
-                        scores, unk_score: float):
+                        scores, unk_score: float, num_threads: int = 1):
     """Per-piece 2-best classification for PruneSentencePieces.
     Returns (always_keep uint8[n], alt_ids int32[], alt_off int64[n+1])."""
     lib = _load()
@@ -457,7 +467,8 @@ def unigram_prune_nbest(word_len, cand_off, cand_pos, cand_len, cand_cur,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_float,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32]
         lib._prune_ready = True
     wl = np.ascontiguousarray(word_len, np.int32)
     co = np.ascontiguousarray(cand_off, np.int64)
@@ -479,7 +490,7 @@ def unigram_prune_nbest(word_len, cand_off, cand_pos, cand_len, cand_cur,
         sc.ctypes.data_as(ctypes.c_void_p), ctypes.c_float(unk_score),
         ak.ctypes.data_as(ctypes.c_void_p),
         alt_ids.ctypes.data_as(ctypes.c_void_p),
-        alt_off.ctypes.data_as(ctypes.c_void_p))
+        alt_off.ctypes.data_as(ctypes.c_void_p), int(num_threads))
     if rc != 0:
         return None
     return ak, alt_ids, alt_off
@@ -496,7 +507,7 @@ def _utf32_concat(strings):
     return cps, off
 
 
-def substring_match(words, keys, max_len: int):
+def substring_match(words, keys, max_len: int, num_threads: int = 1):
     """CSR candidate tables: for every word, all (pos, len, key_id) whose
     substring is in ``keys`` — (pos asc, len asc) order, matching the host
     trainer's table-construction loops. Returns
@@ -511,7 +522,7 @@ def substring_match(words, keys, max_len: int):
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64]
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
         lib._ssm_ready = True
     wc, wo = _utf32_concat(words)
     kc, ko = _utf32_concat(keys)
@@ -530,7 +541,7 @@ def substring_match(words, keys, max_len: int):
         out_pos.ctypes.data_as(ctypes.c_void_p),
         out_len.ctypes.data_as(ctypes.c_void_p),
         out_sid.ctypes.data_as(ctypes.c_void_p),
-        out_off.ctypes.data_as(ctypes.c_void_p), cap)
+        out_off.ctypes.data_as(ctypes.c_void_p), cap, int(num_threads))
     if m < 0:
         return None
     return out_off, out_pos[:m], out_len[:m], out_sid[:m]
@@ -868,8 +879,9 @@ def prune_losses(freq, F_occ, vsum, always_keep, alt_ids, alt_off):
     return flags, losses
 
 
-def seed_filter(arr, sa, nodes_lrd, spec):
-    """Seed node filtering (validity + boundary + score) in C++.
+def seed_filter(arr, sa, nodes_lrd, spec, num_threads: int = 1):
+    """Seed node filtering (validity + boundary + score) in C++, threaded
+    over disjoint node ranges (output independent of thread count).
     Returns (node_idx int32[m], score int64[m]) or None."""
     lib = _load()
     if lib is None:
@@ -884,7 +896,7 @@ def seed_filter(arr, sa, nodes_lrd, spec):
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
         lib._seedf_ready = True
     from ..utils import unicode_script
 
@@ -915,7 +927,8 @@ def seed_filter(arr, sa, nodes_lrd, spec):
         unicode_script.script_id("Hiragana"),
         unicode_script.script_id("Katakana"),
         out_idx.ctypes.data_as(ctypes.c_void_p),
-        out_score.ctypes.data_as(ctypes.c_void_p))
+        out_score.ctypes.data_as(ctypes.c_void_p),
+        int(num_threads))
     if m < 0:
         return None
     return out_idx[:m], out_score[:m]

@@ -1070,7 +1070,8 @@ int spm_unigram_prune_nbest(
     int64_t n_pieces, const int32_t *word_len, const int64_t *cand_off,
     const int32_t *cand_pos, const int32_t *cand_len,
     const int32_t *cand_cur, const float *scores, float unk_score,
-    uint8_t *always_keep, int32_t *alt_ids, int64_t *alt_off) {
+    uint8_t *always_keep, int32_t *alt_ids, int64_t *alt_off,
+    int32_t num_threads) {
   struct Hyp {
     int node;       // index into nodes, or BOS/EOS
     int parent;     // hyp index
@@ -1082,13 +1083,25 @@ int spm_unigram_prune_nbest(
       return (*h)[a].fx < (*h)[b].fx;
     }
   };
+  // pieces are independent (the reference's prune thread pool,
+  // unigram_model_trainer.cc:389-411): threads process disjoint ranges
+  // into local alternative buffers merged in piece order — identical
+  // output at any thread count
+  int T = num_threads > 0 ? num_threads : 1;
+  if (T > n_pieces) T = n_pieces > 0 ? (int)n_pieces : 1;
+  std::vector<std::vector<int32_t>> alt_t(T);
+  std::vector<std::vector<int32_t>> altcnt_t(T);
+  auto work = [&](int t) {
   std::vector<int> np, nl, nc;
   std::vector<uint8_t> nu;
   std::vector<float> ns;
-  int64_t aw = 0;
-  alt_off[0] = 0;
-  for (int64_t pi = 0; pi < n_pieces; ++pi) {
+  std::vector<int32_t>& alt_loc = alt_t[t];
+  std::vector<int32_t>& alt_cnt = altcnt_t[t];
+  const int64_t p_lo = n_pieces * t / T, p_hi = n_pieces * (t + 1) / T;
+  alt_cnt.reserve(p_hi - p_lo);
+  for (int64_t pi = p_lo; pi < p_hi; ++pi) {
     const int L = word_len[pi];
+    const size_t alt_before = alt_loc.size();
     np.clear(); nl.clear(); nc.clear(); nu.clear(); ns.clear();
     int64_t ci = cand_off[pi];
     const int64_t c1 = cand_off[pi + 1];
@@ -1174,9 +1187,27 @@ int spm_unigram_prune_nbest(
     } else {  // first is the piece itself
       always_keep[pi] = 1;
       for (int k : second_path)
-        alt_ids[aw++] = nu[k] ? 0 : nc[k];
+        alt_loc.push_back(nu[k] ? 0 : nc[k]);
     }
-    alt_off[pi + 1] = aw;
+    alt_cnt.push_back(static_cast<int32_t>(alt_loc.size() - alt_before));
+  }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool_t;
+    for (int t = 0; t < T; ++t) pool_t.emplace_back(work, t);
+    for (auto &th : pool_t) th.join();
+  }
+  int64_t aw = 0, w = 0;
+  alt_off[0] = 0;
+  for (int t = 0; t < T; ++t) {
+    memcpy(alt_ids + aw, alt_t[t].data(),
+           alt_t[t].size() * sizeof(int32_t));
+    for (int32_t c : altcnt_t[t]) {
+      aw += c;
+      alt_off[++w] = aw;
+    }
   }
   return 0;
 }
@@ -1197,7 +1228,7 @@ extern "C" int64_t spm_substring_match(
     int64_t n_keys, const int64_t* key_off, const uint32_t* key_cps,
     int32_t max_len,
     int32_t* out_pos, int32_t* out_len, int32_t* out_sid,
-    int64_t* out_off, int64_t cap) {
+    int64_t* out_off, int64_t cap, int32_t num_threads) {
   std::unordered_map<std::string_view, int32_t> index;
   index.reserve(static_cast<size_t>(n_keys) * 2);
   const char* kbase = reinterpret_cast<const char*>(key_cps);
@@ -1210,25 +1241,57 @@ extern "C" int64_t spm_substring_match(
   }
   if (max_key < max_len) max_len = static_cast<int32_t>(max_key);
   const char* wbase = reinterpret_cast<const char*>(word_cps);
-  int64_t m = 0;
-  out_off[0] = 0;
-  for (int64_t w = 0; w < n_words; ++w) {
-    const int64_t L = word_off[w + 1] - word_off[w];
-    const char* base = wbase + 4 * word_off[w];
-    for (int64_t pos = 0; pos < L; ++pos) {
-      const int64_t maxl = std::min<int64_t>(max_len, L - pos);
-      for (int64_t ln = 1; ln <= maxl; ++ln) {
-        auto it = index.find(std::string_view(base + 4 * pos, 4 * ln));
-        if (it != index.end()) {
-          if (m >= cap) return -1;
-          out_pos[m] = static_cast<int32_t>(pos);
-          out_len[m] = static_cast<int32_t>(ln);
-          out_sid[m] = it->second;
-          ++m;
+  // threads scan disjoint word ranges against the shared (read-only)
+  // index into local buffers, merged in word order — output identical
+  // at any thread count
+  int T = num_threads > 0 ? num_threads : 1;
+  if (T > n_words) T = n_words > 0 ? (int)n_words : 1;
+  struct Part {
+    std::vector<int32_t> pos, len, sid;
+    std::vector<int64_t> noff;  // per-word candidate counts
+  };
+  std::vector<Part> parts(T);
+  auto work = [&](int t) {
+    Part& p = parts[t];
+    const int64_t lo = n_words * t / T, hi = n_words * (t + 1) / T;
+    p.noff.reserve(hi - lo);
+    for (int64_t w = lo; w < hi; ++w) {
+      const int64_t L = word_off[w + 1] - word_off[w];
+      const char* base = wbase + 4 * word_off[w];
+      const size_t before = p.pos.size();
+      for (int64_t pos = 0; pos < L; ++pos) {
+        const int64_t maxl = std::min<int64_t>(max_len, L - pos);
+        for (int64_t ln = 1; ln <= maxl; ++ln) {
+          auto it = index.find(std::string_view(base + 4 * pos, 4 * ln));
+          if (it != index.end()) {
+            p.pos.push_back(static_cast<int32_t>(pos));
+            p.len.push_back(static_cast<int32_t>(ln));
+            p.sid.push_back(it->second);
+          }
         }
       }
+      p.noff.push_back(static_cast<int64_t>(p.pos.size() - before));
     }
-    out_off[w + 1] = m;
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool_t;
+    for (int t = 0; t < T; ++t) pool_t.emplace_back(work, t);
+    for (auto& th : pool_t) th.join();
+  }
+  int64_t m = 0, w = 0;
+  out_off[0] = 0;
+  for (int t = 0; t < T; ++t) {
+    const Part& p = parts[t];
+    if (m + (int64_t)p.pos.size() > cap) return -1;
+    memcpy(out_pos + m, p.pos.data(), p.pos.size() * sizeof(int32_t));
+    memcpy(out_len + m, p.len.data(), p.len.size() * sizeof(int32_t));
+    memcpy(out_sid + m, p.sid.data(), p.sid.size() * sizeof(int32_t));
+    for (int64_t c : p.noff) {
+      m += c;
+      out_off[++w] = m;
+    }
   }
   return m;
 }
@@ -1844,22 +1907,57 @@ extern "C" int64_t spm_normalize_batch(
     const uint32_t* m_units, int64_t n_munits,
     int add_dummy, int remove_ws, int escape_ws, int suffix_mode,
     const uint8_t* data, const int64_t* off, int64_t n_lines,
-    uint8_t* out, int64_t out_cap, int64_t* out_off) {
-  std::vector<int64_t> n2o;
+    uint8_t* out, int64_t out_cap, int64_t* out_off,
+    int num_threads, int slab_factor) {
+  // Parallel over line ranges (the reference normalizes the corpus on a
+  // num_threads pool, trainer_interface.cc:361-372); output is packed in
+  // line order afterwards, so the result is byte-identical at any thread
+  // count. Each line li gets the slab out[off[li]*F+16*li ...] where F is
+  // the caller's expansion bound (4 covers real text; 13 is the NFKC
+  // worst case — the caller retries with 13 on -2), so threads never
+  // overlap; a final left-to-right memmove packs the CSR.
+  if (n_lines == 0) return 0;
+  const int64_t F = slab_factor > 0 ? slab_factor : 13;
+  const int64_t need = off[n_lines] * F + 16 * n_lines;
+  if (need > out_cap) return -2;
+  int T = num_threads > 0 ? num_threads : 1;
+  if (T > n_lines) T = (int)n_lines;
+  std::vector<int64_t> olens(n_lines);
+  std::vector<int> errs(T, 0);
+  auto slab = [&](int64_t li) { return off[li] * F + 16 * li; };
+  auto work = [&](int t) {
+    std::vector<int64_t> n2o;
+    const int64_t lo = n_lines * t / T, hi = n_lines * (t + 1) / T;
+    for (int64_t li = lo; li < hi; ++li) {
+      const int64_t n = off[li + 1] - off[li];
+      const int64_t cap = slab(li + 1) - slab(li);
+      if ((int64_t)n2o.size() < cap + 1) n2o.resize(cap + 1);
+      const int64_t olen = spm_normalize(
+          units, n_units, pool, pool_len, m_units, n_munits,
+          data + off[li], n, add_dummy, remove_ws, escape_ws,
+          suffix_mode, out + slab(li), cap, n2o.data());
+      if (olen < 0) {
+        errs[t] = (int)olen;
+        return;
+      }
+      olens[li] = olen;
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool_t;
+    for (int t = 0; t < T; ++t) pool_t.emplace_back(work, t);
+    for (auto& th : pool_t) th.join();
+  }
+  for (int t = 0; t < T; ++t)
+    if (errs[t] < 0) return errs[t];
   int64_t nb = 0;
   out_off[0] = 0;
   for (int64_t li = 0; li < n_lines; ++li) {
-    const int64_t n = off[li + 1] - off[li];
-    const int64_t cap = n * 13 + 16;
-    if (nb + cap > out_cap) return -2;
-    if ((int64_t)n2o.size() < out_cap - nb + 1) n2o.resize(out_cap - nb + 1);
-    const int64_t olen =
-        spm_normalize(units, n_units, pool, pool_len, m_units, n_munits,
-                      data + off[li], n, add_dummy, remove_ws, escape_ws,
-                      suffix_mode, out + nb, out_cap - nb, n2o.data());
-    if (olen == -2) return -2;
-    if (olen < 0) return -1;
-    nb += olen;
+    if (nb != slab(li))
+      memmove(out + nb, out + slab(li), olens[li]);
+    nb += olens[li];
     out_off[li + 1] = nb;
   }
   return nb;
@@ -1877,33 +1975,58 @@ extern "C" int64_t spm_seed_filter(
     const int32_t* scr_lo, const int32_t* scr_hi, const int32_t* scr_id,
     int64_t n_scr, int32_t common_id, int32_t han_id, int32_t hira_id,
     int32_t kata_id,
-    int32_t* out_idx, int64_t* out_score) {
+    int32_t* out_idx, int64_t* out_score, int32_t num_threads) {
   using namespace bpetrain;
   Ctx ctx{max_piece_len, ws_suffix != 0, split_ws != 0, split_num != 0,
           split_script != 0, scr_lo, scr_hi, scr_id, n_scr,
           common_id, han_id, hira_id, kata_id};
-  int64_t m = 0;
-  std::u32string buf;
-  for (int64_t i = 0; i < n_nodes; ++i) {
-    const int32_t L = nodes_lrd[3 * i];
-    const int32_t R = nodes_lrd[3 * i + 1];
-    const int32_t D = nodes_lrd[3 * i + 2];
-    if (D <= 1) continue;
-    const int64_t offset = sa[L];
-    bool boundary = false;
-    buf.clear();
-    for (int32_t k = 0; k < D; ++k) {
-      const int32_t c = arr[offset + k];
-      if (c == 0) {
-        boundary = true;
-        break;
+  // Nodes are independent; threads filter disjoint ranges into local
+  // buffers merged in node order, so output is identical at any thread
+  // count (the seed phase is order-sensitive downstream: node index is
+  // the tie-break in the top-k candidate sort).
+  int T = num_threads > 0 ? num_threads : 1;
+  if (T > n_nodes) T = n_nodes > 0 ? (int)n_nodes : 1;
+  std::vector<std::vector<int32_t>> idx_t(T);
+  std::vector<std::vector<int64_t>> score_t(T);
+  auto work = [&](int t) {
+    std::u32string buf;
+    auto& oi = idx_t[t];
+    auto& os = score_t[t];
+    const int64_t lo = n_nodes * t / T, hi = n_nodes * (t + 1) / T;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int32_t L = nodes_lrd[3 * i];
+      const int32_t R = nodes_lrd[3 * i + 1];
+      const int32_t D = nodes_lrd[3 * i + 2];
+      if (D <= 1) continue;
+      const int64_t offset = sa[L];
+      bool boundary = false;
+      buf.clear();
+      for (int32_t k = 0; k < D; ++k) {
+        const int32_t c = arr[offset + k];
+        if (c == 0) {
+          boundary = true;
+          break;
+        }
+        buf.push_back(static_cast<char32_t>(c));
       }
-      buf.push_back(static_cast<char32_t>(c));
+      if (boundary || !ctx.valid(buf)) continue;
+      oi.push_back(static_cast<int32_t>(i));
+      os.push_back(static_cast<int64_t>(R - L) * D);
     }
-    if (boundary || !ctx.valid(buf)) continue;
-    out_idx[m] = static_cast<int32_t>(i);
-    out_score[m] = static_cast<int64_t>(R - L) * D;
-    ++m;
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool_t;
+    for (int t = 0; t < T; ++t) pool_t.emplace_back(work, t);
+    for (auto& th : pool_t) th.join();
+  }
+  int64_t m = 0;
+  for (int t = 0; t < T; ++t) {
+    memcpy(out_idx + m, idx_t[t].data(), idx_t[t].size() * sizeof(int32_t));
+    memcpy(out_score + m, score_t[t].data(),
+           score_t[t].size() * sizeof(int64_t));
+    m += (int64_t)idx_t[t].size();
   }
   return m;
 }

@@ -366,7 +366,28 @@ class TrainerInterface:
 
         too_long = 0
         stop = False
-        for filename in ts.input:
+        # fast path: plain text, no reservoir, no self-test sampling, no
+        # early stop — every per-line decision is byte-level, so the
+        # corpus stays as bytes until the (native) normalizer pass. No
+        # RNG is consumed (ReservoirSampler.add with size 0 returns
+        # before drawing), so this is stream-identical to the slow loop.
+        fast_bytes = (not is_tsv and sampler is None
+                      and ts.self_test_sample_size == 0
+                      and ts.input_sentence_size <= 0)
+        if fast_bytes:
+            unk_b = UNK_STR.encode("utf-8")
+            maxlen = ts.max_sentence_length
+            for filename in ts.input:
+                log.info("Loading corpus: %s", filename)
+                with open(filename, "rb") as f:
+                    chunks = f.read().split(b"\n")
+                if chunks and chunks[-1] == b"":
+                    chunks.pop()
+                too_long += sum(1 for r in chunks if len(r) > maxlen)
+                self.sentences.extend(
+                    (r, 1) for r in chunks
+                    if r and len(r) <= maxlen and unk_b not in r)
+        for filename in (() if fast_bytes else ts.input):
             if stop:
                 break
             log.info("Loading corpus: %s", filename)
@@ -419,20 +440,39 @@ class TrainerInterface:
         nat = normalizer._native_impl()
         batch = None
         if nat is not None:
-            raws = [t.encode("utf-8", errors="surrogateescape")
-                    for t, _ in self.sentences]
-            batch = nat.normalize_batch(raws)
+            raws = ([t for t, _ in self.sentences] if fast_bytes else
+                    [t.encode("utf-8", errors="surrogateescape")
+                     for t, _ in self.sentences])
+            batch = nat.normalize_batch(raws,
+                                        num_threads=ts.num_threads)
         if batch is not None:
             out, off = batch
             blob = out.tobytes()
             rep = UPP_BOUNDARY_STR.encode()
-            sents = [(matcher.global_replace(
-                          blob[off[i]:off[i + 1]], rep).decode(
-                              "utf-8", errors="surrogateescape"), freq)
-                     for i, (_t, freq) in enumerate(self.sentences)]
+            # meta surfaces almost never occur in a corpus: when none does
+            # (and NUL is free as a separator), one join+decode+split does
+            # the whole corpus at C speed — global_replace is the identity
+            # on every line then, so this is byte-identical to the loop.
+            if (b"\x00" not in blob
+                    and not any(m.encode("utf-8") in blob
+                                for m in meta_set if m)):
+                parts = b"\x00".join(
+                    blob[off[i]:off[i + 1]]
+                    for i in range(len(self.sentences))).decode(
+                        "utf-8", errors="surrogateescape").split("\x00")
+                sents = [(p, freq)
+                         for p, (_t, freq) in zip(parts, self.sentences)]
+            else:
+                sents = [(matcher.global_replace(
+                              blob[off[i]:off[i + 1]], rep).decode(
+                                  "utf-8", errors="surrogateescape"), freq)
+                         for i, (_t, freq) in enumerate(self.sentences)]
         else:
             sents = [(matcher.global_replace(
-                          normalizer.normalize(t)[0],
+                          normalizer.normalize(
+                              t if isinstance(t, str) else
+                              t.decode("utf-8",
+                                       errors="surrogateescape"))[0],
                           UPP_BOUNDARY_STR.encode()).decode(
                               "utf-8", errors="surrogateescape"), freq)
                      for t, freq in self.sentences]
@@ -457,21 +497,27 @@ class TrainerInterface:
         corpus_cat = "".join(s for s, _ in self.sentences)
         arr = np.frombuffer(
             corpus_cat.encode("utf-32-le", errors="surrogatepass"),
-            np.uint32).astype(np.int64)
-        w_rep = np.repeat(
-            np.fromiter((f for _, f in self.sentences), np.int64,
-                        len(self.sentences)),
-            np.fromiter((len(s) for s, _ in self.sentences), np.int64,
-                        len(self.sentences)))
-        valid_m = (((arr >= 0) & (arr < 0xD800))
-                   | ((arr >= 0xE000) & (arr <= 0x10FFFF))) & (arr != 0)
+            np.uint32).view(np.int32)  # codepoints < 2^31: view is exact
+        s_lens_np = np.fromiter((len(s) for s, _ in self.sentences),
+                                np.int64, len(self.sentences))
+        s_freqs_np = np.fromiter((f for _, f in self.sentences), np.int64,
+                                 len(self.sentences))
+        valid_m = ((arr < 0xD800)
+                   | ((arr >= 0xE000) & (arr <= 0x10FFFF))) & (arr > 0)
         if bool(((arr == 0x0020) & valid_m).any()):
             raise ValueError(
                 "space must not be included in normalized string.")
-        cnt_full = np.bincount(
-            arr, weights=np.where(valid_m, w_rep, 0).astype(np.float64))
-        uniq = np.nonzero(cnt_full)[0]
-        cnt = cnt_full[uniq].astype(np.int64)  # exact below 2^53
+        if (s_freqs_np == 1).all():
+            # plain-text corpora: unweighted integer bincount (exact)
+            cnt_full = np.bincount(arr[valid_m])
+            uniq = np.nonzero(cnt_full)[0]
+            cnt = cnt_full[uniq]
+        else:
+            w_rep = np.repeat(s_freqs_np, s_lens_np)
+            cnt_full = np.bincount(
+                arr, weights=np.where(valid_m, w_rep, 0).astype(np.float64))
+            uniq = np.nonzero(cnt_full)[0]
+            cnt = cnt_full[uniq].astype(np.int64)  # exact below 2^53
         chars_count: Dict[int, int] = {
             int(u): int(c) for u, c in zip(uniq, cnt)}
         all_chars_count = int(cnt.sum())
@@ -504,8 +550,17 @@ class TrainerInterface:
         req = self.required_chars
         bad = {int(u): UNK_STR for u in uniq if int(u) not in req}
         if bad:
-            self.sentences = [(s.translate(bad), freq)
-                              for s, freq in self.sentences]
+            # rare chars are rare: locate the affected sentences via the
+            # corpus codepoint array instead of translating every line
+            flag = np.zeros(0x110000, bool)
+            flag[np.fromiter(bad.keys(), np.int64, len(bad))] = True
+            pos_bad = np.nonzero(flag[arr])[0]
+            if len(pos_bad):
+                ends = np.cumsum(s_lens_np)
+                for si in np.unique(np.searchsorted(
+                        ends, pos_bad, side="right")).tolist():
+                    s, freq = self.sentences[si]
+                    self.sentences[si] = (s.translate(bad), freq)
 
         if ts.model_type not in (ModelType.WORD, ModelType.CHAR):
             if (len(self.required_chars) + len(self.meta_pieces)

@@ -175,15 +175,20 @@ class Trainer(TrainerInterface):
         corpus = "".join(s + "\x00" for s, _ in self.sentences)
         arr = np.frombuffer(
             corpus.encode("utf-32-le", errors="surrogatepass"),
-            np.uint32).astype(np.int32)  # codepoints < 0x110000
+            np.uint32).view(np.int32)  # codepoints < 2^31: view is exact
         s_lens = np.fromiter((len(s) for s, _ in self.sentences), np.int64,
                              len(self.sentences))
         s_freqs = np.fromiter((f for _, f in self.sentences), np.int64,
                               len(self.sentences))
-        w_rep = np.repeat(s_freqs, s_lens + 1)
-        cnt_full = np.bincount(arr, weights=w_rep.astype(np.float64))
-        uniq = np.nonzero(cnt_full)[0]
-        cnt = cnt_full[uniq].astype(np.int64)  # exact below 2^53
+        if (s_freqs == 1).all():
+            cnt_full = np.bincount(arr)  # unweighted: exact int counts
+            uniq = np.nonzero(cnt_full)[0]
+            cnt = cnt_full[uniq]
+        else:
+            w_rep = np.repeat(s_freqs, s_lens + 1)
+            cnt_full = np.bincount(arr, weights=w_rep.astype(np.float64))
+            uniq = np.nonzero(cnt_full)[0]
+            cnt = cnt_full[uniq].astype(np.int64)  # exact below 2^53
         all_chars: Dict[str, int] = {
             chr(int(u)): int(c) for u, c in zip(uniq, cnt)
             if int(u) != UNK_CHAR and int(u) != SENTENCE_BOUNDARY}
@@ -195,18 +200,19 @@ class Trainer(TrainerInterface):
         # Vectorized node filter (scalar spec: the D<=1 / sentence-boundary
         # / is_valid_sentencepiece chain below in git history; semantics
         # identical, run as prefix-sum lookups over the corpus array).
-        substr_index: Optional[List[Tuple[int, int]]] = None
+        kidx_a: Optional[np.ndarray] = None
         try:
             from .. import native
 
             r = native.seed_filter(arr, sa, np.asarray(nodes, np.int32),
-                                   self.trainer_spec)
+                                   self.trainer_spec,
+                                   num_threads=self.trainer_spec.num_threads)
             if r is not None:
-                kidx_n, score_n = r
-                substr_index = list(zip(kidx_n.tolist(), score_n.tolist()))
+                kidx_a, score_a = r
+                kidx_a = kidx_a.astype(np.int64)
         except Exception:
-            substr_index = None
-        if substr_index is None:
+            kidx_a = None
+        if kidx_a is None:
             nd = np.asarray(nodes, np.int64).reshape(-1, 3)
             L_a, R_a, D_a = nd[:, 0], nd[:, 1], nd[:, 2]
             off_a = sa[L_a].astype(np.int64)
@@ -214,16 +220,17 @@ class Trainer(TrainerInterface):
             np.cumsum(arr == SENTENCE_BOUNDARY, out=hb[1:])
             keep = (D_a > 1) & (hb[off_a + D_a] == hb[off_a])
             keep &= self.valid_substring_mask(arr, off_a, D_a)
-            kidx = np.nonzero(keep)[0]
-            score_a = (R_a[kidx] - L_a[kidx]) * D_a[kidx]
-            substr_index = list(zip(kidx.tolist(), score_a.tolist()))
+            kidx_a = np.nonzero(keep)[0]
+            score_a = (R_a[kidx_a] - L_a[kidx_a]) * D_a[kidx_a]
 
         seed: List[Tuple[str, float]] = [
             (w, float(f)) for w, f in sorted_freq_desc(all_chars.items())]
-        # Sorted(substr_index): score desc, node index asc
-        for i, score in sorted(substr_index, key=lambda p: (-p[1], p[0])):
-            if len(seed) == self.trainer_spec.seed_sentencepiece_size:
-                break
+        # Sorted(substr_index): score desc, node index asc — numpy lexsort
+        # truncated to the seed budget instead of a Python tuple sort
+        need = max(0, self.trainer_spec.seed_sentencepiece_size - len(seed))
+        order = np.lexsort((kidx_a, -score_a))[:need]
+        for i, score in zip(kidx_a[order].tolist(),
+                            score_a[order].tolist()):
             L, R, D = nodes[i]
             offset = int(sa[L])
             w = corpus[offset:offset + D]
@@ -273,7 +280,8 @@ class Trainer(TrainerInterface):
             words = [s for s, _ in self.sentences]
             r = native.substring_match(
                 words, [w for w, _ in pieces],
-                self.trainer_spec.max_sentencepiece_length)
+                self.trainer_spec.max_sentencepiece_length,
+                num_threads=self.trainer_spec.num_threads)
             if r is None:
                 return None
             cand_off, cand_pos, cand_len, cand_sid = r
@@ -470,9 +478,8 @@ class Trainer(TrainerInterface):
         np.add.at(tbuf, np.zeros(len(kept), np.intp), kept)
         total = tbuf[0]
         words = [w for (w, _), k in zip(pieces, keep_m) if k]
-        new_pieces = list(zip(words, (float(f) for f in kept)))
         logsum = _f32(digamma(float(total)))  # `const float logsum`
-        xs = np.array([f for _, f in new_pieces], np.float64)
+        xs = kept.astype(np.float64)
         try:
             from .. import native
 
@@ -481,8 +488,11 @@ class Trainer(TrainerInterface):
             dg = None
         if dg is None:
             dg = digamma_vec(xs)
-        return [(w, _f32(dg[i] - logsum))
-                for i, (w, _) in enumerate(new_pieces)]
+        # `digamma(c) - logsum` narrows to float per piece — one
+        # vectorized float32 round replays the scalar chain
+        res = (np.asarray(dg, np.float64) - logsum).astype(
+            np.float32).astype(np.float64)
+        return list(zip(words, res.tolist()))
 
     # -- prune (unigram_model_trainer.cc:337-491) -------------------------------
     def _prune_pieces(self, pieces, scores, seed_to_cur, tables,
@@ -506,12 +516,14 @@ class Trainer(TrainerInterface):
                 words = [w for w, _ in pieces]
                 r0 = native.substring_match(
                     words, words,
-                    self.trainer_spec.max_sentencepiece_length)
+                    self.trainer_spec.max_sentencepiece_length,
+                    num_threads=self.trainer_spec.num_threads)
                 if r0 is not None:
                     co, cp_, cl_, cc_ = r0
                     r = native.unigram_prune_nbest(
                         [len(w) for w in words], co, cp_, cl_, cc_,
-                        np.asarray(scores, np.float32), unk_score)
+                        np.asarray(scores, np.float32), unk_score,
+                        num_threads=self.trainer_spec.num_threads)
                     if r is not None:
                         ak, alt_ids, alt_off = r
                         always_keep = ak.astype(bool).tolist()
