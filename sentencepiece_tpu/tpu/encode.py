@@ -128,7 +128,8 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
 @functools.partial(
     jax.jit,
     static_argnames=("max_depth", "unk_id", "root_state", "add_bos",
-                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id",
+                     "use_pallas"))
 def unigram_encode_batch(units: jnp.ndarray,
                          lat_score_table: jnp.ndarray,
                          batch: jnp.ndarray,
@@ -143,7 +144,9 @@ def unigram_encode_batch(units: jnp.ndarray,
                          reverse: bool = False,
                          bos_id: int = 1,
                          eos_id: int = 2,
-                         pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         pad_id: int = 0,
+                         use_pallas: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode normalized UTF-8 bytes to token ids.
 
     Args:
@@ -165,20 +168,30 @@ def unigram_encode_batch(units: jnp.ndarray,
         D=D, unk_id=unk_id, root_state=root_state)
 
     # -- Viterbi scan ----------------------------------------------------------
-    def vit_step(win, sc_p):
-        # win[:, j] = best[p-1-j]; sc_p[:, j] = score of len-(j+1) piece @ p
-        cand = win + sc_p
-        rev = cand[:, ::-1]
-        am = jnp.argmax(rev, axis=1)  # first max = longest piece (tie-break)
-        best_p = jnp.take_along_axis(rev, am[:, None], axis=1)[:, 0]
-        kchoice = (D - am).astype(jnp.int32)
-        new_win = jnp.concatenate([best_p[:, None], win[:, :D - 1]], axis=1)
-        return new_win, (kchoice, best_p)
+    if use_pallas:
+        # Mosaic lattice-scan kernel (A/B alternative; same recurrence +
+        # longest-piece tie-break — see pallas_kernels.viterbi_bp_pallas).
+        from .pallas_kernels import viterbi_bp_pallas
+        _, bp_wb = viterbi_bp_pallas(sc_end[:, 1:, :])   # [B, N+1]
+        bp = bp_wb.T                                      # [N+1, B]
+    else:
+        def vit_step(win, sc_p):
+            # win[:, j] = best[p-1-j]; sc_p[:, j] = score of len-(j+1)
+            # piece @ p
+            cand = win + sc_p
+            rev = cand[:, ::-1]
+            am = jnp.argmax(rev, axis=1)  # first max = longest (tie-break)
+            best_p = jnp.take_along_axis(rev, am[:, None], axis=1)[:, 0]
+            kchoice = (D - am).astype(jnp.int32)
+            new_win = jnp.concatenate([best_p[:, None], win[:, :D - 1]],
+                                      axis=1)
+            return new_win, (kchoice, best_p)
 
-    win0 = jnp.full((B, D), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-    _, (bp, _) = jax.lax.scan(vit_step, win0,
-                              jnp.swapaxes(sc_end[:, 1:, :], 0, 1))
-    bp = jnp.concatenate([jnp.ones((1, B), jnp.int32), bp], axis=0)  # [N+1,B]
+        win0 = jnp.full((B, D), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+        _, (bp, _) = jax.lax.scan(vit_step, win0,
+                                  jnp.swapaxes(sc_end[:, 1:, :], 0, 1))
+        bp = jnp.concatenate([jnp.ones((1, B), jnp.int32), bp],
+                             axis=0)  # [N+1, B]
 
     # -- backtrace -------------------------------------------------------------
     rows = jnp.arange(B)

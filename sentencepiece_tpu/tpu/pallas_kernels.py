@@ -59,6 +59,68 @@ def _scan_kernel(sc_ref, out_ref, *, K: int, P: int, mode: str):
     jax.lax.fori_loop(0, P, body, win0)
 
 
+def _auto_interpret() -> bool:
+    """Interpret mode off the TPU (CPU tests); Mosaic-compile on TPU."""
+    return jax.default_backend() == "cpu"
+
+
+def _scan_bp_kernel(sc_ref, alpha_ref, bp_ref, *, K: int, P: int):
+    """Viterbi alpha + backpointer (chosen piece byte length) per position.
+
+    Tie-break matches the XLA scan in encode.unigram_encode_batch (and the
+    reference lattice, unigram_model.cc:222-261): among equal-score
+    candidates pick the LONGEST piece — expressed reduction-style as the
+    max k whose candidate equals the row max (no in-kernel reverse)."""
+    alpha_ref[0, :] = jnp.zeros((LANES,), jnp.float32)
+    bp_ref[0, :] = jnp.ones((LANES,), jnp.int32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+    klen = row_ids + 1
+    win0 = jnp.where(row_ids == 0, 0.0, NEG_INF)  # win[j] = alpha[p - j]
+
+    def body(p, win):
+        cand = win + sc_ref[p]          # [K, 128]
+        red = jnp.max(cand, axis=0)
+        kbest = jnp.max(jnp.where(cand == red[None, :], klen, 0), axis=0)
+        alpha_ref[p + 1, :] = red
+        bp_ref[p + 1, :] = kbest
+        rolled = pltpu.roll(win, shift=1, axis=0)
+        return jnp.where(row_ids == 0, red[None, :], rolled)
+
+    jax.lax.fori_loop(0, P, body, win0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def viterbi_bp_pallas(sc_end: jnp.ndarray, interpret: bool | None = None):
+    """(alpha[W, P+1] f32, bp[W, P+1] i32) for end-aligned sc_end[W, P, K].
+
+    bp[w, p] is the byte length of the best piece ending at position p
+    (bp[:, 0] = 1, unused) — drop-in for the lax.scan backpointers in
+    unigram_encode_batch. ``interpret=None`` auto-selects interpreter
+    mode on the CPU backend."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    W, P, K = sc_end.shape
+    grid = (W + LANES - 1) // LANES
+    Wp = grid * LANES
+    sc_t = jnp.pad(sc_end.astype(jnp.float32), ((0, Wp - W), (0, 0), (0, 0)),
+                   constant_values=NEG_INF).transpose(1, 2, 0)
+    kern = functools.partial(_scan_bp_kernel, K=K, P=P)
+    alpha, bp = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((P, K, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((P + 1, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((P + 1, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((P + 1, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((P + 1, Wp), jnp.int32)),
+        interpret=interpret,
+    )(sc_t)
+    return alpha.T[:W], bp.T[:W]
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
 def lattice_scan_pallas(sc_end: jnp.ndarray, mode: str = "viterbi",
                         interpret: bool = False) -> jnp.ndarray:

@@ -16,6 +16,7 @@ detected on device and re-encoded through the exact host path.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -24,6 +25,11 @@ import numpy as np
 
 from . import normalize as tpu_normalize
 from .encode import unigram_encode_batch
+
+# A/B switch for the Viterbi lattice scan implementation: XLA lax.scan
+# (default) vs the Mosaic kernel in pallas_kernels.py. Both are bit-exact;
+# the measured winner on real hardware is recorded in docs/design.md.
+USE_PALLAS_SCAN = os.environ.get("SPM_TPU_PALLAS_SCAN", "") == "1"
 
 # Persistent compilation cache: these programs are large (multi-minute XLA
 # compiles on TPU); caching makes every process after the first fast.
@@ -210,7 +216,7 @@ class TpuTokenizer:
                 root_state=enc.root_state,
                 add_bos=enc.add_bos, add_eos=enc.add_eos,
                 reverse=enc.reverse, bos_id=enc.bos_id, eos_id=enc.eos_id,
-                pad_id=enc.pad_id)
+                pad_id=enc.pad_id, use_pallas=USE_PALLAS_SCAN)
             return ids, n_ids, overflow
 
         self._fns[n_in] = fn

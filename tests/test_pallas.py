@@ -44,3 +44,36 @@ def test_lattice_scan_kernel(mode):
     finite = want > NEG_INF / 2
     assert ((got <= NEG_INF / 2) == ~finite).all()
     assert np.allclose(got[finite], want[finite], atol=1e-3)
+
+
+def test_viterbi_bp_matches_xla_scan_encode():
+    """unigram_encode_batch(use_pallas=True) must be token-for-token
+    identical to the production XLA-scan path (same recurrence, same
+    longest-piece tie-break) on a real model over mixed-script text."""
+    import jax.numpy as jnp
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.encode import unigram_encode_batch
+    from sentencepiece_tpu.tpu.pipeline import pack_lines
+    from sentencepiece_tpu.tpu.encode import UnigramBatchEncoder
+
+    import os
+    model = os.path.join(os.path.dirname(__file__),
+                         "fixtures/unigram_en_1k.model")
+    sp = SentencePieceProcessor(model)
+    enc = UnigramBatchEncoder(sp)
+    lines = [b"Hello world, this is a test.",
+             b"the quick brown fox jumps over the lazy dog",
+             b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+             "日本語テキスト混在 mixed".encode(),
+             b"x", b""]
+    arr, lens = pack_lines(lines, 64)
+    kw = dict(max_depth=enc.max_depth, unk_id=enc.unk_id,
+              root_state=enc.root_state)
+    a, l = jnp.asarray(arr), jnp.asarray(lens)
+    ids_x, n_x = unigram_encode_batch(
+        enc.units, enc.lat_score_table, a, l, enc.unk_score, **kw)
+    ids_p, n_p = unigram_encode_batch(
+        enc.units, enc.lat_score_table, a, l, enc.unk_score,
+        use_pallas=True, **kw)
+    assert (np.asarray(n_x) == np.asarray(n_p)).all()
+    assert (np.asarray(ids_x) == np.asarray(ids_p)).all()
