@@ -57,6 +57,9 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("SPM_TPU_DISABLE_NATIVE") == "1":
+            # CI fallback row: exercise the pure-Python paths.
+            return None
         so = _so_path()
         if not os.path.exists(so):
             if not _build(so):

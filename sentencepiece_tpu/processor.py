@@ -587,6 +587,8 @@ class SentencePieceProcessor:
 
     # CamelCase aliases (the reference python binding exposes both).
     Load = load
+    LoadOrDie = load  # binding alias (sentencepiece.py: dies on failure;
+    #                   here load() already raises)
     LoadFromSerializedProto = load_from_serialized_proto
     Encode = encode
     EncodeAsPieces = encode_as_pieces

@@ -9,9 +9,34 @@ plain shared library on first use (no pybind11 dependency — ctypes ABI);
 installing with this setup simply ships the source and data assets.
 """
 
+import os
+import shutil
+
 from setuptools import find_packages, setup
+from setuptools.command.build_py import build_py
+
+
+class BuildPyWithNative(build_py):
+    """Prebuild the native runtime at install time (the loader would
+    otherwise build it lazily on first import); failure is non-fatal —
+    every native entry point has a pure-Python fallback."""
+
+    def run(self):
+        super().run()
+        try:
+            import sentencepiece_tpu.native as native
+            if native.available():
+                src = native._so_path()
+                dst_dir = os.path.join(self.build_lib,
+                                       "sentencepiece_tpu", "native")
+                if os.path.isdir(dst_dir) and os.path.exists(src):
+                    shutil.copy2(src, dst_dir)
+        except Exception as e:  # pragma: no cover
+            print(f"warning: native prebuild skipped: {e}")
+
 
 setup(
+    cmdclass={"build_py": BuildPyWithNative},
     name="sentencepiece-tpu",
     version="0.1.82.dev0",
     description=("TPU-native SentencePiece: subword training and "
