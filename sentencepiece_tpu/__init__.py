@@ -20,6 +20,7 @@ compatible with the reference python package and bit-exact on token ids.
 
 from . import distributed
 from .processor import SentencePieceProcessor
+from .train.facade import SentencePieceTrainer
 from .proto.spec import (ModelProto, ModelType, NormalizerSpec, PieceType,
                          TrainerSpec)
 
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SentencePieceProcessor",
+    "SentencePieceTrainer",
     "distributed",
     "ModelProto",
     "ModelType",

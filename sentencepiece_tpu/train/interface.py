@@ -634,7 +634,9 @@ class TrainerInterface:
                 sp = SentencePieceProto()
                 sp.piece = w
                 sp.score = score
-                sp.type = PieceType.NORMAL
+                # type left UNSET for NORMAL pieces: the reference only
+                # calls set_type for meta pieces (trainer_interface.cc:497),
+                # so a normal piece's type field is absent on the wire.
                 check_piece(w)
                 pieces.append(sp)
         assert fid == len(self.final_pieces), \
