@@ -115,6 +115,129 @@ class TpuTokenizer:
             processor.model_proto.normalizer_spec, suffix)
         self._fns = {}
 
+    def _pipeline_core(self, n_in: int):
+        """(core, tables) for one input width: ``core(batch, lengths,
+        *tables)`` is the whole pipeline as a pure function whose device
+        tables are explicit arguments (never closed over — closed-over
+        arrays bake into jitted traces as XLA constants, exploding
+        compile time). Model config enters through the closure as plain
+        Python scalars (static)."""
+        t = self.norm
+        enc = self.enc
+        w_enc = 2 * n_in + 8
+        norm_tables = (t.units, t.esc_pool, t.v_esc_off, t.v_esc_len,
+                       t.v_lead_sp, t.v_all_sp, t.v_ends_sp, t.ws_arr,
+                       t.fffd_arr)
+
+        def norm_stage(batch, lengths, *nt):
+            norm_out, norm_len = tpu_normalize.normalize_batch(
+                *nt, batch, lengths,
+                max_rule_len=t.max_rule_len, root_state=t.root_state,
+                n_out=w_enc, ws_len=t.ws_len, max_rep_len=t.max_rep_len,
+                add_dummy_prefix=t.add_dummy_prefix,
+                remove_extra_whitespaces=t.remove_extra_whitespaces,
+                escape_whitespaces=t.escape_whitespaces, suffix=t.suffix)
+            overflow = norm_len > w_enc
+            enc_len = jnp.minimum(norm_len, w_enc)
+            return norm_out, enc_len, overflow
+
+        if self._bpe is not None:
+            from .bpe_encode import (utf8_to_cp_batch,
+                                     bpe_encode_batch_parallel)
+            bpe = self._bpe
+            tables = norm_tables + (bpe.pair_keys, bpe.pair_new,
+                                    bpe.pair_score, bpe.cp_to_sym,
+                                    bpe.sym_to_id)
+
+            def core_bpe(batch, lengths, *tabs):
+                nt, bt = tabs[:9], tabs[9:]
+                norm_out, enc_len, overflow = norm_stage(batch, lengths,
+                                                         *nt)
+                cps, cp_len = utf8_to_cp_batch(norm_out, enc_len)
+                ids, n_ids = bpe_encode_batch_parallel(
+                    bt[0], bt[1], bt[2], bt[3], bt[4], cps, cp_len,
+                    universe=bpe.U, max_merges=w_enc - 1,
+                    unk_id=bpe.unk_id, add_bos=bpe.add_bos,
+                    add_eos=bpe.add_eos, reverse=bpe.reverse,
+                    bos_id=bpe.bos_id, eos_id=bpe.eos_id,
+                    pad_id=bpe.pad_id)
+                return ids, n_ids, overflow
+
+            return core_bpe, tables
+
+        if self._span is not None:
+            from .span_encode import span_encode_batch
+            se = self._span
+            tables = norm_tables + (se.units, se.zero_scores)
+
+            def core_span(batch, lengths, *tabs):
+                nt, st = tabs[:9], tabs[9:]
+                norm_out, enc_len, overflow = norm_stage(batch, lengths,
+                                                         *nt)
+                ids, n_ids = span_encode_batch(
+                    st[0], st[1], norm_out, enc_len,
+                    mode=se.mode, max_depth=se.max_depth,
+                    unk_id=se.unk_id, root_state=se.root_state,
+                    suffix=se.suffix, add_bos=se.add_bos,
+                    add_eos=se.add_eos, reverse=se.reverse,
+                    bos_id=se.bos_id, eos_id=se.eos_id, pad_id=se.pad_id)
+                return ids, n_ids, overflow
+
+            return core_span, tables
+
+        tables = norm_tables + (enc.units, enc.lat_score_table,
+                                enc.unk_score)
+
+        def core_unigram(batch, lengths, *tabs):
+            nt, ut = tabs[:9], tabs[9:]
+            norm_out, enc_len, overflow = norm_stage(batch, lengths, *nt)
+            ids, n_ids = unigram_encode_batch(
+                ut[0], ut[1], norm_out, enc_len, ut[2],
+                max_depth=enc.max_depth, unk_id=enc.unk_id,
+                root_state=enc.root_state,
+                add_bos=enc.add_bos, add_eos=enc.add_eos,
+                reverse=enc.reverse, bos_id=enc.bos_id, eos_id=enc.eos_id,
+                pad_id=enc.pad_id, use_pallas=USE_PALLAS_SCAN)
+            return ids, n_ids, overflow
+
+        return core_unigram, tables
+
+    def bench_loop_fn(self, n_in: int):
+        """One-dispatch benchmark program: ``fn(batch, lengths, n)``
+        runs the pipeline ``n`` times inside a ``fori_loop`` (dynamic
+        trip count — one compile serves every window size) and returns
+        a checksum scalar.
+
+        The loop body XORs ONE byte of the input batch (last row, first
+        column — a padding row whenever the row count was padded up, so
+        results are unchanged) with a carry-derived bit, making every
+        iteration data-dependent on the previous one; XLA cannot prove
+        the pipeline ignores that byte, so the body cannot be hoisted
+        out of the loop as loop-invariant. (A value-preserving
+        ``optimization_barrier(carry & 0)`` XOR does NOT work: the
+        ``& 0`` folds to a constant before the barrier and the body
+        becomes hoistable.) Timing this program measures pure on-device
+        execution — immune to async-dispatch acks and host-link latency
+        (on the tunneled rig, ``block_until_ready`` can return at
+        enqueue time, making dispatch-loop timing measure the enqueue
+        rate, not the chip; see bench.py)."""
+        core, tables = self._pipeline_core(n_in)
+
+        @jax.jit
+        def loop(batch, lengths, n, *tabs):
+            def body(_, carry):
+                b = batch.at[-1, 0].set(batch[-1, 0] ^ (carry & 1))
+                ids, n_ids, overflow = core(b, lengths, *tabs)
+                mix = jnp.sum(n_ids, dtype=jnp.int32) + jnp.sum(
+                    overflow, dtype=jnp.int32)
+                return (mix & 0xFF).astype(jnp.uint8) ^ carry
+            return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
+
+        def fn(batch, lengths, n):
+            return loop(batch, lengths, jnp.int32(n), *tables)
+
+        return fn
+
     def _pipeline_fn(self, n_in: int):
         """Build the fused jitted pipeline for one input width."""
         if n_in in self._fns:
