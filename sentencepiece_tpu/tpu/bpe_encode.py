@@ -134,6 +134,45 @@ def bpe_dropout_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
         reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
 
 
+def _pair_lookup_dense(pair_keys, pair_score, pair_new, key, valid,
+                       block: int = 512):
+    """(score, new_sym, found) for packed pair keys, via one-hot
+    compare-reduce over the whole pair table.
+
+    XLA's gather lowers to a per-element scalar loop on TPU (~7 ns/elem,
+    scripts/probe_gather.py), so the old searchsorted(+3 gathers) path
+    cost ~90 ms per million lanes; the one-hot form runs at VPU vector
+    rate (~0.25 ns per lane*key) — ~76x faster at 297 pairs, still >10x
+    at tens of thousands. Keys are unique, so each lane sums at most one
+    table entry (exact for float scores)."""
+    n = int(pair_keys.shape[0])
+    flat = key.reshape(-1)
+    npd = ((n + block - 1) // block) * block
+    kpad = jnp.concatenate(
+        [pair_keys, jnp.full((npd - n,), -1, pair_keys.dtype)]
+    ).reshape(-1, block)
+    spad = jnp.concatenate(
+        [pair_score, jnp.zeros((npd - n,), pair_score.dtype)]
+    ).reshape(-1, block)
+    vpad = jnp.concatenate(
+        [pair_new, jnp.zeros((npd - n,), pair_new.dtype)]
+    ).reshape(-1, block)
+    sc = jnp.zeros(flat.shape, pair_score.dtype)
+    ns = jnp.zeros(flat.shape, pair_new.dtype)
+    fnd = jnp.zeros(flat.shape, bool)
+    for b in range(npd // block):
+        oh = flat[:, None] == kpad[b][None, :]
+        fnd = fnd | jnp.any(oh, axis=1)
+        sc = sc + jnp.sum(jnp.where(oh, spad[b][None, :],
+                                    jnp.zeros((), spad.dtype)), axis=1)
+        ns = ns + jnp.sum(jnp.where(oh, vpad[b][None, :],
+                                    jnp.zeros((), vpad.dtype)), axis=1)
+    found = (valid.reshape(-1) & fnd).reshape(key.shape)
+    sc = jnp.where(found, sc.reshape(key.shape), jnp.float32(NEG_INF))
+    ns = jnp.where(found, ns.reshape(key.shape), -1)
+    return sc, ns
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("universe", "max_merges", "unk_id", "dropout_p",
@@ -159,14 +198,9 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     def pair_lookup(l_sym, r_sym):
         """(score, new_sym) for candidate pairs; NEG_INF when not a merge."""
         valid = (l_sym >= 0) & (r_sym >= 0)
-        key = jnp.where(valid, l_sym * universe + r_sym, 0)
-        idx = jnp.clip(jnp.searchsorted(pair_keys, key), 0, n_pairs - 1)
-        hit = trie._gather(pair_keys, idx)
-        found = valid & (hit == key)
-        sc = jnp.where(found, trie._gather(pair_score, idx),
-                       jnp.float32(NEG_INF))
-        ns = jnp.where(found, trie._gather(pair_new, idx), -1)
-        return sc, ns
+        key = jnp.where(valid, l_sym * universe + r_sym, -1)
+        return _pair_lookup_dense(pair_keys, pair_score, pair_new, key,
+                                  valid)
 
     # initial pair cache: pair (p, p+1)
     r_sym0 = jnp.concatenate([sym[:, 1:], jnp.full((B, 1), -1, sym.dtype)],
@@ -483,28 +517,24 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
 
     def pair_lookup(l_sym, r_sym):
         valid = (l_sym >= 0) & (r_sym >= 0)
-        key = jnp.where(valid, l_sym * universe + r_sym, 0)
-        idx = jnp.clip(jnp.searchsorted(pair_keys, key), 0, n_pairs - 1)
-        hit = trie._gather(pair_keys, idx)
-        found = valid & (hit == key)
-        sc = jnp.where(found, trie._gather(pair_score, idx),
-                       jnp.float32(NEG_INF))
-        ns = jnp.where(found, trie._gather(pair_new, idx), -1)
-        return sc, ns
+        key = jnp.where(valid, l_sym * universe + r_sym, -1)
+        return _pair_lookup_dense(pair_keys, pair_score, pair_new, key,
+                                  valid)
 
     def scores_of(sym, nxt, alive):
         nsafe = jnp.clip(nxt, 0, L - 1)
         r_sym = jnp.where(alive & (nxt < L), trie._taa(sym, nsafe), -1)
         return pair_lookup(jnp.where(alive, sym, -1), r_sym)
 
+    # scores are computed ONCE per round and carried through the loop
+    # state (the old cond/body pair each recomputed the full lookup,
+    # doubling the per-round cost).
     def cond(state):
-        sym, nxt, prv, alive, it = state
-        psc, _ = scores_of(sym, nxt, alive)
+        _, _, _, _, it, psc, _ = state
         return (it < max_merges) & jnp.any(psc > NEG_INF / 2)
 
     def body(state):
-        sym, nxt, prv, alive, it = state
-        psc, pnew = scores_of(sym, nxt, alive)
+        sym, nxt, prv, alive, it, psc, pnew = state
         best = jnp.max(psc, axis=1)                       # [B]
         row_on = best > NEG_INF / 2
         sel = row_on[:, None] & (psc == best[:, None])
@@ -543,11 +573,14 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
             prv, jnp.broadcast_to(rows[:, None], (B, L)),
             jnp.where(keep & (nxt_of_r < L), after, L),
             jnp.broadcast_to(pos, (B, L)))
-        return new_sym, new_nxt, new_prv, new_alive, it + 1
+        npsc, npnew = scores_of(new_sym, new_nxt, new_alive)
+        return (new_sym, new_nxt, new_prv, new_alive, it + 1, npsc,
+                npnew)
 
-    sym, nxt, prv, alive, _ = jax.lax.while_loop(
+    psc0, pnew0 = scores_of(sym0, nxt0, alive0)
+    sym, nxt, prv, alive, _, _, _ = jax.lax.while_loop(
         cond, body,
-        (sym0, nxt0, prv0, alive0, jnp.int32(0)))
+        (sym0, nxt0, prv0, alive0, jnp.int32(0), psc0, pnew0))
 
     out_id = jnp.where(alive & (sym >= 0),
                        trie._gather(sym_to_id, jnp.maximum(sym, 0)), -1)

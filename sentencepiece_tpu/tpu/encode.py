@@ -77,21 +77,20 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     id_lanes = []
     label_mask = jnp.uint32((1 << 31) | 0xFF)
     has_leaf_bit = jnp.uint32(1 << 8)
-    value_mask = jnp.uint32(0x7FFFFFFF)
     for d in range(D):
         c = batch_pad[:, d:N + d].astype(jnp.uint32)
         byte_ok = (pos + d) < lengths[:, None]
         live = alive & byte_ok
         node = state ^ c
         safe = jnp.where(live, node, jnp.uint32(0))
-        unit = trie._gather(units, safe)
+        # units is the PAIRED table (trie.build_paired): one row gather
+        # yields the transition unit AND the leaf value
+        row = trie._gather(units, safe)
+        unit = row[..., 0]
         ok = live & ((unit & label_mask) == c)
         state = jnp.where(ok, node ^ trie.offsets(unit), state)
         has_leaf = ok & ((unit & has_leaf_bit) != 0)
-        leaf_unit = trie._gather(
-            units, jnp.where(has_leaf, state, jnp.uint32(0)))
-        val = jnp.where(has_leaf,
-                        (leaf_unit & value_mask).astype(jnp.int32),
+        val = jnp.where(has_leaf, row[..., 1].astype(jnp.int32),
                         jnp.int32(-1))
         alive = ok
         id_lanes.append(val)
@@ -108,8 +107,14 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
 
     vsafe = jnp.maximum(lat_ids, 0)
-    lat_sc = jnp.where(lat_ids >= 0, trie._gather(lat_score_table, vsafe),
-                       NEG_INF)
+    # score lookup over [B, N, D] lanes: one-hot compare-reduce beats the
+    # serial-loop gather for small vocabs (~4x at V=1000; crossover near
+    # V~2500 — trie.gather_small rationale)
+    if int(lat_score_table.shape[0]) <= 2048:
+        sc_v = trie.gather_small(lat_score_table, vsafe)
+    else:
+        sc_v = trie._gather(lat_score_table, vsafe)
+    lat_sc = jnp.where(lat_ids >= 0, sc_v, NEG_INF)
     lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
 
     # end-align: x_end[b, p, j] = x[b, p-(j+1), j] for p in 0..N
@@ -333,7 +338,7 @@ class UnigramBatchEncoder:
             raise TypeError("UnigramBatchEncoder requires a unigram model")
         self.processor = processor
         self.model = model
-        self.units = jnp.asarray(model.trie.units)
+        self.units = jnp.asarray(trie.build_paired(model.trie.units))
         # root base precomputed on host: keeps the device walk free of a
         # traced scalar broadcast (degrades XLA fusion badly, see above)
         u0 = int(model.trie.units[0])

@@ -59,13 +59,13 @@ class NormalizerTables:
         blob = spec.precompiled_charsmap or b""
         if blob:
             da, pool = charsmap_lib.decode_blob(blob)
-            self.units = jnp.asarray(da.units)
+            self.units = jnp.asarray(trie.build_paired(da.units))
             u0 = int(da.units[0])
             self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
             self.max_rule_len = da.max_key_length()
             pool_b = bytes(pool)
         else:
-            self.units = jnp.zeros(1, jnp.uint32)
+            self.units = jnp.zeros((1, 2), jnp.uint32)
             self.root_state = 0
             self.max_rule_len = 0
             pool_b = b""
@@ -81,6 +81,7 @@ class NormalizerTables:
         self._v_lead_sp = np.zeros(max(P, 1), np.int32)
         self._v_all_sp = np.zeros(max(P, 1), bool)
         self._v_ends_sp = np.zeros(max(P, 1), bool)
+        self._v_trail_ws = np.zeros(max(P, 1), np.int32)
         max_expand = 3  # FFFD: 3 output bytes per 1 malformed input byte
         off = 0
         while off < P:
@@ -95,6 +96,14 @@ class NormalizerTables:
             self._v_all_sp[off] = (len(rep) > 0
                                    and rep.strip(b" ") == b"")
             self._v_ends_sp[off] = rep.endswith(b" ")
+            # trailing ws-TOKEN run of the escaped bytes (wsl-byte units
+            # from the end — the EndsWith strip loop's unit), for the
+            # chunk-attribute trailing-whitespace trim
+            t, e = 0, bytes(esc)
+            while e.endswith(self.ws):
+                t += 1
+                e = e[:-self.ws_len]
+            self._v_trail_ws[off] = t
             esc_pool.extend(esc)
             off = end + 1
         self.esc_pool = jnp.asarray(
@@ -104,6 +113,15 @@ class NormalizerTables:
         self.v_lead_sp = jnp.asarray(self._v_lead_sp)
         self.v_all_sp = jnp.asarray(self._v_all_sp)
         self.v_ends_sp = jnp.asarray(self._v_ends_sp)
+        # packed per-value attr rows for ONE row-gather in the kernel:
+        # (esc_off, esc_len, lead_sp, all_sp, ends_sp, trail_ws) — a
+        # W-wide row gather costs ~1.4x a scalar gather (probe_gather),
+        # vs 5-6 separate serial gathers.
+        self.v_attr = jnp.asarray(np.stack(
+            [self._v_esc_off, self._v_esc_len, self._v_lead_sp,
+             self._v_all_sp.astype(np.int32),
+             self._v_ends_sp.astype(np.int32), self._v_trail_ws],
+            axis=1))
         self.ws_arr = jnp.asarray(np.frombuffer(self.ws, np.uint8))
         self.fffd_arr = jnp.asarray(np.frombuffer(FFFD, np.uint8))
         # worst-case output bytes per input byte
@@ -174,22 +192,21 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state):
     mval = jnp.full((B, N), -1, jnp.int32)
     label_mask = jnp.uint32((1 << 31) | 0xFF)
     leaf_bit = jnp.uint32(1 << 8)
-    value_mask = jnp.uint32(0x7FFFFFFF)
     for d in range(D):
         c = bp[:, d:N + d].astype(jnp.uint32)
         byte_ok = (pos + d) < lengths[:, None]
         live = alive & byte_ok
         node = state ^ c
         safe = jnp.where(live, node, jnp.uint32(0))
-        unit = trie._gather(units, safe)
+        # units is the PAIRED table (trie.build_paired): one row gather
+        # yields the transition unit AND the leaf value
+        row = trie._gather(units, safe)
+        unit = row[..., 0]
         ok = live & ((unit & label_mask) == c)
         state = jnp.where(ok, node ^ trie.offsets(unit), state)
         has_leaf = ok & ((unit & leaf_bit) != 0)
-        leaf_unit = trie._gather(
-            units, jnp.where(has_leaf, state, jnp.uint32(0)))
         mlen = jnp.where(has_leaf, d + 1, mlen)
-        mval = jnp.where(has_leaf,
-                         (leaf_unit & value_mask).astype(jnp.int32), mval)
+        mval = jnp.where(has_leaf, row[..., 1].astype(jnp.int32), mval)
         alive = ok
     return mlen, mval
 
@@ -200,8 +217,7 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state):
                      "max_rep_len", "add_dummy_prefix",
                      "remove_extra_whitespaces", "escape_whitespaces",
                      "suffix"))
-def normalize_batch(units, esc_pool, v_esc_off, v_esc_len, v_lead_sp,
-                    v_all_sp, v_ends_sp, ws_arr, fffd_arr,
+def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                     batch, lengths, *,
                     max_rule_len: int, root_state: int, n_out: int,
                     ws_len: int, max_rep_len: int,
@@ -229,18 +245,37 @@ def normalize_batch(units, esc_pool, v_esc_off, v_esc_len, v_lead_sp,
         jnp.where(valid_utf8 & is_sp_byte, KIND_WS,
                   jnp.where(valid_utf8, KIND_RAW, KIND_FFFD)))
     wsl = ws_len if escape_whitespaces else 1
+    # all six per-value attributes in ONE row gather (a W-wide row costs
+    # ~1.4x a scalar gather; five separate serial gathers cost 5x)
+    attr = trie._gather(v_attr, vsafe)   # [B, N, 6]
+    a_esc_off, a_esc_len = attr[..., 0], attr[..., 1]
+    a_lead, a_all, a_ends, a_trail = (attr[..., 2], attr[..., 3],
+                                      attr[..., 4], attr[..., 5])
     # emission length (escaped), before leading-space strip
     emit0 = jnp.where(
-        matched, trie._gather(v_esc_len, vsafe),
+        matched, a_esc_len,
         jnp.where(valid_utf8,
                   jnp.where(is_sp_byte, wsl, char_len), 3))
-    lead_sp = jnp.where(matched, trie._gather(v_lead_sp, vsafe),
+    lead_sp = jnp.where(matched, a_lead,
                         jnp.where(valid_utf8 & is_sp_byte, 1, 0))
-    all_sp = jnp.where(matched, trie._gather(v_all_sp, vsafe),
-                       valid_utf8 & is_sp_byte)
-    ends_sp = jnp.where(matched, trie._gather(v_ends_sp, vsafe),
-                        valid_utf8 & is_sp_byte)
-    esc_off = jnp.where(matched, trie._gather(v_esc_off, vsafe), 0)
+    all_sp = jnp.where(matched, a_all > 0, valid_utf8 & is_sp_byte)
+    ends_sp = jnp.where(matched, a_ends > 0, valid_utf8 & is_sp_byte)
+    esc_off = jnp.where(matched, a_esc_off, 0)
+    # trailing ws-token run of each position's emission (for the trim):
+    # POOL = host-precomputed on the escaped replacement; WS = 1 token;
+    # RAW = the char U+2581 itself when escaping (its bytes ARE the ws
+    # token); FFFD never matches the token.
+    if escape_whitespaces:
+        bp1 = jnp.concatenate([batch, jnp.zeros((B, 2), jnp.uint8)], axis=1)
+        raw_is_ws = ((batch == 0xE2) & (bp1[:, 1:N + 1] == 0x96)
+                     & (bp1[:, 2:N + 2] == 0x81) & (char_len == 3))
+    else:
+        raw_is_ws = jnp.zeros((B, N), bool)
+    trail0 = jnp.where(
+        matched, a_trail,
+        jnp.where(valid_utf8 & is_sp_byte, 1,
+                  jnp.where(valid_utf8 & raw_is_ws, 1, 0))).astype(
+                      jnp.int32)
 
     # -- chunk scan: walk the chain, carrying is_prev_space ------------------
     rows = jnp.arange(B)
@@ -258,6 +293,7 @@ def normalize_batch(units, esc_pool, v_esc_off, v_esc_len, v_lead_sp,
                           psafe)  # raw/fffd read from input / const
         c_sp = all_sp[rows, psafe]
         c_ends = ends_sp[rows, psafe]
+        c_trail = jnp.minimum(trail0[rows, psafe], c_emit // wsl)
         if remove_extra_whitespaces:
             # deletion rules (empty replacement) leave is_prev_space
             # untouched (normalizer.cc:165 `if (!sp.empty())`)
@@ -268,77 +304,99 @@ def normalize_batch(units, esc_pool, v_esc_off, v_esc_len, v_lead_sp,
         new_prev = jnp.where(active, upd, prev_sp)
         new_p = jnp.where(active, p + cons[rows, psafe], p)
         emit = jnp.where(active, c_emit, 0)
-        return (new_p, new_prev), (emit, c_kind, c_src)
+        return (new_p, new_prev), (emit, c_kind, c_src,
+                                   jnp.where(active, c_trail, 0))
 
     prev0 = jnp.full((B,), bool(remove_extra_whitespaces))
-    (_, _), (emits, kinds, srcs) = jax.lax.scan(
+    (_, _), (emits, kinds, srcs, trails) = jax.lax.scan(
         chunk_step, (jnp.zeros(B, jnp.int32), prev0), None, length=N)
     emits = emits.T   # [B, T] chunk emission byte counts
     kinds = kinds.T
     srcs = srcs.T
+    trails = trails.T
 
-    # -- assembly ------------------------------------------------------------
+    # -- assembly (output-centric) -------------------------------------------
+    # Old form: an R-iteration loop (R = max escaped replacement length,
+    # up to ~40) scattering byte j of every chunk — ~3 serial
+    # gather/scatter ops per iteration dominated the whole normalizer.
+    # New form: ONE scatter of chunk ids at their output offsets + a
+    # cummax turns "which chunk covers output position o" into a dense
+    # map; then each output byte is produced by a constant number of
+    # gathers regardless of R.
     dummy = wsl if add_dummy_prefix and not suffix else 0
     offs = jnp.cumsum(emits, axis=1, dtype=jnp.int32) - emits + dummy
     total = offs[:, -1] + emits[:, -1]
 
-    out = jnp.full((B, n_out + 1), 0, jnp.uint8)
-    if dummy:
-        for j in range(wsl):
-            out = out.at[:, j].set(ws_arr[j])
+    O = n_out + 1
+    ocols = jnp.arange(O, dtype=jnp.int32)[None, :]
+    chunk_t = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                               (B, N))
+    cid0 = jnp.full((B, O), -1, jnp.int32)
+    mark_cols = jnp.where(emits > 0, jnp.minimum(offs, n_out), O)
+    cid0 = trie._scatter_max(cid0,
+                             jnp.broadcast_to(rows[:, None], (B, N)),
+                             mark_cols, chunk_t)
+    cid = jax.lax.cummax(cid0, axis=1)
+
+    # pack (offset, kind, src) of each chunk into one word so the
+    # per-output gather is a single op: off<=O fits 9 bits (clipped),
+    # kind 2 bits, src (pool offset or input position) the rest.
+    pk = (jnp.minimum(offs, n_out + 1)
+          | (kinds << 9) | (srcs << 11))   # [B, N] int32
+    pk_o = trie._taa(pk, jnp.maximum(cid, 0))    # [B, O]
+    off_o = pk_o & 0x1FF
+    kind_o = (pk_o >> 9) & 3
+    src_o = pk_o >> 11
+    j_o = ocols - off_o
+
+    pool_b = trie._gather(esc_pool, jnp.clip(src_o + j_o, 0,
+                                             len(esc_pool) - 1))
     R = max(max_rep_len, 4)
-    fffd_pad = jnp.concatenate(
-        [fffd_arr, jnp.zeros(max(R - 3, 1), jnp.uint8)])
-    ws_pad = jnp.concatenate(
-        [ws_arr, jnp.zeros(max(R - wsl, 1), jnp.uint8)])
     batch_pad = jnp.concatenate([batch, jnp.zeros((B, R), jnp.uint8)],
                                 axis=1)
-    for j in range(R):
-        write = j < emits
-        # source byte for emission byte j of each chunk
-        pool_b = trie._gather(esc_pool, jnp.minimum(
-            srcs + j, len(esc_pool) - 1))
-        raw_idx = jnp.clip(srcs + j, 0, N + R - 1)
-        raw_b = trie._taa(batch_pad, raw_idx)
-        val = jnp.where(
-            kinds == KIND_POOL, pool_b,
-            jnp.where(kinds == KIND_RAW, raw_b,
-                      jnp.where(kinds == KIND_FFFD, fffd_pad[j],
-                                ws_pad[j])))
-        col = jnp.where(write, jnp.minimum(offs + j, n_out), n_out)
-        out = trie._scatter_set(out, jnp.broadcast_to(rows[:, None],
-                                                      col.shape), col,
-                                jnp.where(write, val,
-                                          out[:, n_out:n_out + 1]))
+    raw_b = trie._taa(batch_pad, jnp.clip(src_o + j_o, 0, N + R - 1))
+    jsafe = jnp.clip(j_o, 0, 3)
+    fffd_pad = jnp.concatenate([fffd_arr, jnp.zeros(1, jnp.uint8)])
+    ws_pad = jnp.concatenate([ws_arr, jnp.zeros(1, jnp.uint8)])
+    fffd_b = trie.gather_small(fffd_pad, jnp.minimum(jsafe, 3))
+    ws_b = trie.gather_small(ws_pad, jnp.minimum(jsafe, wsl))
+    val = jnp.where(
+        kind_o == KIND_POOL, pool_b,
+        jnp.where(kind_o == KIND_RAW, raw_b,
+                  jnp.where(kind_o == KIND_FFFD, fffd_b, ws_b)))
+
+    write = (cid >= 0) & (ocols < total[:, None])
+    out = jnp.where(write, val, 0).astype(jnp.uint8)
+    if dummy:
+        pre = (ocols < dummy) & (lengths > 0)[:, None]
+        out = jnp.where(pre, ws_pad[jnp.minimum(ocols, wsl)], out)
     # rows with zero input are empty regardless of dummy prefix
     total = jnp.where(lengths > 0, total, 0)
 
     # -- trailing whitespace trim (remove_extra_whitespaces) ------------------
     if remove_extra_whitespaces:
-        # ws-token run matching via log-doubling: R0[e] = pattern ends at e
-        e_idx = jnp.arange(n_out + 1, dtype=jnp.int32)[None, :]
-        match = jnp.ones((B, n_out + 1), bool)
-        for j in range(wsl):
-            src = jnp.clip(e_idx - wsl + j, 0, n_out)
-            bytes_j = trie._taa(out, jnp.broadcast_to(src, out.shape))
-            match &= (bytes_j == ws_arr[j]) & (e_idx >= wsl)
-        # Rj[e]: 2^j ws-tokens end at e
-        levels = []
-        cur = match
-        step = wsl
-        max_tokens = (n_out // wsl) + 1
-        while step <= n_out:
-            levels.append((cur, step))
-            src = jnp.clip(e_idx - step, 0, n_out)
-            cur = cur & trie._taa(cur, jnp.broadcast_to(src, cur.shape))
-            step *= 2
-        # greedy strip from the end
-        end = total
-        for lev_match, lev_step in reversed(levels):
-            hit = trie._taa(
-                lev_match, jnp.clip(end, 0, n_out)[:, None])[:, 0]
-            end = jnp.where(hit & (end >= lev_step), end - lev_step, end)
-        total = end
+        # chunk-attribute form of the reference's byte-level EndsWith
+        # strip loop: emissions are whole escaped codepoints, so every
+        # stripped wsl-byte token lies inside one chunk — the strip is
+        # the trailing run of fully-ws chunks plus the trailing token
+        # run of the first non-fully-ws chunk (precomputed per value).
+        fully = (emits > 0) & (trails * wsl == emits)
+        transparent = emits == 0
+        strippable = (fully | transparent)
+        m = jnp.flip(jax.lax.cummin(
+            jnp.flip(strippable.astype(jnp.int32), axis=1), axis=1),
+            axis=1) > 0
+        whole = jnp.sum(jnp.where(m, emits, 0), axis=1, dtype=jnp.int32)
+        m_next = jnp.concatenate(
+            [m[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        boundary = ~m & m_next
+        partial = jnp.sum(jnp.where(boundary, trails * wsl, 0), axis=1,
+                          dtype=jnp.int32)
+        stripped = total - whole - partial
+        # if everything after the dummy prefix stripped, the prefix (a
+        # ws token itself) strips too (the byte loop keeps going)
+        stripped = jnp.where(stripped <= dummy, 0, stripped)
+        total = jnp.where(lengths > 0, stripped, total)
 
     if suffix and add_dummy_prefix:
         # all-space rows under remove_extra_whitespaces stay empty (the
@@ -366,8 +424,7 @@ class BatchNormalizer:
         t = self.t
         n_out = t.out_width(batch.shape[1])
         return normalize_batch(
-            t.units, t.esc_pool, t.v_esc_off, t.v_esc_len, t.v_lead_sp,
-            t.v_all_sp, t.v_ends_sp, t.ws_arr, t.fffd_arr,
+            t.units, t.esc_pool, t.v_attr, t.ws_arr, t.fffd_arr,
             jnp.asarray(batch), jnp.asarray(lengths),
             max_rule_len=t.max_rule_len, root_state=t.root_state,
             n_out=n_out, ws_len=t.ws_len, max_rep_len=t.max_rep_len,

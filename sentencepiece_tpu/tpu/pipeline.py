@@ -125,8 +125,7 @@ class TpuTokenizer:
         t = self.norm
         enc = self.enc
         w_enc = 2 * n_in + 8
-        norm_tables = (t.units, t.esc_pool, t.v_esc_off, t.v_esc_len,
-                       t.v_lead_sp, t.v_all_sp, t.v_ends_sp, t.ws_arr,
+        norm_tables = (t.units, t.esc_pool, t.v_attr, t.ws_arr,
                        t.fffd_arr)
 
         def norm_stage(batch, lengths, *nt):
@@ -150,7 +149,7 @@ class TpuTokenizer:
                                     bpe.sym_to_id)
 
             def core_bpe(batch, lengths, *tabs):
-                nt, bt = tabs[:9], tabs[9:]
+                nt, bt = tabs[:5], tabs[5:]
                 norm_out, enc_len, overflow = norm_stage(batch, lengths,
                                                          *nt)
                 cps, cp_len = utf8_to_cp_batch(norm_out, enc_len)
@@ -171,7 +170,7 @@ class TpuTokenizer:
             tables = norm_tables + (se.units, se.zero_scores)
 
             def core_span(batch, lengths, *tabs):
-                nt, st = tabs[:9], tabs[9:]
+                nt, st = tabs[:5], tabs[5:]
                 norm_out, enc_len, overflow = norm_stage(batch, lengths,
                                                          *nt)
                 ids, n_ids = span_encode_batch(
@@ -189,7 +188,7 @@ class TpuTokenizer:
                                 enc.unk_score)
 
         def core_unigram(batch, lengths, *tabs):
-            nt, ut = tabs[:9], tabs[9:]
+            nt, ut = tabs[:5], tabs[5:]
             norm_out, enc_len, overflow = norm_stage(batch, lengths, *nt)
             ids, n_ids = unigram_encode_batch(
                 ut[0], ut[1], norm_out, enc_len, ut[2],
@@ -239,108 +238,14 @@ class TpuTokenizer:
         return fn
 
     def _pipeline_fn(self, n_in: int):
-        """Build the fused jitted pipeline for one input width."""
+        """The fused pipeline for one input width (cached): a thin
+        wrapper binding the device tables to _pipeline_core."""
         if n_in in self._fns:
             return self._fns[n_in]
-        t = self.norm
-        enc = self.enc
-        # static encode width: 2x input + headroom. The normalizer writes
-        # DIRECTLY into this narrow width (overflowing bytes are dropped by
-        # the scatter); rows whose true normalized length exceeds it are
-        # flagged and re-encoded on the host. This keeps the device buffers
-        # ~20x smaller than the theoretical worst-case expansion.
-        w_enc = 2 * n_in + 8
+        core, tables = self._pipeline_core(n_in)
 
-        if self._bpe is not None:
-            from .bpe_encode import (utf8_to_cp_batch,
-                                     bpe_encode_batch_parallel)
-            bpe = self._bpe
-
-            def fn_bpe(batch, lengths):
-                norm_out, norm_len = tpu_normalize.normalize_batch(
-                    t.units, t.esc_pool, t.v_esc_off, t.v_esc_len,
-                    t.v_lead_sp, t.v_all_sp, t.v_ends_sp, t.ws_arr,
-                    t.fffd_arr, batch, lengths,
-                    max_rule_len=t.max_rule_len, root_state=t.root_state,
-                    n_out=w_enc, ws_len=t.ws_len,
-                    max_rep_len=t.max_rep_len,
-                    add_dummy_prefix=t.add_dummy_prefix,
-                    remove_extra_whitespaces=t.remove_extra_whitespaces,
-                    escape_whitespaces=t.escape_whitespaces,
-                    suffix=t.suffix)
-                overflow = norm_len > w_enc
-                enc_len = jnp.minimum(norm_len, w_enc)
-                cps, cp_len = utf8_to_cp_batch(norm_out, enc_len)
-                ids, n_ids = bpe_encode_batch_parallel(
-                    bpe.pair_keys, bpe.pair_new, bpe.pair_score,
-                    bpe.cp_to_sym, bpe.sym_to_id, cps, cp_len,
-                    universe=bpe.U, max_merges=w_enc - 1,
-                    unk_id=bpe.unk_id, add_bos=bpe.add_bos,
-                    add_eos=bpe.add_eos, reverse=bpe.reverse,
-                    bos_id=bpe.bos_id, eos_id=bpe.eos_id,
-                    pad_id=bpe.pad_id)
-                return ids, n_ids, overflow
-
-            self._fns[n_in] = fn_bpe
-            return fn_bpe
-
-        if self._span is not None:
-            from .span_encode import span_encode_batch
-            se = self._span
-
-            def fn_span(batch, lengths):
-                norm_out, norm_len = tpu_normalize.normalize_batch(
-                    t.units, t.esc_pool, t.v_esc_off, t.v_esc_len,
-                    t.v_lead_sp, t.v_all_sp, t.v_ends_sp, t.ws_arr,
-                    t.fffd_arr, batch, lengths,
-                    max_rule_len=t.max_rule_len, root_state=t.root_state,
-                    n_out=w_enc, ws_len=t.ws_len,
-                    max_rep_len=t.max_rep_len,
-                    add_dummy_prefix=t.add_dummy_prefix,
-                    remove_extra_whitespaces=t.remove_extra_whitespaces,
-                    escape_whitespaces=t.escape_whitespaces,
-                    suffix=t.suffix)
-                overflow = norm_len > w_enc
-                enc_len = jnp.minimum(norm_len, w_enc)
-                ids, n_ids = span_encode_batch(
-                    se.units, se.zero_scores, norm_out, enc_len,
-                    mode=se.mode, max_depth=se.max_depth,
-                    unk_id=se.unk_id, root_state=se.root_state,
-                    suffix=se.suffix, add_bos=se.add_bos,
-                    add_eos=se.add_eos, reverse=se.reverse,
-                    bos_id=se.bos_id, eos_id=se.eos_id, pad_id=se.pad_id)
-                return ids, n_ids, overflow
-
-            self._fns[n_in] = fn_span
-            return fn_span
-
-        # Two separate dispatches of the ALREADY-JITTED stage functions with
-        # the tables passed as explicit arguments. Do NOT wrap them in
-        # another jit closing over the table arrays: closed-over device
-        # arrays get baked into the trace as XLA constants, which explodes
-        # compile time (minutes) and adds ~100ms/call of constant
-        # rematerialization.
         def fn(batch, lengths):
-            norm_out, norm_len = tpu_normalize.normalize_batch(
-                t.units, t.esc_pool, t.v_esc_off, t.v_esc_len, t.v_lead_sp,
-                t.v_all_sp, t.v_ends_sp, t.ws_arr, t.fffd_arr,
-                batch, lengths,
-                max_rule_len=t.max_rule_len, root_state=t.root_state,
-                n_out=w_enc, ws_len=t.ws_len, max_rep_len=t.max_rep_len,
-                add_dummy_prefix=t.add_dummy_prefix,
-                remove_extra_whitespaces=t.remove_extra_whitespaces,
-                escape_whitespaces=t.escape_whitespaces, suffix=t.suffix)
-            overflow = norm_len > w_enc
-            enc_len = jnp.minimum(norm_len, w_enc)
-            ids, n_ids = unigram_encode_batch(
-                enc.units, enc.lat_score_table, norm_out, enc_len,
-                enc.unk_score,
-                max_depth=enc.max_depth, unk_id=enc.unk_id,
-                root_state=enc.root_state,
-                add_bos=enc.add_bos, add_eos=enc.add_eos,
-                reverse=enc.reverse, bos_id=enc.bos_id, eos_id=enc.eos_id,
-                pad_id=enc.pad_id, use_pallas=USE_PALLAS_SCAN)
-            return ids, n_ids, overflow
+            return core(batch, lengths, *tables)
 
         self._fns[n_in] = fn
         return fn

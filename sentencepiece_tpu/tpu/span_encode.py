@@ -160,7 +160,7 @@ class SpanBatchEncoder:
         self.host_only = self.host_only or not keys
         if not self.host_only:
             da = darts.build(keys, [model.pieces[k] for k in keys])
-            self.units = jnp.asarray(da.units)
+            self.units = jnp.asarray(trie.build_paired(da.units))
             u0 = int(da.units[0])
             self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
             self.zero_scores = jnp.zeros(model.get_piece_size(), jnp.float32)

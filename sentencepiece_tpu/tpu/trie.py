@@ -38,6 +38,24 @@ def root_state(units: jnp.ndarray) -> jnp.ndarray:
     return offsets(units[0])
 
 
+def build_paired(units_np) -> "np.ndarray":
+    """Host precompute: [U, 2] uint32 rows (unit word, leaf VALUE).
+
+    The darts walk needs two lookups per step: the transition unit at
+    ``node`` and, when it has a leaf, the value stored at the
+    transitioned base. Folding the leaf value into the node's row turns
+    them into ONE row gather (a W-wide row costs ~1.4x a scalar gather
+    on TPU vs 2x for two serial gathers — scripts/probe_gather.py)."""
+    import numpy as np
+    u = np.asarray(units_np, np.uint32)
+    offs = (u >> np.uint32(10)) << ((u & np.uint32(1 << 9)) >> np.uint32(6))
+    idx = np.arange(len(u), dtype=np.uint32)
+    leaf_idx = (idx ^ offs) % np.uint32(max(len(u), 1))
+    leafv = u[leaf_idx] & np.uint32(0x7FFFFFFF)
+    has_leaf = (u & np.uint32(1 << 8)) != 0
+    return np.stack([u, np.where(has_leaf, leafv, np.uint32(0))], axis=1)
+
+
 def _gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Out-of-line gather. Two details matter for TPU speed: (1) the
     optimization barriers stop XLA from fusing the gather into surrounding
@@ -50,6 +68,40 @@ def _gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.optimization_barrier(out)
 
 
+def gather_small(table: jnp.ndarray, idx: jnp.ndarray,
+                 block: int = 512) -> jnp.ndarray:
+    """Gather from a SMALL table via one-hot compare-reduce.
+
+    XLA's native gather lowers to a per-element scalar-core loop on TPU
+    (~7 ns/element measured on v5e — scripts/probe_gather.py), so a
+    gather of a million lanes costs ~7 ms REGARDLESS of table size. For
+    small tables the one-hot form `sum_k (k == idx) * table[k]` runs as
+    a fused vector reduction at VPU rate: cost ~ lanes * K * 0.25 ns,
+    which wins for K up to several thousand (K=297: ~76x, K=1000: ~30x,
+    K=4608: ~6x). The reduce is blocked over K so the accumulator chain
+    stays short.
+
+    idx must be in-bounds (clip before calling; negative lanes yield 0).
+    Output dtype == table dtype; exact for any dtype — at most one
+    nonzero contribution per lane, so the sum never rounds.
+    """
+    K = int(table.shape[0])
+    if idx.dtype != jnp.int32:
+        idx = jnp.minimum(idx, jnp.uint32(K - 1)).astype(jnp.int32)
+    flat = idx.reshape(-1)
+    Kp = ((K + block - 1) // block) * block
+    tpad = jnp.concatenate(
+        [table, jnp.zeros((Kp - K,), table.dtype)]).reshape(-1, block)
+    ks = jnp.arange(block, dtype=jnp.int32)
+    acc = jnp.zeros((flat.shape[0],), table.dtype)
+    for b in range(Kp // block):
+        onehot = (flat[:, None] - b * block) == ks[None, :]
+        sel = jnp.where(onehot, tpad[b][None, :],
+                        jnp.zeros((), table.dtype))
+        acc = acc + jnp.sum(sel, axis=1)
+    return acc.reshape(idx.shape)
+
+
 def _scatter_set(target: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
                  values: jnp.ndarray) -> jnp.ndarray:
     """Out-of-line 2D scatter-set with optimization barriers (same XLA
@@ -59,6 +111,16 @@ def _scatter_set(target: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
     cols = jax.lax.optimization_barrier(cols)
     values = jax.lax.optimization_barrier(values)
     out = target.at[rows, cols].set(values, mode="drop")
+    return jax.lax.optimization_barrier(out)
+
+
+def _scatter_max(target: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
+                 values: jnp.ndarray) -> jnp.ndarray:
+    """Out-of-line 2D scatter-max (barriered; see _scatter_set)."""
+    rows = jax.lax.optimization_barrier(rows)
+    cols = jax.lax.optimization_barrier(cols)
+    values = jax.lax.optimization_barrier(values)
+    out = target.at[rows, cols].max(values, mode="drop")
     return jax.lax.optimization_barrier(out)
 
 
