@@ -22,14 +22,15 @@ normalization) are checked through the host path.
 Baseline anchor: the reference README's ~50k sentences/sec CPU figure
 (README.md:27) at botchan's 64 B/line = ~3.2 MB/s.
 
-Roofline framing: the unigram kernel's working set is the (B, 264, K)
-score lattice; XLA keeps it fused in VMEM, so HBM traffic is minor and
-the binding resource is the SEQUENTIAL lattice scan (one gather+max wave
-per normalized byte position) — throughput scales with batch, not HBM
-bandwidth. If the lattice spilled to HBM (~64 f32 per input byte,
-several passes), v5e's ~819 GB/s would cap the pipeline near ~3 GB/s
-input — the measured figure sits at that order, i.e. within ~1x of the
-spill-roofline and latency-bound before it.
+Roofline framing: the pipeline is bound by TABLE LOOKUPS, which XLA
+lowers to a per-element scalar loop on this TPU target (~7.2 ns per
+gathered element — scripts/probe_gather.py); HBM bandwidth and the MXU
+are >1000x away from binding. The measured figure sits within ~2x of
+the sum of the program's gather element counts times that rate; the
+remaining headroom is compare-reduce/matmul reformulations of the
+lookups (docs/design.md rule 7). Throughput is per chip and the
+pipeline is collective-free, so mesh data parallelism scales it
+linearly.
 
 Rig notes (tunneled single chip): device->host readbacks can stall
 dispatches, and the relay session occasionally WEDGES outright (socket
@@ -95,10 +96,16 @@ def _time_pipeline(loop, a, l, batch_bytes, iters=ITERS, windows=WINDOWS):
     runs (1+iters) times and once inside single fori_loop programs; the
     difference isolates pure on-device per-iteration time, cancelling
     dispatch/readback/link overhead (which on the tunneled rig is both
-    large and drifting). Best of N windows."""
+    large and drifting). Best of N windows. The window size adapts to a
+    first n=1 estimate so one program's queued runtime stays well under
+    the rig's ~60 s worker watchdog."""
     best = None
     for _ in range(windows):
         dt1, c1 = _run_to_scalar(loop, a, l, 1)
+        if best is None:
+            iters = max(2, min(iters, int(20.0 / max(dt1, 0.05))))
+            _note(f"  window size: {1 + iters} iters "
+                  f"(n=1 took {dt1:.2f}s)")
         dtn, cn = _run_to_scalar(loop, a, l, 1 + iters)
         per_iter = max(dtn - dt1, 1e-9) / iters
         best = per_iter if best is None else min(best, per_iter)
@@ -176,7 +183,7 @@ def child_main() -> None:
     for name in ("bpe", "unigram"):
         _note(f"{name}: timed windows")
         values[name] = _time_pipeline(loops[name], a, l, batch_bytes)
-        _note(f"{name}: timed done ({values[name] / 1e9:.2f} GB/s)")
+        _note(f"{name}: timed done ({values[name] / 1e6:.2f} MB/s)")
 
     # ---- correctness gates (untimed, on-device compare) ----
     results = []

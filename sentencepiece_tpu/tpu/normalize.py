@@ -15,12 +15,16 @@ normalizes a whole padded batch:
      become U+FFFD consuming ONE byte, normalizer.cc:271-291);
   3. a chunk scan (`lax.scan`) that walks each row's chunk chain carrying
      the `is_prev_space` dedup state (normalizer.cc:160-189);
-  4. vectorized byte assembly from a host-pre-escaped replacement pool
-     (spaces already rewritten to U+2581 when escape_whitespaces);
-  5. trailing-whitespace trim via log-doubling pattern matching over the
-     assembled bytes (normalizer.cc:191-201) — this reproduces the
-     reference quirk that the trim can consume literal U+2581 input chars
-     and even the dummy prefix itself;
+  4. output-centric byte assembly from a host-pre-escaped replacement
+     pool (spaces already rewritten to U+2581 when escape_whitespaces):
+     one chunk-id scatter + cummax maps every output position to its
+     chunk, then a constant number of gathers produce the bytes;
+  5. trailing-whitespace trim from chunk attributes (normalizer.cc:
+     191-201): emissions are whole escaped codepoints, so the byte-level
+     EndsWith strip decomposes into trailing fully-ws chunks plus a
+     per-rule precomputed trailing-token count — including the reference
+     quirk that the trim can consume literal U+2581 input chars and even
+     the dummy prefix itself;
   6. dummy prefix prepended before the scan (prefix mode) or appended
      after the trim (suffix mode, normalizer.cc:153,204).
 
