@@ -83,9 +83,16 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
         live = alive & byte_ok
         node = state ^ c
         safe = jnp.where(live, node, jnp.uint32(0))
-        # units is the PAIRED table (trie.build_paired): one row gather
-        # yields the transition unit AND the leaf value
-        row = trie._gather(units, safe)
+        # units is the PAIRED table (trie.build_paired): one row lookup
+        # yields the transition unit AND the leaf value; the MXU one-hot
+        # digit gather beats the serial row gather ~14x at vocab-trie
+        # sizes (trie.gather_mxu)
+        if int(units.shape[0]) <= 16384:
+            row = trie.gather_mxu(units, safe, d2=32)
+        else:
+            # big tries (charsmap, 44k units): the serial row gather
+            # measured faster in context than the MXU form
+            row = trie._gather(units, safe)
         unit = row[..., 0]
         ok = live & ((unit & label_mask) == c)
         state = jnp.where(ok, node ^ trie.offsets(unit), state)
@@ -110,10 +117,14 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     # score lookup over [B, N, D] lanes: one-hot compare-reduce beats the
     # serial-loop gather for small vocabs (~4x at V=1000; crossover near
     # V~2500 — trie.gather_small rationale)
-    if int(lat_score_table.shape[0]) <= 2048:
+    if int(lat_score_table.shape[0]) <= 512:
         sc_v = trie.gather_small(lat_score_table, vsafe)
     else:
-        sc_v = trie._gather(lat_score_table, vsafe)
+        fscore = lat_score_table.view(jnp.uint32) if (
+            lat_score_table.dtype == jnp.float32) else lat_score_table
+        sc_v = trie.gather_mxu(
+            fscore, vsafe,
+            d2=16 if fscore.shape[0] <= 8192 else 128).view(jnp.float32)
     lat_sc = jnp.where(lat_ids >= 0, sc_v, NEG_INF)
     lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
 

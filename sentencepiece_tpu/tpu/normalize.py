@@ -202,9 +202,14 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state):
         live = alive & byte_ok
         node = state ^ c
         safe = jnp.where(live, node, jnp.uint32(0))
-        # units is the PAIRED table (trie.build_paired): one row gather
-        # yields the transition unit AND the leaf value
-        row = trie._gather(units, safe)
+        # units is the PAIRED table (trie.build_paired); MXU digit
+        # gather (see encode.py walk note)
+        if int(units.shape[0]) <= 16384:
+            row = trie.gather_mxu(units, safe, d2=32)
+        else:
+            # big tries (charsmap, 44k units): the serial row gather
+            # measured faster in context than the MXU form
+            row = trie._gather(units, safe)
         unit = row[..., 0]
         ok = live & ((unit & label_mask) == c)
         state = jnp.where(ok, node ^ trie.offsets(unit), state)

@@ -102,6 +102,57 @@ def gather_small(table: jnp.ndarray, idx: jnp.ndarray,
     return acc.reshape(idx.shape)
 
 
+def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
+               d2: int = 32) -> jnp.ndarray:
+    """Exact gather via digit-decomposed one-hot matmuls on the MXU.
+
+    For tables too big for gather_small and hotter than the serial
+    ~7 ns/element loop can serve: split idx into (hi, lo) digits with
+    lo < d2; the hi digit selects table rows with a one-hot DOT (MXU:
+    [lanes, d1] @ [d1, d2*planes]), the lo digit selects within the row
+    by a masked reduce (VPU, cost ∝ d2·planes). Table values are split
+    into 8-bit planes so every product is exact in a single-pass bf16
+    dot with f32 accumulation (bf16 represents integers ≤ 255 exactly;
+    each output sums exactly one nonzero product). Measured ~2 ms per
+    million lanes at K=4608 (vs ~11 ms for the paired row gather).
+
+    table: uint32[K] or uint32[K, W]. idx: int32/uint32, in-bounds.
+    Returns table[idx] with the same leading shape as idx (+ trailing W).
+    """
+    squeeze = table.ndim == 1
+    t2 = table[:, None] if squeeze else table
+    K, W = int(t2.shape[0]), int(t2.shape[1])
+    if idx.dtype != jnp.int32:
+        idx = jnp.minimum(idx, jnp.uint32(K - 1)).astype(jnp.int32)
+    flat = idx.reshape(-1)
+    L = int(flat.shape[0])
+    d1 = (K + d2 - 1) // d2
+    planes = 4 * W
+    # [K, W] u32 -> [d1*d2, planes] byte planes -> [d1, d2*planes]
+    tb = t2.astype(jnp.uint32)
+    byte_planes = [(tb >> (8 * b)) & 0xFF for b in range(4)]
+    tp = jnp.concatenate([p.astype(jnp.bfloat16) for p in byte_planes],
+                         axis=1)                      # [K, planes]
+    tp = jnp.pad(tp, ((0, d1 * d2 - K), (0, 0)))
+    tm = tp.reshape(d1, d2 * planes)
+    hi = flat // d2
+    lo = flat % d2
+    oh = (hi[:, None] == jnp.arange(d1, dtype=jnp.int32)[None, :]
+          ).astype(jnp.bfloat16)                      # [L, d1]
+    b = jnp.dot(oh, tm, preferred_element_type=jnp.float32)
+    b = b.reshape(L, d2, planes)
+    sel = lo[:, None] == jnp.arange(d2, dtype=jnp.int32)[None, :]
+    out_p = jnp.sum(jnp.where(sel[:, :, None], b, 0.0), axis=1)  # [L, pl]
+    out_b = out_p.astype(jnp.uint32)                  # exact ints <= 255
+    words = []
+    for w in range(W):
+        v = (out_b[:, w] | (out_b[:, W + w] << 8)
+             | (out_b[:, 2 * W + w] << 16) | (out_b[:, 3 * W + w] << 24))
+        words.append(v)
+    out = jnp.stack(words, axis=-1).reshape(idx.shape + (W,))
+    return out[..., 0] if squeeze else out
+
+
 def _scatter_set(target: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
                  values: jnp.ndarray) -> jnp.ndarray:
     """Out-of-line 2D scatter-set with optimization barriers (same XLA
