@@ -26,10 +26,19 @@ import numpy as np
 from . import normalize as tpu_normalize
 from .encode import unigram_encode_batch
 
-# A/B switch for the Viterbi lattice scan implementation: XLA lax.scan
-# (default) vs the Mosaic kernel in pallas_kernels.py. Both are bit-exact;
-# the measured winner on real hardware is recorded in docs/design.md.
-USE_PALLAS_SCAN = os.environ.get("SPM_TPU_PALLAS_SCAN", "") == "1"
+# Viterbi lattice scan implementation: the Mosaic kernel
+# (pallas_kernels.viterbi_bp_pallas) measured 10% faster than the XLA
+# lax.scan on chip (121 vs 135 ms/batch, docs/design.md "The Pallas
+# question") and is the default on TPU; CPU runs the XLA scan (the
+# Pallas interpreter is test-only). SPM_TPU_PALLAS_SCAN=1/0 overrides.
+
+
+def _use_pallas_scan() -> bool:
+    env = os.environ.get("SPM_TPU_PALLAS_SCAN", "")
+    if env in ("0", "1"):
+        return env == "1"
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
 
 # Persistent compilation cache: these programs are large (multi-minute XLA
 # compiles on TPU); caching makes every process after the first fast.
@@ -196,7 +205,7 @@ class TpuTokenizer:
                 root_state=enc.root_state,
                 add_bos=enc.add_bos, add_eos=enc.add_eos,
                 reverse=enc.reverse, bos_id=enc.bos_id, eos_id=enc.eos_id,
-                pad_id=enc.pad_id, use_pallas=USE_PALLAS_SCAN)
+                pad_id=enc.pad_id, use_pallas=_use_pallas_scan())
             return ids, n_ids, overflow
 
         return core_unigram, tables
