@@ -527,26 +527,29 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
         return pair_lookup(jnp.where(alive, sym, -1), r_sym)
 
     # scores are computed ONCE per round and carried through the loop
-    # state (the old cond/body pair each recomputed the full lookup,
-    # doubling the per-round cost).
-    def cond(state):
-        _, _, _, _, it, psc, _ = state
-        return (it < max_merges) & jnp.any(psc > NEG_INF / 2)
-
+    # state (recomputing them in both cond and body doubled the
+    # per-round cost).
     def body(state):
-        sym, nxt, prv, alive, it, psc, pnew = state
-        best = jnp.max(psc, axis=1)                       # [B]
+        sym, nxt, alive, it, psc, pnew = state
+        Bb = sym.shape[0]           # phase batches shrink (see below)
+        rws = jnp.arange(Bb)
+        best = jnp.max(psc, axis=1)                       # [Bb]
         row_on = best > NEG_INF / 2
         sel = row_on[:, None] & (psc == best[:, None])
-        # overlap chains: candidate p whose predecessor candidate merges
-        # into p's left symbol. prev list element of p is prv[p]; the pair
-        # AT prv[p] overlaps p's pair. Keep alternate chain members,
-        # leftmost first: rank parity via segmented cumsum in position
-        # order (list order == position order).
-        pvsafe = jnp.clip(prv, 0, L - 1)
-        prev_sel = jnp.where(prv >= 0, trie._taa(sel.astype(jnp.int32),
-                                                 pvsafe), 0) > 0
-        chain_cont = sel & prev_sel
+        r_idx = jnp.clip(nxt, 0, L - 1)
+        # overlap chains: candidate p that is itself the RIGHT half of a
+        # selected pair (some selected q has nxt[q] == p). Marking those
+        # right-halves with one scatter replaces the prev-pointer lookup
+        # — and with it the whole prv array and its maintenance scatter.
+        # Keep alternate chain members, leftmost first: rank parity via
+        # segmented cumsum in position order (list order == position
+        # order).
+        mark = jnp.zeros((Bb, L), jnp.bool_)
+        mark = trie._scatter_set(
+            mark, jnp.broadcast_to(rws[:, None], (Bb, L)),
+            jnp.where(sel, r_idx, L),
+            jnp.broadcast_to(jnp.bool_(True), (Bb, L)))
+        chain_cont = sel & mark
         # segment ranks: rank[p] = #consecutive chain predecessors
         csel = jnp.cumsum(sel, axis=1)
         seg_start = sel & ~chain_cont
@@ -555,32 +558,68 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
         rank = jnp.where(sel, csel - seg_base, 0)
         keep = sel & (rank % 2 == 0)
 
-        r_idx = jnp.clip(nxt, 0, L - 1)
         # right halves being absorbed
-        absorbed = jnp.zeros((B, L), jnp.bool_)
+        absorbed = jnp.zeros((Bb, L), jnp.bool_)
         absorbed = trie._scatter_set(
-            absorbed, jnp.broadcast_to(rows[:, None], (B, L)),
+            absorbed, jnp.broadcast_to(rws[:, None], (Bb, L)),
             jnp.where(keep, r_idx, L),
-            jnp.broadcast_to(jnp.bool_(True), (B, L)))
+            jnp.broadcast_to(jnp.bool_(True), (Bb, L)))
         nxt_of_r = trie._taa(nxt, r_idx)
         new_sym = jnp.where(keep, pnew, sym)
         new_sym = jnp.where(absorbed, -1, new_sym)
         new_nxt = jnp.where(keep, nxt_of_r, nxt)
         new_alive = alive & ~absorbed
-        # prv of the element AFTER the absorbed right half -> p
-        after = jnp.clip(nxt_of_r, 0, L - 1)
-        new_prv = trie._scatter_set(
-            prv, jnp.broadcast_to(rows[:, None], (B, L)),
-            jnp.where(keep & (nxt_of_r < L), after, L),
-            jnp.broadcast_to(pos, (B, L)))
         npsc, npnew = scores_of(new_sym, new_nxt, new_alive)
-        return (new_sym, new_nxt, new_prv, new_alive, it + 1, npsc,
-                npnew)
+        return (new_sym, new_nxt, new_alive, it + 1, npsc, npnew)
+
+    # -- phase decimation ----------------------------------------------------
+    # A round costs O(rows x L) but row merge depths are skewed (botchan:
+    # mean ~14 rounds, max ~40+): the full batch would pay max-depth
+    # rounds at full width. Run a few rounds on everything, then compact
+    # the unfinished rows into a 4x (then 16x) smaller batch and keep
+    # going there. The capacity guards in the conds keep it exact: a
+    # phase only exits early when the unfinished rows FIT the next
+    # phase's batch, otherwise it keeps iterating at current width.
+    def phase_loop(state, cap_rows):
+        def cond(s):
+            _, _, _, it, psc, _ = s
+            row_unf = jnp.any(psc > NEG_INF / 2, axis=1)
+            pairs = jnp.any(row_unf)
+            n_unf = jnp.sum(row_unf, dtype=jnp.int32)
+            return pairs & (it < max_merges) & (n_unf > cap_rows)
+        return jax.lax.while_loop(cond, body, state)
+
+    def compact(state, nrows):
+        sym, nxt, alive, it, psc, pnew = state
+        unf = jnp.any(psc > NEG_INF / 2, axis=1)
+        idx = jnp.argsort(jnp.where(unf, 0, 1), stable=True)[:nrows]
+        sub = (sym[idx], nxt[idx], alive[idx], it, psc[idx], pnew[idx])
+        return idx, sub
 
     psc0, pnew0 = scores_of(sym0, nxt0, alive0)
-    sym, nxt, prv, alive, _, _, _ = jax.lax.while_loop(
-        cond, body,
-        (sym0, nxt0, prv0, alive0, jnp.int32(0), psc0, pnew0))
+    state = (sym0, nxt0, alive0, jnp.int32(0), psc0, pnew0)
+    # capacity ladder: each phase iterates only until the unfinished
+    # rows fit a half-size batch, then compacts into it — total round
+    # cost approximates the area under the rows' merge-depth survival
+    # curve instead of (max depth) x (full batch).
+    caps = []
+    cap = B // 2
+    while cap >= 64:
+        caps.append(cap)
+        cap //= 2
+    sym, alive = state[0], state[2]
+    scatters = []     # (idx, level_sym, level_alive) chain, innermost last
+    for capr in caps:
+        state = phase_loop(state, capr)
+        scatters.append((state[0], state[2]))
+        idx, state = compact(state, capr)
+        scatters[-1] = (idx, scatters[-1][0], scatters[-1][1])
+    state = phase_loop(state, 0)
+    f_sym, f_alive = state[0], state[2]
+    for idx, lv_sym, lv_alive in reversed(scatters):
+        f_sym = lv_sym.at[idx].set(f_sym)
+        f_alive = lv_alive.at[idx].set(f_alive)
+    sym, alive = f_sym, f_alive
 
     out_id = jnp.where(alive & (sym >= 0),
                        trie._gather(sym_to_id, jnp.maximum(sym, 0)), -1)
