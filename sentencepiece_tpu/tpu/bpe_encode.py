@@ -187,7 +187,6 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     rows = jnp.arange(B)
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
-    n_pairs = max(len(pair_keys), 1)
 
     sym = trie._gather(cp_to_sym,
                        jnp.clip(cps, 0, 0x10FFFF))
@@ -507,12 +506,10 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
     rows = jnp.arange(B)
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
-    n_pairs = max(len(pair_keys), 1)
 
     sym0 = trie._gather(cp_to_sym, jnp.clip(cps, 0, 0x10FFFF))
     sym0 = jnp.where(in_range, sym0, -1)
     nxt0 = jnp.broadcast_to(pos + 1, (B, L)).astype(jnp.int32)
-    prv0 = jnp.broadcast_to(pos - 1, (B, L)).astype(jnp.int32)
     alive0 = in_range
 
     def pair_lookup(l_sym, r_sym):

@@ -235,7 +235,6 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     """Normalize padded rows of raw bytes. Returns (out uint8[B, n_out],
     out_len int32[B])."""
     B, N = batch.shape
-    pos_row = jnp.arange(N, dtype=jnp.int32)[None, :]
 
     mlen, mval = _charsmap_longest(units, batch, lengths,
                                    max_rule_len=max_rule_len,

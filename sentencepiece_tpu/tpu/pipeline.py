@@ -235,7 +235,7 @@ class TpuTokenizer:
         def loop(batch, lengths, n, *tabs):
             def body(_, carry):
                 b = batch.at[-1, 0].set(batch[-1, 0] ^ (carry & 1))
-                ids, n_ids, overflow = core(b, lengths, *tabs)
+                _, n_ids, overflow = core(b, lengths, *tabs)
                 mix = jnp.sum(n_ids, dtype=jnp.int32) + jnp.sum(
                     overflow, dtype=jnp.int32)
                 return (mix & 0xFF).astype(jnp.uint8) ^ carry
