@@ -147,6 +147,12 @@ class TpuTokenizer:
                 escape_whitespaces=t.escape_whitespaces, suffix=t.suffix)
             overflow = norm_len > w_enc
             enc_len = jnp.minimum(norm_len, w_enc)
+            # fusion fence: when both stages compile as ONE program, XLA
+            # fuses normalizer output computation into the encoder's
+            # walk, re-serializing gathers (measured +114 ms on the full
+            # pipeline vs the sum of the stages)
+            norm_out, enc_len = jax.lax.optimization_barrier(
+                (norm_out, enc_len))
             return norm_out, enc_len, overflow
 
         if self._bpe is not None:

@@ -98,3 +98,26 @@ def test_parallel_merge_kernel_matches_sequential(fixtures_dir):
     a1, n1, a2, n2 = map(np.asarray, (a1, n1, a2, n2))
     for j in range(len(texts)):
         assert a1[j, :n1[j]].tolist() == a2[j, :n2[j]].tolist()
+
+
+def test_parallel_merge_capacity_guard_uniform_depth():
+    """Capacity-ladder decimation: when EVERY row needs many merge
+    rounds, no phase may exit before the unfinished rows fit the next
+    level — a uniform batch exercises the guard path and must stay
+    byte-identical to the host encoder."""
+    import os
+
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        os.path.join(os.path.dirname(__file__),
+                     "fixtures/bpe_en_300.model"))
+    tok = TpuTokenizer(sp)
+    # identical deep-merge content in every row (ladder can never shed
+    # rows early), plus a couple of short rows
+    deep = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [deep] * 120 + ["a", "ab intra"] * 4
+    got = tok.encode(texts)
+    want = [sp.encode_as_ids(t) for t in texts]
+    assert got == want
