@@ -324,8 +324,12 @@ class TrainerInterface:
         nextnw[:n] = np.minimum.accumulate(rev)[::-1]
 
         def psum(x):
+            # corpus-sized prefix sums: numpy's cumsum runs a scalar
+            # loop (~9x slower than torch's on this host)
+            import torch
             out = np.zeros(n + 1, np.int64)
-            np.cumsum(x, out=out[1:])
+            out[1:] = torch.cumsum(torch.from_numpy(np.ascontiguousarray(x)),
+                                   0, dtype=torch.int64).numpy()
             return out
 
         Bbad, Bws, Bpair = psum(bad), psum(ws), psum(pairbad)
@@ -447,21 +451,40 @@ class TrainerInterface:
                                         num_threads=ts.num_threads)
         if batch is not None:
             out, off = batch
-            blob = out.tobytes()
+            # the native output buffer is over-allocated; valid bytes
+            # end at off[-1]
+            blob = out.tobytes()[:int(off[len(self.sentences)])]
             rep = UPP_BOUNDARY_STR.encode()
-            # meta surfaces almost never occur in a corpus: when none does
-            # (and NUL is free as a separator), one join+decode+split does
-            # the whole corpus at C speed — global_replace is the identity
-            # on every line then, so this is byte-identical to the loop.
-            if (b"\x00" not in blob
-                    and not any(m.encode("utf-8") in blob
-                                for m in meta_set if m)):
-                parts = b"\x00".join(
-                    blob[off[i]:off[i + 1]]
-                    for i in range(len(self.sentences))).decode(
-                        "utf-8", errors="surrogateescape").split("\x00")
-                sents = [(p, freq)
-                         for p, (_t, freq) in zip(parts, self.sentences)]
+            # meta surfaces almost never occur in a corpus: when none
+            # does, global_replace is the identity on every line, so the
+            # whole corpus can decode in ONE call and split by
+            # byte->char offset arithmetic (valid UTF-8 has exactly one
+            # char per non-continuation byte) — byte-identical to the
+            # per-line loop at C speed. Malformed bytes (strict decode
+            # fails) or present meta surfaces fall back to the loop.
+            whole: Optional[str] = None
+            if not any(m.encode("utf-8") in blob for m in meta_set if m):
+                try:
+                    whole = blob.decode("utf-8")
+                except UnicodeDecodeError:
+                    whole = None
+            if whole is not None:
+                offs = np.asarray(off, np.int64)[:len(self.sentences) + 1]
+                barr = np.frombuffer(blob, np.uint8)
+                mask = (barr & 0xC0) != 0x80
+                # per-line char count via reduceat (cumsum over the full
+                # byte array is ~13x slower on this host); empty
+                # segments need zeroing (reduceat yields m[offs[i]])
+                if len(offs) > 1:
+                    seg = np.add.reduceat(
+                        mask, np.minimum(offs[:-1], len(barr) - 1))
+                    seg = np.where(offs[1:] > offs[:-1], seg, 0)
+                else:
+                    seg = np.zeros(0, np.int64)
+                coff = np.zeros(len(offs), np.int64)
+                np.cumsum(seg, out=coff[1:])
+                sents = [(whole[coff[i]:coff[i + 1]], freq)
+                         for i, (_t, freq) in enumerate(self.sentences)]
             else:
                 sents = [(matcher.global_replace(
                               blob[off[i]:off[i + 1]], rep).decode(
@@ -584,6 +607,28 @@ class TrainerInterface:
         suffix = bool(self.trainer_spec.treat_whitespace_as_suffix)
         tokens: Dict[str, int] = {}
         get = tokens.get
+        # text corpora are all freq==1: count raw split parts with one
+        # C-speed Counter and re-attach the marker on the ~unique keys
+        # only, instead of a per-word dict update (same multiset of
+        # words -> identical counts; sorted_freq_desc re-sorts, so
+        # accumulation order is immaterial)
+        if not suffix and all(f == 1 for _, f in self.sentences):
+            from collections import Counter
+            rests: List[str] = []
+            firsts: List[str] = []
+            for s, _ in self.sentences:
+                parts = s.split(WS)
+                if parts[0]:
+                    firsts.append(parts[0])
+                rests.extend(parts[1:])
+            tokens = {}
+            for k, v in Counter(rests).items():
+                tokens[WS + k] = v
+            for k, v in Counter(firsts).items():
+                tokens[k] = tokens.get(k, 0) + v
+            self.sentences = sorted_freq_desc(tokens.items())
+            log.info("Tokenized into %d words", len(self.sentences))
+            return
         for s, freq in self.sentences:
             parts = s.split(WS)
             if suffix:
