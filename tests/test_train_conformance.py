@@ -164,3 +164,39 @@ def test_unigram_checkpoint_resume(tmp_path):
                  checkpoint_path=ckpt)
     assert (tmp_path / "resumed.vocab").read_bytes() == \
         (tmp_path / "full.vocab").read_bytes()
+
+
+def test_load_sentences_fast_path_edges(tmp_path):
+    """The corpus-load fast paths (whole-blob decode + char-offset
+    slicing; Counter word counting) must fall back byte-exactly when
+    their guards trip: meta surfaces present in the corpus, NUL bytes,
+    and malformed UTF-8 (strict decode fails)."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from sentencepiece_tpu import SentencePieceTrainer
+
+    corpus = tmp_path / "c.txt"
+    lines = [
+        "Hello world this is a line",
+        "a corpus line with <s> meta surface and </s> too",
+        "NUL\x00inside",
+        "latin text encore une fois",
+        "mixed 日本語 and ascii",
+    ] * 40
+    corpus.write_bytes(
+        "\n".join(lines).encode("utf-8") + b"\nbad\xffutf8\n")
+    flags = (f"--input={corpus} --vocab_size=120 --model_type=unigram "
+             f"--character_coverage=0.995 --hard_vocab_limit=false")
+    SentencePieceTrainer.Train(flags + f" --model_prefix={tmp_path}/ours")
+    ref = "/tmp/refbuild2/src/spm_train"
+    if not os.path.exists(ref):
+        pytest.skip("reference binary not built")
+    subprocess.run(
+        [ref] + [a for a in flags.split() if a]
+        + [f"--model_prefix={tmp_path}/ref"],
+        check=True, capture_output=True)
+    assert (tmp_path / "ours.vocab").read_bytes() == \
+        (tmp_path / "ref.vocab").read_bytes()
