@@ -1450,18 +1450,21 @@ extern "C" int64_t spm_bpe_encode_ids_batch(
 extern "C" int64_t spm_esa_nodes(const int32_t* arr, const int32_t* sa,
                                  int64_t n, int32_t* out_lrd, int64_t cap) {
   if (n == 0) return 0;
-  std::vector<int64_t> psi(n);
+  // int32 working set: n < 2^31 (callers pass codepoint counts), and
+  // psi/plcp/H are the memory-bound part of this function — half-width
+  // elements halve the random-access traffic over ~25M-entry arrays.
+  std::vector<int32_t> psi(n);
   psi[sa[0]] = sa[n - 1];
   for (int64_t k = 1; k < n; ++k) psi[sa[k]] = sa[k - 1];
-  std::vector<int64_t> plcp(n);
+  std::vector<int32_t> plcp(n);
   int64_t h = 0;
   for (int64_t i = 0; i < n; ++i) {
     const int64_t j = psi[i];
     while (i + h < n && j + h < n && arr[i + h] == arr[j + h]) ++h;
-    plcp[i] = h;
+    plcp[i] = static_cast<int32_t>(h);
     if (h > 0) --h;
   }
-  std::vector<int64_t> H(n);
+  std::vector<int32_t> H(n);
   for (int64_t i = 0; i < n; ++i) H[i] = plcp[sa[i]];
   H[0] = -1;
   int64_t m = 0;
