@@ -357,8 +357,11 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     src_o = pk_o >> 11
     j_o = ocols - off_o
 
-    pool_b = trie._gather(esc_pool, jnp.clip(src_o + j_o, 0,
-                                             len(esc_pool) - 1))
+    # byte pool lookup: MXU digit gather with single-plane values
+    pool_b = trie.gather_mxu(
+        esc_pool.astype(jnp.uint32),
+        jnp.clip(src_o + j_o, 0, len(esc_pool) - 1),
+        d2=256, value_bits=8).astype(jnp.uint8)
     R = max(max_rep_len, 4)
     batch_pad = jnp.concatenate([batch, jnp.zeros((B, R), jnp.uint8)],
                                 axis=1)

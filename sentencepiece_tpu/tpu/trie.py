@@ -103,7 +103,7 @@ def gather_small(table: jnp.ndarray, idx: jnp.ndarray,
 
 
 def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
-               d2: int = 32) -> jnp.ndarray:
+               d2: int = 32, value_bits: int = 32) -> jnp.ndarray:
     """Exact gather via digit-decomposed one-hot matmuls on the MXU.
 
     For tables too big for gather_small and hotter than the serial
@@ -127,10 +127,14 @@ def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
     flat = idx.reshape(-1)
     L = int(flat.shape[0])
     d1 = (K + d2 - 1) // d2
-    planes = 4 * W
+    # value_bits: when the caller knows values fit fewer bits (e.g. a
+    # byte pool), skip the all-zero upper planes — dot and combine cost
+    # scale with plane count
+    nbytes = max(1, (value_bits + 7) // 8)
+    planes = nbytes * W
     # [K, W] u32 -> [d1*d2, planes] byte planes -> [d1, d2*planes]
     tb = t2.astype(jnp.uint32)
-    byte_planes = [(tb >> (8 * b)) & 0xFF for b in range(4)]
+    byte_planes = [(tb >> (8 * b)) & 0xFF for b in range(nbytes)]
     tp = jnp.concatenate([p.astype(jnp.bfloat16) for p in byte_planes],
                          axis=1)                      # [K, planes]
     tp = jnp.pad(tp, ((0, d1 * d2 - K), (0, 0)))
@@ -146,8 +150,9 @@ def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
     out_b = out_p.astype(jnp.uint32)                  # exact ints <= 255
     words = []
     for w in range(W):
-        v = (out_b[:, w] | (out_b[:, W + w] << 8)
-             | (out_b[:, 2 * W + w] << 16) | (out_b[:, 3 * W + w] << 24))
+        v = out_b[:, w]
+        for by in range(1, nbytes):
+            v = v | (out_b[:, by * W + w] << (8 * by))
         words.append(v)
     out = jnp.stack(words, axis=-1).reshape(idx.shape + (W,))
     return out[..., 0] if squeeze else out
