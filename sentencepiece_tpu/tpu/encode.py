@@ -225,23 +225,26 @@ def unigram_encode_batch(units: jnp.ndarray,
     rev_mask = rev_mask.T
     T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
 
-    # reverse-compact
+    # reverse-compact + adjacent-UNK merge (sentencepiece_processor.cc:
+    # 506-521) fused into ONE scatter from the reverse-order tokens:
+    # forward position i corresponds to reverse index j = T-1-i, whose
+    # forward predecessor is rev j+1 — so the merge predicate and the
+    # post-merge output index are computable directly in reverse order
+    # (suffix count of kept tokens), skipping the take_along compaction.
     t = jnp.arange(N, dtype=jnp.int32)[None, :]
-    src = jnp.clip(T[:, None] - 1 - t, 0, N - 1)
-    ids = jnp.take_along_axis(rev_ids, src, axis=1)
-    ids = jnp.where(t < T[:, None], ids, -1)
-
-    # adjacent-UNK merge (sentencepiece_processor.cc:506-521)
-    prev = jnp.concatenate([jnp.full((B, 1), -1, ids.dtype), ids[:, :-1]],
-                           axis=1)
-    keep = (t < T[:, None]) & ~((ids == unk_id) & (prev == unk_id))
-    newidx = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
+    nxt_rev = jnp.concatenate(
+        [rev_ids[:, 1:], jnp.full((B, 1), -1, rev_ids.dtype)], axis=1)
+    in_tok = t < T[:, None]
+    nxt_in = (t + 1) < T[:, None]
+    keep = in_tok & ~((rev_ids == unk_id) & nxt_in & (nxt_rev == unk_id))
+    rc_incl = jnp.flip(jnp.cumsum(jnp.flip(keep, axis=1), axis=1,
+                                  dtype=jnp.int32), axis=1)
+    newT = rc_incl[:, 0]
     out = jnp.full((B, N + 2), pad_id, jnp.int32)
-    scat_col = jnp.where(keep, newidx, N + 1)
+    scat_col = jnp.where(keep, rc_incl - 1, N + 1)
     out = out.at[rows[:, None], scat_col].set(
-        jnp.where(keep, ids, pad_id), mode="drop")
+        jnp.where(keep, rev_ids, pad_id), mode="drop")
     out = out.at[:, N + 1].set(pad_id)
-    newT = jnp.sum(keep, axis=1, dtype=jnp.int32)
 
     # -- extra options: reverse / bos / eos (ApplyExtraOptions order) ---------
     M = N + 2
