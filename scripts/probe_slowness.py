@@ -96,7 +96,7 @@ def main():
     if stage == "normalize":
         from sentencepiece_tpu.tpu import normalize as tn
         t = tok.norm
-        w_enc = 2 * 128 + 8
+        w_enc = TpuTokenizer.enc_width(128)
 
         @jax.jit
         def nloop(batch, lengths, n, *tabs):

@@ -72,12 +72,14 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     # refactored step function can serialize the gathers (500x) and blow up
     # compile time. root_state is a static Python int (host-precomputed).
     batch_pad = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
-    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
-    alive = is_start
-    id_lanes = []
     label_mask = jnp.uint32((1 << 31) | 0xFF)
     has_leaf_bit = jnp.uint32(1 << 8)
-    for d in range(D):
+    # depth-0 step peeled: only 256 reachable table positions from the
+    # root, so a 256-row one-hot replaces the full-table gather
+    state, alive, val0 = trie.step_root(units, batch, is_start,
+                                        root_state=root_state)
+    id_lanes = [val0]
+    for d in range(1, D):
         c = batch_pad[:, d:N + d].astype(jnp.uint32)
         byte_ok = (pos + d) < lengths[:, None]
         live = alive & byte_ok
@@ -188,7 +190,10 @@ def unigram_encode_batch(units: jnp.ndarray,
         # Mosaic lattice-scan kernel (A/B alternative; same recurrence +
         # longest-piece tie-break — see pallas_kernels.viterbi_bp_pallas).
         from .pallas_kernels import viterbi_bp_pallas
-        _, bp_wb = viterbi_bp_pallas(sc_end[:, 1:, :])   # [B, N+1]
+        # dynamic position bound: padded width N is sized for worst-case
+        # normalization expansion; real batches stop at max(lengths)
+        _, bp_wb = viterbi_bp_pallas(sc_end[:, 1:, :],
+                                     max_p=jnp.max(lengths))  # [B, N+1]
         bp = bp_wb.T                                      # [N+1, B]
     else:
         def vit_step(win, sc_p):
@@ -210,19 +215,32 @@ def unigram_encode_batch(units: jnp.ndarray,
                              axis=0)  # [N+1, B]
 
     # -- backtrace -------------------------------------------------------------
+    # Early-exit while_loop, not a length-N scan: the loop runs only
+    # max-tokens-over-batch iterations (botchan at width 128: 67 vs 264
+    # — a 4x cut in the serial tail). Each row's (token, active) pair is
+    # packed into one int32 buffer row so the body does exactly two [B]
+    # gathers and one contiguous row write per step.
     rows = jnp.arange(B)
 
-    def bt_step(p, _):
+    def bt_cond(state):
+        i, p, _ = state
+        return (i < N) & jnp.any(p > 0)
+
+    def bt_body(state):
+        i, p, buf = state
         active = p > 0
         psafe = jnp.maximum(p, 0)
         k = jnp.maximum(bp[psafe, rows], 1)
         tok = id_end[rows, psafe, jnp.clip(k - 1, 0, D - 1)]
-        new_p = jnp.where(active, p - k, p)
-        return new_p, (jnp.where(active, tok, -1), active)
+        row = jnp.where(active, tok * 2 + 1, 0)  # bit0 = active
+        buf = jax.lax.dynamic_update_slice(buf, row[None, :], (i, 0))
+        return i + 1, jnp.where(active, p - k, p), buf
 
-    _, (rev_ids, rev_mask) = jax.lax.scan(bt_step, lengths, None, length=N)
-    rev_ids = rev_ids.T     # [B, N] tokens, reverse order
-    rev_mask = rev_mask.T
+    buf0 = jnp.zeros((N, B), jnp.int32)
+    _, _, buf = jax.lax.while_loop(
+        bt_cond, bt_body, (jnp.int32(0), lengths, buf0))
+    rev_mask = (buf & 1).astype(jnp.bool_).T   # [B, N]
+    rev_ids = jnp.where(rev_mask, buf.T >> 1, -1)
     T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
 
     # reverse-compact + adjacent-UNK merge (sentencepiece_processor.cc:
@@ -590,21 +608,22 @@ def unigram_sample_batch(units: jnp.ndarray,
     rev_mask = rev_mask.T
     T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
 
+    # fused reverse-compact + adjacent-UNK merge (same one-scatter form
+    # as unigram_encode_batch — see the note there)
     t = jnp.arange(N, dtype=jnp.int32)[None, :]
-    src = jnp.clip(T[:, None] - 1 - t, 0, N - 1)
-    ids = jnp.take_along_axis(rev_ids, src, axis=1)
-    ids = jnp.where(t < T[:, None], ids, -1)
-
-    prev = jnp.concatenate([jnp.full((B, 1), -1, ids.dtype), ids[:, :-1]],
-                           axis=1)
-    keep = (t < T[:, None]) & ~((ids == unk_id) & (prev == unk_id))
-    newidx = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
+    nxt_rev = jnp.concatenate(
+        [rev_ids[:, 1:], jnp.full((B, 1), -1, rev_ids.dtype)], axis=1)
+    in_tok = t < T[:, None]
+    nxt_in = (t + 1) < T[:, None]
+    keep = in_tok & ~((rev_ids == unk_id) & nxt_in & (nxt_rev == unk_id))
+    rc_incl = jnp.flip(jnp.cumsum(jnp.flip(keep, axis=1), axis=1,
+                                  dtype=jnp.int32), axis=1)
+    newT = rc_incl[:, 0]
     out = jnp.full((B, N + 2), pad_id, jnp.int32)
-    scat_col = jnp.where(keep, newidx, N + 1)
+    scat_col = jnp.where(keep, rc_incl - 1, N + 1)
     out = out.at[rows[:, None], scat_col].set(
-        jnp.where(keep, ids, pad_id), mode="drop")
+        jnp.where(keep, rev_ids, pad_id), mode="drop")
     out = out.at[:, N + 1].set(pad_id)
-    newT = jnp.sum(keep, axis=1, dtype=jnp.int32)
 
     M = N + 2
     tt = jnp.arange(M, dtype=jnp.int32)[None, :]

@@ -182,7 +182,15 @@ def _utf8_class(batch: jnp.ndarray, lengths: jnp.ndarray
 
 
 def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state):
-    """Longest charsmap match per byte position: (mlen, mval) int32[B,N]."""
+    """Longest charsmap match per byte position: (mlen, mval) int32[B,N].
+
+    The walk is an early-exit ``while_loop`` over depth, not a fixed
+    max_rule_len-step loop: a lane stays alive only while the trie has a
+    longer rule continuing through its bytes, and real text kills every
+    lane within a few steps (nmt_nfkc max_rule_len is 10, but measured
+    alive-depth on botchan is 2 — ASCII only prefixes composition rules
+    — and 5 on wagahai). Each skipped step saves a full-lane gather over
+    the 44k-unit table, the normalizer's dominant cost."""
     B, N = batch.shape
     if max_rule_len == 0:
         return (jnp.zeros((B, N), jnp.int32),
@@ -190,25 +198,36 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state):
     D = max_rule_len
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     bp = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
-    state = jnp.full((B, N), np.uint32(root_state), jnp.uint32)
-    alive = pos < lengths[:, None]
-    mlen = jnp.zeros((B, N), jnp.int32)
-    mval = jnp.full((B, N), -1, jnp.int32)
     label_mask = jnp.uint32((1 << 31) | 0xFF)
     leaf_bit = jnp.uint32(1 << 8)
-    for d in range(D):
-        c = bp[:, d:N + d].astype(jnp.uint32)
-        byte_ok = (pos + d) < lengths[:, None]
-        live = alive & byte_ok
+    use_mxu = int(units.shape[0]) <= 16384
+
+    # -- depth-0 step, peeled: the root can only transition through 256
+    # positions (root_state ^ byte), so the first full-table gather
+    # collapses to a one-hot lookup over a 256-row slice (trie.step_root)
+    state, alive, val0 = trie.step_root(
+        units, batch, pos < lengths[:, None], root_state=root_state)
+    mlen = jnp.where(val0 >= 0, 1, 0)
+    mval = val0
+
+    def w_cond(s):
+        d, _, alive, _, _ = s
+        return (d < D) & jnp.any(alive)
+
+    def w_body(s):
+        d, state, alive, mlen, mval = s
+        c = jax.lax.dynamic_slice_in_dim(bp, d, N, axis=1).astype(
+            jnp.uint32)
+        live = alive & ((pos + d) < lengths[:, None])
         node = state ^ c
         safe = jnp.where(live, node, jnp.uint32(0))
         # units is the PAIRED table (trie.build_paired); MXU digit
-        # gather (see encode.py walk note)
-        if int(units.shape[0]) <= 16384:
+        # gather for small tries (see encode.py walk note), serial row
+        # gather for big ones (charsmap, 44k units — MXU form measured
+        # slower there)
+        if use_mxu:
             row = trie.gather_mxu(units, safe, d2=32)
         else:
-            # big tries (charsmap, 44k units): the serial row gather
-            # measured faster in context than the MXU form
             row = trie._gather(units, safe)
         unit = row[..., 0]
         ok = live & ((unit & label_mask) == c)
@@ -216,7 +235,10 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state):
         has_leaf = ok & ((unit & leaf_bit) != 0)
         mlen = jnp.where(has_leaf, d + 1, mlen)
         mval = jnp.where(has_leaf, row[..., 1].astype(jnp.int32), mval)
-        alive = ok
+        return d + 1, state, ok, mlen, mval
+
+    _, _, _, mlen, mval = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(1), state, alive, mlen, mval))
     return mlen, mval
 
 
@@ -243,85 +265,142 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
 
     # per-position chunk tables
     matched = mlen > 0
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
     cons = jnp.where(matched, mlen,
                      jnp.where(valid_utf8, char_len, 1)).astype(jnp.int32)
-    vsafe = jnp.maximum(mval, 0)
     is_sp_byte = batch == 0x20
     KIND_POOL, KIND_RAW, KIND_FFFD, KIND_WS = 0, 1, 2, 3
-    kind = jnp.where(
-        matched, KIND_POOL,
-        jnp.where(valid_utf8 & is_sp_byte, KIND_WS,
-                  jnp.where(valid_utf8, KIND_RAW, KIND_FFFD)))
     wsl = ws_len if escape_whitespaces else 1
-    # all six per-value attributes in ONE row gather (a W-wide row costs
-    # ~1.4x a scalar gather; five separate serial gathers cost 5x)
-    attr = trie._gather(v_attr, vsafe)   # [B, N, 6]
-    a_esc_off, a_esc_len = attr[..., 0], attr[..., 1]
-    a_lead, a_all, a_ends, a_trail = (attr[..., 2], attr[..., 3],
-                                      attr[..., 4], attr[..., 5])
-    # emission length (escaped), before leading-space strip
-    emit0 = jnp.where(
-        matched, a_esc_len,
-        jnp.where(valid_utf8,
-                  jnp.where(is_sp_byte, wsl, char_len), 3))
-    lead_sp = jnp.where(matched, a_lead,
-                        jnp.where(valid_utf8 & is_sp_byte, 1, 0))
-    all_sp = jnp.where(matched, a_all > 0, valid_utf8 & is_sp_byte)
-    ends_sp = jnp.where(matched, a_ends > 0, valid_utf8 & is_sp_byte)
-    esc_off = jnp.where(matched, a_esc_off, 0)
-    # trailing ws-token run of each position's emission (for the trim):
-    # POOL = host-precomputed on the escaped replacement; WS = 1 token;
-    # RAW = the char U+2581 itself when escaping (its bytes ARE the ws
-    # token); FFFD never matches the token.
+    # trailing ws-token run of a RAW emission: the char U+2581 itself
+    # when escaping (its bytes ARE the ws token)
     if escape_whitespaces:
         bp1 = jnp.concatenate([batch, jnp.zeros((B, 2), jnp.uint8)], axis=1)
         raw_is_ws = ((batch == 0xE2) & (bp1[:, 1:N + 1] == 0x96)
                      & (bp1[:, 2:N + 2] == 0x81) & (char_len == 3))
     else:
         raw_is_ws = jnp.zeros((B, N), bool)
-    trail0 = jnp.where(
-        matched, a_trail,
-        jnp.where(valid_utf8 & is_sp_byte, 1,
-                  jnp.where(valid_utf8 & raw_is_ws, 1, 0))).astype(
-                      jnp.int32)
 
-    # -- chunk scan: walk the chain, carrying is_prev_space ------------------
     rows = jnp.arange(B)
 
-    def chunk_step(carry, _):
-        p, prev_sp = carry
-        active = p < lengths
-        psafe = jnp.minimum(p, N - 1)
-        k = jnp.where(active & prev_sp, lead_sp[rows, psafe], 0)
-        c_kind = kind[rows, psafe]
-        c_emit0 = emit0[rows, psafe]
-        c_emit = jnp.maximum(c_emit0 - k * wsl, 0)
-        c_src = jnp.where(c_kind == KIND_POOL,
-                          esc_off[rows, psafe] + k * wsl,
-                          psafe)  # raw/fffd read from input / const
-        c_sp = all_sp[rows, psafe]
-        c_ends = ends_sp[rows, psafe]
-        c_trail = jnp.minimum(trail0[rows, psafe], c_emit // wsl)
-        if remove_extra_whitespaces:
-            # deletion rules (empty replacement) leave is_prev_space
-            # untouched (normalizer.cc:165 `if (!sp.empty())`)
-            upd = jnp.where(c_emit0 == 0, prev_sp,
-                            c_ends | (c_sp & prev_sp))
-        else:
-            upd = jnp.zeros_like(prev_sp)
-        new_prev = jnp.where(active, upd, prev_sp)
-        new_p = jnp.where(active, p + cons[rows, psafe], p)
-        emit = jnp.where(active, c_emit, 0)
-        return (new_p, new_prev), (emit, c_kind, c_src,
-                                   jnp.where(active, c_trail, 0))
+    # -- chunk chain: sequential scan vs vectorized fast path ----------------
+    # When a row has NO charsmap match and its bytes decode as clean
+    # UTF-8, the chunk chain is exactly the char-start sequence and the
+    # is_prev_space carry collapses to "previous byte was a space" (a
+    # space char is 1 byte, so the byte before a char start is 0x20 iff
+    # the previous CHAR was a space) — every per-chunk quantity becomes
+    # a shift/where, no scan, no pool-attribute gather. Real corpora are
+    # overwhelmingly in this regime (botchan: 0 matched rows; wagahai:
+    # 35%). One traced predicate selects per BATCH: a batch with any
+    # matched/malformed row takes the exact sequential branch.
+    #
+    # The simplicity predicate is conservative (proof sketch: in a row
+    # where every non-continuation byte is a valid char start and every
+    # continuation byte is covered by a valid char start within 3 bytes
+    # — checked below — the greedy chain visits exactly the
+    # non-continuation positions; a stray continuation byte forces the
+    # check false because no valid start can cover it).
+    is_cont = (batch & 0xC0) == 0x80
+    covered = jnp.zeros((B, N), bool)
+    for j in (1, 2, 3):
+        v = jnp.concatenate(
+            [jnp.zeros((B, j), bool), valid_utf8[:, :N - j]], axis=1)
+        cl_j = jnp.concatenate(
+            [jnp.zeros((B, j), jnp.int32), char_len[:, :N - j]], axis=1)
+        conts = jnp.ones((B, N), bool)
+        for i in range(1, j):
+            conts &= jnp.concatenate(
+                [jnp.zeros((B, i), bool), is_cont[:, :N - i]], axis=1)
+        covered |= v & (cl_j > j) & conts
+    pos_ok = jnp.where(is_cont, covered, valid_utf8)
+    any_complex = jnp.any(in_range & (matched | ~pos_ok))
 
     prev0 = jnp.full((B,), bool(remove_extra_whitespaces))
-    (_, _), (emits, kinds, srcs, trails) = jax.lax.scan(
-        chunk_step, (jnp.zeros(B, jnp.int32), prev0), None, length=N)
-    emits = emits.T   # [B, T] chunk emission byte counts
-    kinds = kinds.T
-    srcs = srcs.T
-    trails = trails.T
+
+    def scan_branch(_):
+        vsafe = jnp.maximum(mval, 0)
+        kind = jnp.where(
+            matched, KIND_POOL,
+            jnp.where(valid_utf8 & is_sp_byte, KIND_WS,
+                      jnp.where(valid_utf8, KIND_RAW, KIND_FFFD)))
+        # all six per-value attributes in ONE row gather (a W-wide row
+        # costs ~1.4x a scalar gather; five separate serial gathers 5x)
+        attr = trie._gather(v_attr, vsafe)   # [B, N, 6]
+        a_esc_off, a_esc_len = attr[..., 0], attr[..., 1]
+        a_lead, a_all, a_ends, a_trail = (attr[..., 2], attr[..., 3],
+                                          attr[..., 4], attr[..., 5])
+        # emission length (escaped), before leading-space strip
+        emit0 = jnp.where(
+            matched, a_esc_len,
+            jnp.where(valid_utf8,
+                      jnp.where(is_sp_byte, wsl, char_len), 3))
+        lead_sp = jnp.where(matched, a_lead,
+                            jnp.where(valid_utf8 & is_sp_byte, 1, 0))
+        all_sp = jnp.where(matched, a_all > 0, valid_utf8 & is_sp_byte)
+        ends_sp = jnp.where(matched, a_ends > 0, valid_utf8 & is_sp_byte)
+        esc_off = jnp.where(matched, a_esc_off, 0)
+        # trailing ws-token run of each position's emission (for the
+        # trim): POOL = host-precomputed on the escaped replacement;
+        # WS = 1 token; FFFD never matches the token.
+        trail0 = jnp.where(
+            matched, a_trail,
+            jnp.where(valid_utf8 & is_sp_byte, 1,
+                      jnp.where(valid_utf8 & raw_is_ws, 1, 0))).astype(
+                          jnp.int32)
+
+        def chunk_step(carry, _):
+            p, prev_sp = carry
+            active = p < lengths
+            psafe = jnp.minimum(p, N - 1)
+            k = jnp.where(active & prev_sp, lead_sp[rows, psafe], 0)
+            c_kind = kind[rows, psafe]
+            c_emit0 = emit0[rows, psafe]
+            c_emit = jnp.maximum(c_emit0 - k * wsl, 0)
+            c_src = jnp.where(c_kind == KIND_POOL,
+                              esc_off[rows, psafe] + k * wsl,
+                              psafe)  # raw/fffd read from input / const
+            c_sp = all_sp[rows, psafe]
+            c_ends = ends_sp[rows, psafe]
+            c_trail = jnp.minimum(trail0[rows, psafe], c_emit // wsl)
+            if remove_extra_whitespaces:
+                # deletion rules (empty replacement) leave
+                # is_prev_space untouched (normalizer.cc:165
+                # `if (!sp.empty())`)
+                upd = jnp.where(c_emit0 == 0, prev_sp,
+                                c_ends | (c_sp & prev_sp))
+            else:
+                upd = jnp.zeros_like(prev_sp)
+            new_prev = jnp.where(active, upd, prev_sp)
+            new_p = jnp.where(active, p + cons[rows, psafe], p)
+            emit = jnp.where(active, c_emit, 0)
+            return (new_p, new_prev), (emit, c_kind, c_src,
+                                       jnp.where(active, c_trail, 0))
+
+        (_, _), (emits, kinds, srcs, trails) = jax.lax.scan(
+            chunk_step, (jnp.zeros(B, jnp.int32), prev0), None, length=N)
+        return emits.T, kinds.T, srcs.T, trails.T
+
+    def fast_branch(_):
+        is_chunk = in_range & ~is_cont
+        prev_sp = jnp.concatenate(
+            [jnp.broadcast_to(prev0[:, None], (B, 1)),
+             is_sp_byte[:, :N - 1]], axis=1)
+        if remove_extra_whitespaces:
+            k = (prev_sp & is_sp_byte).astype(jnp.int32)
+        else:
+            k = jnp.zeros((B, N), jnp.int32)
+        emit = jnp.where(
+            is_chunk,
+            jnp.where(is_sp_byte, wsl * (1 - k), char_len), 0)
+        kind = jnp.where(is_sp_byte, KIND_WS, KIND_RAW).astype(jnp.int32)
+        trail = jnp.where(is_sp_byte, 1 - k,
+                          jnp.where(raw_is_ws, 1, 0)).astype(jnp.int32)
+        trail = jnp.where(is_chunk, trail, 0)
+        return (emit.astype(jnp.int32), kind,
+                jnp.broadcast_to(pos, (B, N)).astype(jnp.int32), trail)
+
+    emits, kinds, srcs, trails = jax.lax.cond(
+        any_complex, scan_branch, fast_branch, None)
 
     # -- assembly (output-centric) -------------------------------------------
     # Old form: an R-iteration loop (R = max escaped replacement length,

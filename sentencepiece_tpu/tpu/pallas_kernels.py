@@ -64,15 +64,22 @@ def _auto_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _scan_bp_kernel(sc_ref, alpha_ref, bp_ref, *, K: int, P: int):
+def _scan_bp_kernel(maxp_ref, sc_ref, alpha_ref, bp_ref, *, K: int, P: int):
     """Viterbi alpha + backpointer (chosen piece byte length) per position.
 
     Tie-break matches the XLA scan in encode.unigram_encode_batch (and the
     reference lattice, unigram_model.cc:222-261): among equal-score
     candidates pick the LONGEST piece — expressed reduction-style as the
-    max k whose candidate equals the row max (no in-kernel reverse)."""
-    alpha_ref[0, :] = jnp.zeros((LANES,), jnp.float32)
-    bp_ref[0, :] = jnp.ones((LANES,), jnp.int32)
+    max k whose candidate equals the row max (no in-kernel reverse).
+
+    ``maxp_ref`` (SMEM, shape (1,)) is a DYNAMIC position bound: the
+    recurrence runs only positions < maxp_ref[0] (= max normalized byte
+    length over the batch) instead of the static padded width P. The
+    rows beyond the bound are zero-filled up front so the outputs stay
+    deterministic; downstream backtraces never read past a row's own
+    length, which is <= the bound."""
+    alpha_ref[...] = jnp.zeros((P + 1, LANES), jnp.float32)
+    bp_ref[...] = jnp.ones((P + 1, LANES), jnp.int32)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
     klen = row_ids + 1
     win0 = jnp.where(row_ids == 0, 0.0, NEG_INF)  # win[j] = alpha[p - j]
@@ -86,20 +93,25 @@ def _scan_bp_kernel(sc_ref, alpha_ref, bp_ref, *, K: int, P: int):
         rolled = pltpu.roll(win, shift=1, axis=0)
         return jnp.where(row_ids == 0, red[None, :], rolled)
 
-    jax.lax.fori_loop(0, P, body, win0)
+    jax.lax.fori_loop(0, jnp.minimum(maxp_ref[0], P), body, win0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def viterbi_bp_pallas(sc_end: jnp.ndarray, interpret: bool | None = None):
+def viterbi_bp_pallas(sc_end: jnp.ndarray, max_p: jnp.ndarray | None = None,
+                      interpret: bool | None = None):
     """(alpha[W, P+1] f32, bp[W, P+1] i32) for end-aligned sc_end[W, P, K].
 
     bp[w, p] is the byte length of the best piece ending at position p
     (bp[:, 0] = 1, unused) — drop-in for the lax.scan backpointers in
     unigram_encode_batch. ``interpret=None`` auto-selects interpreter
-    mode on the CPU backend."""
+    mode on the CPU backend. ``max_p`` (optional int32 scalar) bounds
+    the recurrence dynamically to the batch's real max length; rows
+    past it come back zero-filled (alpha 0, bp 1)."""
     if interpret is None:
         interpret = _auto_interpret()
     W, P, K = sc_end.shape
+    if max_p is None:
+        max_p = jnp.int32(P)
     grid = (W + LANES - 1) // LANES
     Wp = grid * LANES
     sc_t = jnp.pad(sc_end.astype(jnp.float32), ((0, Wp - W), (0, 0), (0, 0)),
@@ -108,7 +120,8 @@ def viterbi_bp_pallas(sc_end: jnp.ndarray, interpret: bool | None = None):
     alpha, bp = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((P, K, LANES), lambda i: (0, 0, i),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((P, K, LANES), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((P + 1, LANES), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
@@ -117,7 +130,7 @@ def viterbi_bp_pallas(sc_end: jnp.ndarray, interpret: bool | None = None):
         out_shape=(jax.ShapeDtypeStruct((P + 1, Wp), jnp.float32),
                    jax.ShapeDtypeStruct((P + 1, Wp), jnp.int32)),
         interpret=interpret,
-    )(sc_t)
+    )(jnp.reshape(max_p.astype(jnp.int32), (1,)), sc_t)
     return alpha.T[:W], bp.T[:W]
 
 

@@ -124,6 +124,21 @@ class TpuTokenizer:
             processor.model_proto.normalizer_spec, suffix)
         self._fns = {}
 
+    @staticmethod
+    def enc_width(n_in: int) -> int:
+        """Encode-stage width for an input width: 1.5x + 8.
+
+        Every lattice/merge stage's cost is linear in this width, so it is
+        sized for REAL normalization expansion, not the worst case: text
+        expands ~1.35x at most under nmt_nfkc + whitespace escaping
+        (each space becomes a 3-byte U+2581; measured per-row p100 on
+        botchan at width 128 is 111 bytes, wagahai 1.24x). Rows whose
+        normalized form exceeds it are caught by the device overflow
+        mask and re-encoded through the exact host path — correctness
+        never depends on this bound (the true charsmap worst case is
+        13x/byte, which no static width would chase)."""
+        return 3 * n_in // 2 + 8
+
     def _pipeline_core(self, n_in: int):
         """(core, tables) for one input width: ``core(batch, lengths,
         *tables)`` is the whole pipeline as a pure function whose device
@@ -133,7 +148,7 @@ class TpuTokenizer:
         Python scalars (static)."""
         t = self.norm
         enc = self.enc
-        w_enc = 2 * n_in + 8
+        w_enc = self.enc_width(n_in)
         norm_tables = (t.units, t.esc_pool, t.v_attr, t.ws_arr,
                        t.fffd_arr)
 

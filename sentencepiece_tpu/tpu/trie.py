@@ -187,6 +187,36 @@ def _taa(arr: jnp.ndarray, idx: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return jax.lax.optimization_barrier(out)
 
 
+def step_root(units: jnp.ndarray, batch: jnp.ndarray, in_range: jnp.ndarray,
+              *, root_state: int):
+    """Depth-0 walk step against the PAIRED table via a 256-row one-hot.
+
+    The root transitions through at most 256 table positions
+    (``root_state ^ byte``), so the first step's full-table gather
+    collapses to: slice those 256 paired rows once (clipped like the
+    full walk's in-bounds promise), then select per lane by byte value
+    with gather_small — ~20x cheaper than a serial full-table row
+    gather at a million lanes.
+
+    Returns (state uint32[B,N], alive bool[B,N], val int32[B,N]) — the
+    post-step walk state, surviving-lane mask, and depth-1 leaf value
+    (-1 where none), exactly as one iteration of the inline walk."""
+    U = int(units.shape[0])
+    cvals = (jnp.uint32(root_state)
+             ^ jnp.arange(256, dtype=jnp.uint32))
+    t256 = _gather(units, jnp.minimum(cvals, jnp.uint32(U - 1)))  # [256, 2]
+    c = batch.astype(jnp.int32)
+    unit = gather_small(t256[:, 0], c)
+    leafv = gather_small(t256[:, 1], c)
+    cu = batch.astype(jnp.uint32)
+    ok = in_range & (labels(unit) == cu)
+    node = jnp.uint32(root_state) ^ cu
+    state = jnp.where(ok, node ^ offsets(unit), jnp.uint32(root_state))
+    has_leaf = ok & ((unit & _HAS_LEAF) != 0)
+    val = jnp.where(has_leaf, leafv.astype(jnp.int32), jnp.int32(-1))
+    return state, ok, val
+
+
 def step(units: jnp.ndarray, state: jnp.ndarray, c: jnp.ndarray,
          alive: jnp.ndarray):
     """One commonPrefixSearch step at every lane simultaneously.

@@ -59,6 +59,33 @@ def test_device_normalizer_matches_host(mutate):
     _norm_case(spec, suffix, EDGE)
 
 
+def test_device_normalizer_fast_path_per_row():
+    """The chunk-chain fast path (normalize.py: fast_branch) dispatches
+    per BATCH; single-row batches force each row through whichever
+    branch its own content selects, pinning the simplicity predicate on
+    adversarial byte patterns (stray continuation bytes after valid
+    chars, truncated sequences, charsmap-matched chars)."""
+    from sentencepiece_tpu.train.facade import get_normalizer_spec
+
+    spec = get_normalizer_spec("nmt_nfkc")
+    adversarial = [
+        b"\xc3\xa9\xa9x",          # stray continuation after a valid char
+        b"\xe2\x96\x81\xa9",       # stray continuation after 3-byte char
+        b"a\xc3b",                 # truncated 2-byte sequence
+        b"ab \xe2\x96q",           # truncated 3-byte sequence
+        b"\xf0\x9f\x98\x80\x80",   # stray continuation after 4-byte char
+        b"hello world  x ",        # pure fast path
+        b"\xef\xac\x81nal",        # U+FB01 LATIN SMALL LIGATURE FI (match)
+    ]
+    lines = EDGE + [b.decode("utf-8", "surrogateescape")
+                    for b in adversarial]
+    for line in lines:
+        _norm_case(spec, False, [line])
+    # and one all-simple batch so the whole batch takes the fast branch
+    _norm_case(spec, False, ["Hello World", "  lead", "trail  ",
+                             "a  b", " ", "", "don't stop", "x y  z "])
+
+
 def test_pipeline_matches_processor(botchan_path):
     from sentencepiece_tpu import SentencePieceProcessor
     from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
