@@ -348,8 +348,16 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                       jnp.where(valid_utf8 & raw_is_ws, 1, 0))).astype(
                           jnp.int32)
 
-        def chunk_step(carry, _):
-            p, prev_sp = carry
+        # early-exit chain walk: the loop runs max-chunks-over-batch
+        # iterations (chunks per row <= chars per row — a 3x cut for
+        # CJK text), not the padded width N; unvisited steps stay
+        # emit=0 = transparent, which downstream already skips
+        def chunk_cond(s):
+            i, p, _, _, _, _, _ = s
+            return (i < N) & jnp.any(p < lengths)
+
+        def chunk_body(s):
+            i, p, prev_sp, b_em, b_kd, b_src, b_tr = s
             active = p < lengths
             psafe = jnp.minimum(p, N - 1)
             k = jnp.where(active & prev_sp, lead_sp[rows, psafe], 0)
@@ -372,12 +380,19 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                 upd = jnp.zeros_like(prev_sp)
             new_prev = jnp.where(active, upd, prev_sp)
             new_p = jnp.where(active, p + cons[rows, psafe], p)
-            emit = jnp.where(active, c_emit, 0)
-            return (new_p, new_prev), (emit, c_kind, c_src,
-                                       jnp.where(active, c_trail, 0))
 
-        (_, _), (emits, kinds, srcs, trails) = jax.lax.scan(
-            chunk_step, (jnp.zeros(B, jnp.int32), prev0), None, length=N)
+            def put(buf, v):
+                return jax.lax.dynamic_update_slice(buf, v[None, :], (i, 0))
+            b_em = put(b_em, jnp.where(active, c_emit, 0))
+            b_kd = put(b_kd, c_kind)
+            b_src = put(b_src, c_src)
+            b_tr = put(b_tr, jnp.where(active, c_trail, 0))
+            return i + 1, new_p, new_prev, b_em, b_kd, b_src, b_tr
+
+        z = jnp.zeros((N, B), jnp.int32)
+        _, _, _, emits, kinds, srcs, trails = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), jnp.zeros(B, jnp.int32), prev0, z, z, z, z))
         return emits.T, kinds.T, srcs.T, trails.T
 
     def fast_branch(_):

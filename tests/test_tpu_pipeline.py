@@ -86,6 +86,29 @@ def test_device_normalizer_fast_path_per_row():
                              "a  b", " ", "", "don't stop", "x y  z "])
 
 
+def test_pipeline_bit_exact_ja_unigram(fixtures_dir, wagahai_path):
+    """JA through the FULL device pipeline (charsmap scan branch + deep
+    trie walks) vs the committed reference spm_encode golden
+    (tests/fixtures/unigram_ja.ids.txt, model test_ja_model.model)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_ja_model.model")
+    tok = TpuTokenizer(sp)
+    raw = open(wagahai_path, "rb").read().split(b"\n")
+    if raw and raw[-1] == b"":
+        raw.pop()
+    keep = [i for i, l in enumerate(raw) if len(l) <= 512][:400]
+    gold = [list(map(int, l.split())) if l else []
+            for l in open(fixtures_dir / "unigram_ja.ids.txt").read()
+            .splitlines()]
+    dev = tok.encode([raw[i].decode("utf-8", "surrogateescape")
+                      for i in keep])
+    bad = sum(1 for j, i in enumerate(keep) if dev[j] != gold[i])
+    assert bad == 0
+
+
 def test_pipeline_matches_processor(botchan_path):
     from sentencepiece_tpu import SentencePieceProcessor
     from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
