@@ -448,13 +448,19 @@ class BpeBatchEncoder:
         return bucketed(cps_list, self.BUCKETS, self.MAX_BATCH, run, unpack)
 
 
-@jax.jit
-def utf8_to_cp_batch(batch, lengths):
-    """uint8[B, N] valid UTF-8 (normalizer output) -> (cps int32[B, N],
+@functools.partial(jax.jit, static_argnames=("out_w",))
+def utf8_to_cp_batch(batch, lengths, out_w: Optional[int] = None):
+    """uint8[B, N] valid UTF-8 (normalizer output) -> (cps int32[B, out_w],
     cp_lens int32[B]): dense codepoints per row. Lead bytes decode by
     looking ahead at up to three following bytes (no gathers), then lead
-    positions compact left with one scatter."""
+    positions compact left with one scatter.
+
+    ``out_w`` (static, default N) narrows the output: the merge loop's
+    cost is linear in its width, and cp count is far below the
+    byte-width N for multi-byte text. cp_lens is the UNtruncated count,
+    so callers detect overflow with ``cp_lens > out_w``."""
     B, N = batch.shape
+    W = N if out_w is None else out_w
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
     b = batch.astype(jnp.int32)
@@ -473,10 +479,11 @@ def utf8_to_cp_batch(batch, lengths):
     seg = jnp.cumsum(is_lead, axis=1, dtype=jnp.int32) - 1
     cp_lens = jnp.sum(is_lead, axis=1, dtype=jnp.int32)
     rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, N))
-    out = jnp.zeros((B, N + 1), jnp.int32)
-    out = trie._scatter_set(out, rows, jnp.where(is_lead, seg, N),
-                            jnp.where(is_lead, cp, 0))
-    return out[:, :N], cp_lens
+    out = jnp.zeros((B, W + 1), jnp.int32)
+    put = is_lead & (seg < W)
+    out = trie._scatter_set(out, rows, jnp.where(put, seg, W),
+                            jnp.where(put, cp, 0))
+    return out[:, :W], cp_lens
 
 
 @functools.partial(

@@ -178,14 +178,24 @@ class TpuTokenizer:
                                     bpe.pair_score, bpe.cp_to_sym,
                                     bpe.sym_to_id)
 
+            # cp count <= input chars + dummy prefix (only charsmap
+            # replacements expand CHAR counts, and those rows overflow
+            # to the exact host path) — so the merge loop, whose cost is
+            # linear in width, runs at ~n_in instead of the 1.5x byte
+            # width w_enc
+            w_cp = n_in + 16
+
             def core_bpe(batch, lengths, *tabs):
                 nt, bt = tabs[:5], tabs[5:]
                 norm_out, enc_len, overflow = norm_stage(batch, lengths,
                                                          *nt)
-                cps, cp_len = utf8_to_cp_batch(norm_out, enc_len)
+                cps, cp_len = utf8_to_cp_batch(norm_out, enc_len,
+                                               out_w=w_cp)
+                overflow = overflow | (cp_len > w_cp)
+                cp_len = jnp.minimum(cp_len, w_cp)
                 ids, n_ids = bpe_encode_batch_parallel(
                     bt[0], bt[1], bt[2], bt[3], bt[4], cps, cp_len,
-                    universe=bpe.U, max_merges=w_enc - 1,
+                    universe=bpe.U, max_merges=w_cp - 1,
                     unk_id=bpe.unk_id, add_bos=bpe.add_bos,
                     add_eos=bpe.add_eos, reverse=bpe.reverse,
                     bos_id=bpe.bos_id, eos_id=bpe.eos_id,
