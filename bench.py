@@ -176,8 +176,13 @@ def child_main() -> None:
         _note(f"{name}: construct tokenizer")
         procs[name] = SentencePieceProcessor(model)
         toks[name] = TpuTokenizer(procs[name])
-        fns[name] = toks[name]._pipeline_fn(WIDTH)
-        loops[name] = toks[name].bench_loop_fn(WIDTH)
+        # batch-adaptive encode width (host-side normalized-length
+        # bound): the program the user's encode() would dispatch
+        w_enc = toks[name].pick_enc_width(arr, lens, WIDTH)
+        _note(f"{name}: encode width {w_enc} "
+              f"(cap {toks[name].enc_width(WIDTH)})")
+        fns[name] = toks[name]._pipeline_fn(WIDTH, w_enc)
+        loops[name] = toks[name].bench_loop_fn(WIDTH, w_enc)
         _note(f"{name}: warm dispatch (compile if cold)")
         _, _ = _run_to_scalar(loops[name], a, l, 1)  # compile + warm
         _note(f"{name}: warm done")

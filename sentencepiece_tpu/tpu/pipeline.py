@@ -126,7 +126,7 @@ class TpuTokenizer:
 
     @staticmethod
     def enc_width(n_in: int) -> int:
-        """Encode-stage width for an input width: 1.5x + 8.
+        """Default (cap) encode-stage width for an input width: 1.5x + 8.
 
         Every lattice/merge stage's cost is linear in this width, so it is
         sized for REAL normalization expansion, not the worst case: text
@@ -139,7 +139,69 @@ class TpuTokenizer:
         13x/byte, which no static width would chase)."""
         return 3 * n_in // 2 + 8
 
-    def _pipeline_core(self, n_in: int):
+    def pick_enc_width(self, arr: np.ndarray, lens: np.ndarray,
+                       n_in: int) -> int:
+        """Batch-adaptive encode width: a host-side upper bound on each
+        row's normalized byte length, quantized to multiples of 32
+        (bounding the number of compiled programs) and capped at
+        enc_width(n_in).
+
+        The bound is exact for rows with no charsmap match: the dummy
+        prefix plus, per input byte, ws_len for a space, 3 for a byte
+        in a malformed sequence (U+FFFD), else 1 (collapse and trim
+        only shrink). Charsmap replacements can exceed it — such rows
+        flip the overflow mask and re-encode on the exact host path,
+        the same guard the cap relies on. On ASCII text this runs the
+        encode stage at ~n_in instead of 1.5x n_in."""
+        cap = self.enc_width(n_in)
+        B, N = arr.shape
+        if B == 0:
+            return cap
+        pos_in = np.arange(N)[None, :] < lens[:, None]
+        b = arr.astype(np.int32)
+        # numpy mirror of _utf8_class validity (structural + overlong +
+        # surrogate/range), evaluated at every position
+        bp = np.concatenate([b, np.zeros((B, 4), np.int32)], axis=1)
+        b1, b2, b3 = bp[:, 1:N + 1], bp[:, 2:N + 2], bp[:, 3:N + 3]
+        c1, c2, c3 = ((b1 & 0xC0) == 0x80, (b2 & 0xC0) == 0x80,
+                      (b3 & 0xC0) == 0x80)
+        rem = lens[:, None] - np.arange(N)[None, :]
+        is1 = b < 0x80
+        cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+        is2 = ((b & 0xE0) == 0xC0) & c1 & (rem >= 2) & (cp2 >= 0x80)
+        cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+        is3 = (((b & 0xF0) == 0xE0) & c1 & c2 & (rem >= 3)
+               & (cp3 >= 0x800) & ~((cp3 >= 0xD800) & (cp3 <= 0xDFFF)))
+        cp4 = (((b & 0x07) << 18) | ((b1 & 0x3F) << 12)
+               | ((b2 & 0x3F) << 6) | (b3 & 0x3F))
+        is4 = (((b & 0xF8) == 0xF0) & c1 & c2 & c3
+               & (cp4 >= 0x10000) & (cp4 <= 0x10FFFF))
+        valid = is1 | is2 | is3 | is4
+        char_len = np.where(is1, 1, np.where(is2, 2, np.where(is3, 3,
+                                                              np.where(is4, 4, 1))))
+        # per-byte contribution, walking starts only (vectorized via
+        # "covered" propagation: a byte inside a valid char costs 1)
+        is_cont = (b & 0xC0) == 0x80
+        covered = np.zeros((B, N), bool)
+        for j in (1, 2, 3):
+            v = np.zeros((B, N), bool)
+            v[:, j:] = valid[:, :N - j] & (char_len[:, :N - j] > j)
+            conts = np.ones((B, N), bool)
+            for i in range(1, j):
+                conts[:, i:] &= is_cont[:, :N - i]
+                conts[:, :i] = False
+            covered |= v & conts
+        wsl = self.norm.ws_len if self.norm.escape_whitespaces else 1
+        contrib = np.where(
+            b == 0x20, wsl,
+            np.where(is_cont & covered, 1,
+                     np.where(valid, 1, np.where(is_cont, 3, 3))))
+        est = int((np.where(pos_in, contrib, 0)).sum(axis=1).max()
+                  ) + (wsl if self.norm.add_dummy_prefix else 0)
+        w = -(-(est + 8) // 32) * 32
+        return min(max(w, 32), cap)
+
+    def _pipeline_core(self, n_in: int, w_enc: Optional[int] = None):
         """(core, tables) for one input width: ``core(batch, lengths,
         *tables)`` is the whole pipeline as a pure function whose device
         tables are explicit arguments (never closed over — closed-over
@@ -148,7 +210,8 @@ class TpuTokenizer:
         Python scalars (static)."""
         t = self.norm
         enc = self.enc
-        w_enc = self.enc_width(n_in)
+        if w_enc is None:
+            w_enc = self.enc_width(n_in)
         norm_tables = (t.units, t.esc_pool, t.v_attr, t.ws_arr,
                        t.fffd_arr)
 
@@ -241,7 +304,7 @@ class TpuTokenizer:
 
         return core_unigram, tables
 
-    def bench_loop_fn(self, n_in: int):
+    def bench_loop_fn(self, n_in: int, w_enc: Optional[int] = None):
         """One-dispatch benchmark program: ``fn(batch, lengths, n)``
         runs the pipeline ``n`` times inside a ``fori_loop`` (dynamic
         trip count — one compile serves every window size) and returns
@@ -260,7 +323,7 @@ class TpuTokenizer:
         (on the tunneled rig, ``block_until_ready`` can return at
         enqueue time, making dispatch-loop timing measure the enqueue
         rate, not the chip; see bench.py)."""
-        core, tables = self._pipeline_core(n_in)
+        core, tables = self._pipeline_core(n_in, w_enc)
 
         @jax.jit
         def loop(batch, lengths, n, *tabs):
@@ -277,17 +340,19 @@ class TpuTokenizer:
 
         return fn
 
-    def _pipeline_fn(self, n_in: int):
-        """The fused pipeline for one input width (cached): a thin
-        wrapper binding the device tables to _pipeline_core."""
-        if n_in in self._fns:
-            return self._fns[n_in]
-        core, tables = self._pipeline_core(n_in)
+    def _pipeline_fn(self, n_in: int, w_enc: Optional[int] = None):
+        """The fused pipeline for one (input width, encode width) pair
+        (cached): a thin wrapper binding the device tables to
+        _pipeline_core."""
+        key = (n_in, w_enc)
+        if key in self._fns:
+            return self._fns[key]
+        core, tables = self._pipeline_core(n_in, w_enc)
 
         def fn(batch, lengths):
             return core(batch, lengths, *tables)
 
-        self._fns[n_in] = fn
+        self._fns[key] = fn
         return fn
 
     def _shard(self, arr, lens):
@@ -312,7 +377,7 @@ class TpuTokenizer:
     def encode_to_padded(self, lines: Sequence[bytes], width: int
                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         arr, lens = pack_lines(lines, width)
-        fn = self._pipeline_fn(width)
+        fn = self._pipeline_fn(width, self.pick_enc_width(arr, lens, width))
         a, l = self._shard(arr, lens)
         ids, n_ids, overflow = fn(a, l)
         return ids, n_ids, overflow
