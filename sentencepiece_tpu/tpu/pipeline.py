@@ -241,12 +241,12 @@ class TpuTokenizer:
                                     bpe.pair_score, bpe.cp_to_sym,
                                     bpe.sym_to_id)
 
-            # cp count <= input chars + dummy prefix (only charsmap
-            # replacements expand CHAR counts, and those rows overflow
-            # to the exact host path) — so the merge loop, whose cost is
-            # linear in width, runs at ~n_in instead of the 1.5x byte
-            # width w_enc
-            w_cp = n_in + 16
+            # cp count <= min(input chars + dummy prefix, normalized
+            # bytes) — only charsmap replacements expand CHAR counts,
+            # and those rows overflow to the exact host path — so the
+            # merge loop, whose cost is linear in width, runs at ~n_in
+            # instead of the 1.5x byte width
+            w_cp = min(n_in + 16, w_enc)
 
             def core_bpe(batch, lengths, *tabs):
                 nt, bt = tabs[:5], tabs[5:]
