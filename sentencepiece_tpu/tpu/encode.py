@@ -90,7 +90,12 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
         # digit gather beats the serial row gather ~14x at vocab-trie
         # sizes (trie.gather_mxu)
         if int(units.shape[0]) <= 16384:
-            row = trie.gather_mxu(units, safe, d2=32)
+            # leaf values are piece ids < V (static from the score
+            # table), so the value column usually needs 2 byte planes,
+            # not 4 — every MXU-gather stage's cost scales with planes
+            vbits = max(8, int(lat_score_table.shape[0] - 1).bit_length())
+            row = trie.gather_mxu(units, safe, d2=32,
+                                  col_bits=(32, vbits))
         else:
             # big tries (charsmap, 44k units): the serial row gather
             # measured faster in context than the MXU form

@@ -103,7 +103,8 @@ def gather_small(table: jnp.ndarray, idx: jnp.ndarray,
 
 
 def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
-               d2: int = 32, value_bits: int = 32) -> jnp.ndarray:
+               d2: int = 32, value_bits: int = 32,
+               col_bits: "tuple | None" = None) -> jnp.ndarray:
     """Exact gather via digit-decomposed one-hot matmuls on the MXU.
 
     For tables too big for gather_small and hotter than the serial
@@ -118,25 +119,32 @@ def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
 
     table: uint32[K] or uint32[K, W]. idx: int32/uint32, in-bounds.
     Returns table[idx] with the same leading shape as idx (+ trailing W).
-    """
+
+    value_bits (all columns) or col_bits (per column) declare how many
+    bits the stored values actually use; every stage's cost scales with
+    the total plane count, so e.g. a paired trie row whose leaf value
+    fits 16 bits runs with 6 planes instead of 8."""
     squeeze = table.ndim == 1
     t2 = table[:, None] if squeeze else table
     K, W = int(t2.shape[0]), int(t2.shape[1])
+    if col_bits is None:
+        col_bits = (value_bits,) * W
+    nbytes_c = [max(1, (int(vb) + 7) // 8) for vb in col_bits]
     if idx.dtype != jnp.int32:
         idx = jnp.minimum(idx, jnp.uint32(K - 1)).astype(jnp.int32)
     flat = idx.reshape(-1)
     L = int(flat.shape[0])
     d1 = (K + d2 - 1) // d2
-    # value_bits: when the caller knows values fit fewer bits (e.g. a
-    # byte pool), skip the all-zero upper planes — dot and combine cost
-    # scale with plane count
-    nbytes = max(1, (value_bits + 7) // 8)
-    planes = nbytes * W
-    # [K, W] u32 -> [d1*d2, planes] byte planes -> [d1, d2*planes]
+    # [K, W] u32 -> [K, planes] byte planes (column-major: all of col
+    # 0's bytes, then col 1's, ...) -> [d1, d2*planes]
     tb = t2.astype(jnp.uint32)
-    byte_planes = [(tb >> (8 * b)) & 0xFF for b in range(nbytes)]
-    tp = jnp.concatenate([p.astype(jnp.bfloat16) for p in byte_planes],
-                         axis=1)                      # [K, planes]
+    byte_planes = []
+    for w in range(W):
+        for by in range(nbytes_c[w]):
+            byte_planes.append(((tb[:, w] >> (8 * by)) & 0xFF
+                                ).astype(jnp.bfloat16))
+    planes = len(byte_planes)
+    tp = jnp.stack(byte_planes, axis=1)               # [K, planes]
     tp = jnp.pad(tp, ((0, d1 * d2 - K), (0, 0)))
     tm = tp.reshape(d1, d2 * planes)
     hi = flat // d2
@@ -149,10 +157,12 @@ def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
     out_p = jnp.sum(jnp.where(sel[:, :, None], b, 0.0), axis=1)  # [L, pl]
     out_b = out_p.astype(jnp.uint32)                  # exact ints <= 255
     words = []
+    pi = 0
     for w in range(W):
-        v = out_b[:, w]
-        for by in range(1, nbytes):
-            v = v | (out_b[:, by * W + w] << (8 * by))
+        v = out_b[:, pi]
+        for by in range(1, nbytes_c[w]):
+            v = v | (out_b[:, pi + by] << (8 * by))
+        pi += nbytes_c[w]
         words.append(v)
     out = jnp.stack(words, axis=-1).reshape(idx.shape + (W,))
     return out[..., 0] if squeeze else out
