@@ -82,10 +82,11 @@ def main():
     short = [ln for ln in raw if len(ln) <= 128]
     arr, lens = pack_lines(short, 128)
     a, l = jnp.asarray(arr), jnp.asarray(lens)
-    log(f"batch {arr.shape}")
+    w_enc = tok.pick_enc_width(arr, lens, 128)
+    log(f"batch {arr.shape} enc width {w_enc}")
 
     if stage == "full":
-        loop = tok.bench_loop_fn(128)
+        loop = tok.bench_loop_fn(128, w_enc)
 
         def fn(n):
             return loop(a, l, n)
@@ -93,10 +94,31 @@ def main():
         timed_loop(fn, [1, 2, 5, 17])
         return
 
+    if stage == "walk":
+        # charsmap longest-match walk alone (the early-exit while_loop)
+        from sentencepiece_tpu.tpu import normalize as tn
+        t = tok.norm
+
+        @jax.jit
+        def wloop(batch, lengths, n, units):
+            def body(_, carry):
+                b = batch.at[-1, 0].set(batch[-1, 0] ^ (carry & 1))
+                mlen, mval = tn._charsmap_longest(
+                    units, b, lengths, max_rule_len=t.max_rule_len,
+                    root_state=t.root_state)
+                mix = jnp.sum(mlen + mval, dtype=jnp.int32)
+                return (mix & 0xFF).astype(jnp.uint8) ^ carry
+            return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
+
+        def fn(n):
+            return wloop(a, l, jnp.int32(n), t.units)
+        log("charsmap-walk loop")
+        timed_loop(fn, [1, 2, 5, 17, 65])
+        return
+
     if stage == "normalize":
         from sentencepiece_tpu.tpu import normalize as tn
         t = tok.norm
-        w_enc = TpuTokenizer.enc_width(128)
 
         @jax.jit
         def nloop(batch, lengths, n, *tabs):
