@@ -16,6 +16,7 @@ self-test samples (:479-570).
 from __future__ import annotations
 
 import logging
+import sys
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -37,6 +38,24 @@ UPP_BOUNDARY_CHAR = 0x0009
 UPP_BOUNDARY_STR = "\t"
 
 Sentence = Tuple[str, int]  # (text, freq)
+
+
+def fast_cumsum(x: "np.ndarray") -> "np.ndarray":
+    """int64 inclusive prefix sum at memory-bound speed.
+
+    numpy's cumsum runs a scalar loop (~9x slower than torch's
+    vectorized one on this host); for corpus-sized arrays (tens of MB)
+    the difference is hundreds of milliseconds per call. Small arrays
+    stay on numpy: importing torch costs ~0.5 s of process time, which
+    would dominate small-corpus training runs."""
+    if x.size < (1 << 22) and "torch" not in sys.modules:
+        return np.cumsum(x, dtype=np.int64)
+    try:
+        import torch
+    except ImportError:  # pragma: no cover - torch is baked into the rig
+        return np.cumsum(x, dtype=np.int64)
+    return torch.cumsum(torch.from_numpy(np.ascontiguousarray(x)), 0,
+                        dtype=torch.int64).numpy()
 
 
 def _key_bytes(k):
@@ -324,12 +343,8 @@ class TrainerInterface:
         nextnw[:n] = np.minimum.accumulate(rev)[::-1]
 
         def psum(x):
-            # corpus-sized prefix sums: numpy's cumsum runs a scalar
-            # loop (~9x slower than torch's on this host)
-            import torch
             out = np.zeros(n + 1, np.int64)
-            out[1:] = torch.cumsum(torch.from_numpy(np.ascontiguousarray(x)),
-                                   0, dtype=torch.int64).numpy()
+            out[1:] = fast_cumsum(x)
             return out
 
         Bbad, Bws, Bpair = psum(bad), psum(ws), psum(pairbad)
@@ -472,17 +487,15 @@ class TrainerInterface:
                 offs = np.asarray(off, np.int64)[:len(self.sentences) + 1]
                 barr = np.frombuffer(blob, np.uint8)
                 mask = (barr & 0xC0) != 0x80
-                # per-line char count via reduceat (cumsum over the full
-                # byte array is ~13x slower on this host); empty
-                # segments need zeroing (reduceat yields m[offs[i]])
-                if len(offs) > 1:
-                    seg = np.add.reduceat(
-                        mask, np.minimum(offs[:-1], len(barr) - 1))
-                    seg = np.where(offs[1:] > offs[:-1], seg, 0)
-                else:
-                    seg = np.zeros(0, np.int64)
-                coff = np.zeros(len(offs), np.int64)
-                np.cumsum(seg, out=coff[1:])
+                # per-line char offset = exclusive prefix-sum of the
+                # char-start mask sampled at the byte offsets. (An
+                # earlier np.add.reduceat form paid ~12 us of ufunc
+                # overhead PER SEGMENT — 5.4 s on a 26 MB corpus of
+                # ~450k lines; the full prefix-sum is memory-bound and
+                # line-count-free.)
+                cum = np.zeros(len(barr) + 1, np.int64)
+                cum[1:] = fast_cumsum(mask)
+                coff = cum[offs]
                 sents = [(whole[coff[i]:coff[i + 1]], freq)
                          for i, (_t, freq) in enumerate(self.sentences)]
             else:

@@ -217,7 +217,8 @@ class Trainer(TrainerInterface):
             L_a, R_a, D_a = nd[:, 0], nd[:, 1], nd[:, 2]
             off_a = sa[L_a].astype(np.int64)
             hb = np.zeros(len(arr) + 1, np.int64)
-            np.cumsum(arr == SENTENCE_BOUNDARY, out=hb[1:])
+            from .interface import fast_cumsum
+            hb[1:] = fast_cumsum(arr == SENTENCE_BOUNDARY)
             keep = (D_a > 1) & (hb[off_a + D_a] == hb[off_a])
             keep &= self.valid_substring_mask(arr, off_a, D_a)
             kidx_a = np.nonzero(keep)[0]
