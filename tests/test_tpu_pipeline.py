@@ -109,6 +109,42 @@ def test_pipeline_bit_exact_ja_unigram(fixtures_dir, wagahai_path):
     assert bad == 0
 
 
+def test_pick_enc_width():
+    """The host-side normalized-length bound: exact-or-over for
+    match-free rows, capped for pathological ones, sane on empties."""
+    import numpy as np
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer, pack_lines
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    host = sp.normalizer
+
+    def bound_holds(lines, n_in):
+        arr, lens = pack_lines(lines, n_in)
+        w = tok.pick_enc_width(arr, lens, n_in)
+        assert w <= tok.enc_width(n_in)
+        for l in lines:
+            norm = host.normalize(
+                l[:n_in].decode("utf-8", "surrogateescape"))[0]
+            # rows above the bound must be the capped (host-fallback)
+            # case; match-free rows must FIT
+            if len(norm) > w:
+                assert w == tok.enc_width(n_in), (l, len(norm), w)
+        return w
+
+    assert bound_holds([b"hello world", b"a b c", b""], 32) <= 64
+    # space-heavy: hits the cap
+    assert bound_holds([b" a" * 16], 32) == tok.enc_width(32)
+    # malformed bytes count 3 output bytes each
+    bound_holds([b"\xff" * 20, b"\xc3\xa9" * 10, b"\xe2\x96"], 32)
+    # empty batch
+    arr = np.zeros((0, 32), np.uint8)
+    assert tok.pick_enc_width(arr, np.zeros(0, np.int32), 32) \
+        == tok.enc_width(32)
+
+
 def test_pipeline_matches_processor(botchan_path):
     from sentencepiece_tpu import SentencePieceProcessor
     from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
