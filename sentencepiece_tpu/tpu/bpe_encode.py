@@ -134,18 +134,60 @@ def bpe_dropout_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
         reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
 
 
+_DENSE_MAX_PAIRS = 4096
+
+
+def _pair_lookup_bsearch(pair_keys, pair_score, pair_new, key, valid):
+    """Exact (score, new_sym) via vectorized binary search over the
+    sorted pair_keys (build_pair_tables sorts them). log2(n) rounds of
+    one barrier-isolated [lanes] gather each, then a single paired row
+    gather for the hit values."""
+    n = int(pair_keys.shape[0])
+    flat = key.reshape(-1)
+    lo = jnp.zeros(flat.shape, jnp.int32)
+    hi = jnp.full(flat.shape, n, jnp.int32)
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        km = trie._gather(pair_keys, jnp.clip(mid, 0, n - 1))
+        go_hi = km < flat
+        lo = jnp.where(go_hi, mid + 1, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    pos = jnp.clip(lo, 0, n - 1)
+    # one paired row gather for (key, new, score-bits)
+    packed = jnp.stack([pair_keys.astype(jnp.int32), pair_new,
+                        pair_score.view(jnp.int32)
+                        if pair_score.dtype == jnp.float32
+                        else pair_score.astype(jnp.int32)], axis=1)
+    row = trie._gather(packed, pos)
+    hit = (row[:, 0] == flat) & valid.reshape(-1)
+    sc = jnp.where(hit, row[:, 2].view(jnp.float32),
+                   jnp.float32(NEG_INF)).reshape(key.shape)
+    ns = jnp.where(hit, row[:, 1], -1).reshape(key.shape)
+    return sc, ns
+
+
 def _pair_lookup_dense(pair_keys, pair_score, pair_new, key, valid,
                        block: int = 512):
-    """(score, new_sym, found) for packed pair keys, via one-hot
-    compare-reduce over the whole pair table.
+    """(score, new_sym) for packed pair keys.
 
+    Small tables: one-hot compare-reduce over the whole pair table.
     XLA's gather lowers to a per-element scalar loop on TPU (~7 ns/elem,
     scripts/probe_gather.py), so the old searchsorted(+3 gathers) path
     cost ~90 ms per million lanes; the one-hot form runs at VPU vector
-    rate (~0.25 ns per lane*key) — ~76x faster at 297 pairs, still >10x
-    at tens of thousands. Keys are unique, so each lane sums at most one
-    table entry (exact for float scores)."""
+    rate (~0.25 ns per lane*key) — ~76x faster at 297 pairs. Keys are
+    unique, so each lane sums at most one table entry (exact for float
+    scores).
+
+    Big tables (large-vocab BPE models reach ~100k pairs): the one-hot
+    cost — and its unrolled compile size — scales with the table, so
+    past _DENSE_MAX_PAIRS a vectorized binary search over the sorted
+    keys takes over: log2(n) dependent [lanes] gathers + one paired row
+    gather, ~25x cheaper at 100k pairs."""
     n = int(pair_keys.shape[0])
+    if n > _DENSE_MAX_PAIRS:
+        return _pair_lookup_bsearch(pair_keys, pair_score, pair_new, key,
+                                    valid)
     flat = key.reshape(-1)
     npd = ((n + block - 1) // block) * block
     kpad = jnp.concatenate(

@@ -65,6 +65,43 @@ def test_bpe_pipeline_dispatch(fixtures_dir):
         assert d == sp.encode_as_ids(t), t
 
 
+def test_pair_lookup_bsearch_matches_dense(fixtures_dir, monkeypatch):
+    """The big-table binary-search pair lookup (large-vocab BPE: ~100k
+    pairs would blow up the one-hot's compile and runtime) is value-
+    identical to the dense form — both on a synthetic 10k-key table and
+    through a full encode with the threshold forced to 0."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu import bpe_encode as be
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 30, 10_000).astype(np.int32))
+    score = rng.standard_normal(len(keys)).astype(np.float32)
+    new = rng.integers(0, 50_000, len(keys)).astype(np.int32)
+    # half hits, half misses
+    q = np.concatenate([rng.choice(keys, 500),
+                        rng.integers(0, 1 << 30, 500).astype(np.int32)])
+    valid = rng.random(1000) < 0.9
+    sc_b, ns_b = be._pair_lookup_bsearch(
+        jnp.asarray(keys), jnp.asarray(score), jnp.asarray(new),
+        jnp.asarray(q), jnp.asarray(valid))
+    sc_d, ns_d = be._pair_lookup_dense(
+        jnp.asarray(keys), jnp.asarray(score), jnp.asarray(new),
+        jnp.asarray(q), jnp.asarray(valid), block=512)
+    assert np.array_equal(np.asarray(ns_b), np.asarray(ns_d))
+    assert np.array_equal(np.asarray(sc_b), np.asarray(sc_d))
+
+    # full encode with every lookup forced through the bsearch path
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
+    from sentencepiece_tpu.tpu.bpe_encode import BpeBatchEncoder
+    texts = ["I have a pen.", "Absolutely marvelous.", "a  b", "▁x"]
+    want = [sp.encode_as_ids(t) for t in texts]
+    monkeypatch.setattr(be, "_DENSE_MAX_PAIRS", 0)
+    got = BpeBatchEncoder(sp).encode(texts)
+    assert got == want
+
+
 def test_parallel_merge_kernel_matches_sequential(fixtures_dir):
     """bpe_encode_batch_parallel (batched best-pair merging + chain
     parity) reproduces the sequential scan's ids exactly."""
