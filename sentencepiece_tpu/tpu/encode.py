@@ -124,14 +124,20 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     # score lookup over [B, N, D] lanes: one-hot compare-reduce beats the
     # serial-loop gather for small vocabs (~4x at V=1000; crossover near
     # V~2500 — trie.gather_small rationale)
-    if int(lat_score_table.shape[0]) <= 512:
+    V = int(lat_score_table.shape[0])
+    if V <= 512:
         sc_v = trie.gather_small(lat_score_table, vsafe)
-    else:
+    elif V <= 65536:
         fscore = lat_score_table.view(jnp.uint32) if (
             lat_score_table.dtype == jnp.float32) else lat_score_table
         sc_v = trie.gather_mxu(
             fscore, vsafe,
             d2=16 if fscore.shape[0] <= 8192 else 128).view(jnp.float32)
+    else:
+        # very large vocabs: the MXU one-hot's cost grows with V while
+        # the serial gather is V-independent (~7 ns/elem) — crossover
+        # near 100k entries
+        sc_v = trie._gather(lat_score_table, vsafe)
     lat_sc = jnp.where(lat_ids >= 0, sc_v, NEG_INF)
     lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
 
