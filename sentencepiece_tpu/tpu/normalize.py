@@ -351,25 +351,52 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
         # early-exit chain walk: the loop runs max-chunks-over-batch
         # iterations (chunks per row <= chars per row — a 3x cut for
         # CJK text), not the padded width N; unvisited steps stay
-        # emit=0 = transparent, which downstream already skips
-        def chunk_cond(s):
-            i, p, _, _, _, _, _ = s
-            return (i < N) & jnp.any(p < lengths)
+        # emit=0 = transparent, which downstream already skips.
+        #
+        # The six per-position attributes the body needs pack into two
+        # int32 words (bit budget static from max_rep_len/max_rule_len;
+        # the one-word-per-attribute loop remains the fallback for
+        # pathological custom charsmaps), so each step pays two [B]
+        # gathers instead of seven.
+        be_ = max(max(max_rep_len, 4), wsl).bit_length()
+        bc_ = max(max_rule_len, 4).bit_length()
+        packable = (3 * be_ + bc_ + 4) <= 31
+
+        if packable:
+            w0 = (emit0 | (kind << be_) | (all_sp.astype(jnp.int32)
+                                           << (be_ + 2))
+                  | (ends_sp.astype(jnp.int32) << (be_ + 3))
+                  | (lead_sp << (be_ + 4)) | (cons << (2 * be_ + 4))
+                  | (trail0 << (2 * be_ + 4 + bc_)))
+            mask_e = (1 << be_) - 1
 
         def chunk_body(s):
             i, p, prev_sp, b_em, b_kd, b_src, b_tr = s
             active = p < lengths
             psafe = jnp.minimum(p, N - 1)
-            k = jnp.where(active & prev_sp, lead_sp[rows, psafe], 0)
-            c_kind = kind[rows, psafe]
-            c_emit0 = emit0[rows, psafe]
+            if packable:
+                v0 = w0[rows, psafe]
+                c_emit0 = v0 & mask_e
+                c_kind = (v0 >> be_) & 3
+                c_sp = ((v0 >> (be_ + 2)) & 1).astype(jnp.bool_)
+                c_ends = ((v0 >> (be_ + 3)) & 1).astype(jnp.bool_)
+                c_lead = (v0 >> (be_ + 4)) & mask_e
+                c_cons = (v0 >> (2 * be_ + 4)) & ((1 << bc_) - 1)
+                c_trail0 = v0 >> (2 * be_ + 4 + bc_)
+            else:
+                c_emit0 = emit0[rows, psafe]
+                c_kind = kind[rows, psafe]
+                c_sp = all_sp[rows, psafe]
+                c_ends = ends_sp[rows, psafe]
+                c_lead = lead_sp[rows, psafe]
+                c_cons = cons[rows, psafe]
+                c_trail0 = trail0[rows, psafe]
+            k = jnp.where(active & prev_sp, c_lead, 0)
             c_emit = jnp.maximum(c_emit0 - k * wsl, 0)
             c_src = jnp.where(c_kind == KIND_POOL,
                               esc_off[rows, psafe] + k * wsl,
                               psafe)  # raw/fffd read from input / const
-            c_sp = all_sp[rows, psafe]
-            c_ends = ends_sp[rows, psafe]
-            c_trail = jnp.minimum(trail0[rows, psafe], c_emit // wsl)
+            c_trail = jnp.minimum(c_trail0, c_emit // wsl)
             if remove_extra_whitespaces:
                 # deletion rules (empty replacement) leave
                 # is_prev_space untouched (normalizer.cc:165
@@ -379,7 +406,7 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
             else:
                 upd = jnp.zeros_like(prev_sp)
             new_prev = jnp.where(active, upd, prev_sp)
-            new_p = jnp.where(active, p + cons[rows, psafe], p)
+            new_p = jnp.where(active, p + c_cons, p)
 
             def put(buf, v):
                 return jax.lax.dynamic_update_slice(buf, v[None, :], (i, 0))
@@ -388,6 +415,10 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
             b_src = put(b_src, c_src)
             b_tr = put(b_tr, jnp.where(active, c_trail, 0))
             return i + 1, new_p, new_prev, b_em, b_kd, b_src, b_tr
+
+        def chunk_cond(s):
+            i, p, _, _, _, _, _ = s
+            return (i < N) & jnp.any(p < lengths)
 
         z = jnp.zeros((N, B), jnp.int32)
         _, _, _, emits, kinds, srcs, trails = jax.lax.while_loop(
