@@ -601,7 +601,16 @@ def unigram_sample_batch(units: jnp.ndarray,
     jr = jnp.arange(D, dtype=jnp.int32)[None, :]
     gumbel = jax.random.gumbel(key, (N, B, D), jnp.float32)
 
-    def samp_step(p, g_p):
+    # early-exit backward sampler (see the encode backtrace note): runs
+    # max-tokens-over-batch steps, consuming the same gumbel row per
+    # step index as the full-length scan did
+    def samp_cond(s):
+        i, p, _ = s
+        return (i < N) & jnp.any(p > 0)
+
+    def samp_body(s):
+        i, p, buf = s
+        g_p = jax.lax.dynamic_slice_in_dim(gumbel, i, 1, axis=0)[0]
         active = p > 0
         psafe = jnp.maximum(p, 0)
         prev_idx = jnp.clip(psafe[:, None] - 1 - jr, 0, N)
@@ -611,12 +620,15 @@ def unigram_sample_batch(units: jnp.ndarray,
         logits = jnp.where(valid, a_prev + sc_p, NEG_INF)
         ksel = jnp.argmax(logits + g_p, axis=1).astype(jnp.int32) + 1
         tok = id_end[rows, psafe, jnp.clip(ksel - 1, 0, D - 1)]
-        new_p = jnp.where(active, p - ksel, p)
-        return new_p, (jnp.where(active, tok, -1), active)
+        row = jnp.where(active, tok * 2 + 1, 0)  # bit0 = active
+        buf = jax.lax.dynamic_update_slice(buf, row[None, :], (i, 0))
+        return i + 1, jnp.where(active, p - ksel, p), buf
 
-    _, (rev_ids, rev_mask) = jax.lax.scan(samp_step, lengths, gumbel)
-    rev_ids = rev_ids.T
-    rev_mask = rev_mask.T
+    _, _, buf = jax.lax.while_loop(
+        samp_cond, samp_body,
+        (jnp.int32(0), lengths, jnp.zeros((N, B), jnp.int32)))
+    rev_mask = (buf & 1).astype(jnp.bool_).T
+    rev_ids = jnp.where(rev_mask, buf.T >> 1, -1)
     T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
 
     # fused reverse-compact + adjacent-UNK merge (same one-scatter form
@@ -715,9 +727,13 @@ def unigram_nbest_batch(units: jnp.ndarray,
     scores = jnp.take_along_axis(A_b, p0 * K + rk, axis=1)   # [B, K]
     valid = scores > NEG_INF / 2
 
-    # -- backtrace of all K ranks in lockstep ---------------------------------
-    def bt_step(state, _):
-        p, r = state
+    # -- backtrace of all K ranks in lockstep (early-exit while_loop) ---------
+    def bt_cond(s):
+        i, p, _, _ = s
+        return (i < N) & jnp.any(p > 0)
+
+    def bt_body(s):
+        i, p, r, buf = s
         active = p > 0
         psafe = jnp.maximum(p, 0)
         packed = jnp.take_along_axis(BP_b, psafe * K + r, axis=1)
@@ -726,12 +742,17 @@ def unigram_nbest_batch(units: jnp.ndarray,
         tok = jnp.take_along_axis(
             id_end.reshape(B, (N + 1) * D),
             psafe * D + jnp.clip(j, 0, D - 1), axis=1)
-        new_p = jnp.where(active, p - (j + 1), p)
-        new_r = jnp.where(active, r_next, r)
-        return (new_p, new_r), (jnp.where(active, tok, -1), active)
+        row = jnp.where(active, tok * 2 + 1, 0)  # bit0 = active
+        buf = jax.lax.dynamic_update_slice(buf, row[None, :, :], (i, 0, 0))
+        return (i + 1, jnp.where(active, p - (j + 1), p),
+                jnp.where(active, r_next, r), buf)
 
-    (_, _), (rev_ids, rev_mask) = jax.lax.scan(
-        bt_step, (p0, jnp.broadcast_to(rk, (B, K))), None, length=N)
+    _, _, _, buf = jax.lax.while_loop(
+        bt_cond, bt_body,
+        (jnp.int32(0), p0, jnp.broadcast_to(rk, (B, K)),
+         jnp.zeros((N, B, K), jnp.int32)))
+    rev_mask = (buf & 1).astype(jnp.bool_)
+    rev_ids = jnp.where(rev_mask, buf >> 1, -1)
     rev_ids = jnp.moveaxis(rev_ids, 0, 2)    # [B, K, N]
     n_toks = jnp.sum(rev_mask, axis=0, dtype=jnp.int32)  # [B, K]
     return rev_ids, n_toks, scores, valid
