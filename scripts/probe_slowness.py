@@ -132,7 +132,7 @@ def main():
                     add_dummy_prefix=t.add_dummy_prefix,
                     remove_extra_whitespaces=t.remove_extra_whitespaces,
                     escape_whitespaces=t.escape_whitespaces,
-                    suffix=t.suffix)
+                    suffix=t.suffix, arcs=t.arcs)
                 mix = jnp.sum(norm_len, dtype=jnp.int32)
                 return (mix & 0xFF).astype(jnp.uint8) ^ carry
             return jax.lax.fori_loop(0, n, body, jnp.uint8(0))

@@ -45,7 +45,7 @@ NEG_INF = float(np.float32(-1e30))
 
 
 def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
-                      *, D, unk_id, root_state):
+                      *, D, unk_id, root_state, arcs=None):
     """Lattice populate shared by the encode / sample / n-best
     kernels: trie walk -> end-aligned (scores, ids) bands. Extracted
     verbatim from the encode kernel; tracing inlines it, so the
@@ -79,7 +79,18 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     state, alive, val0 = trie.step_root(units, batch, is_start,
                                         root_state=root_state)
     id_lanes = [val0]
-    for d in range(1, D):
+    d_start = 1
+    if arcs is not None and D > 1:
+        # depth-1 peeled too: the live depth-2 arcs are few (an 8k EN
+        # vocab: 123), so a one-hot key match replaces the table gather
+        c2 = batch_pad[:, 1:N + 1].astype(jnp.int32)
+        key = batch.astype(jnp.int32) * 256 + c2
+        live1 = alive & ((pos + 1) < lengths[:, None])
+        state, alive, val1 = trie.step_pair(
+            arcs[0], arcs[1], arcs[2], key, live1, state)
+        id_lanes.append(val1)
+        d_start = 2
+    for d in range(d_start, D):
         c = batch_pad[:, d:N + d].astype(jnp.uint32)
         byte_ok = (pos + d) < lengths[:, None]
         live = alive & byte_ok
@@ -174,8 +185,8 @@ def unigram_encode_batch(units: jnp.ndarray,
                          bos_id: int = 1,
                          eos_id: int = 2,
                          pad_id: int = 0,
-                         use_pallas: bool = False
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         use_pallas: bool = False,
+                         arcs=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode normalized UTF-8 bytes to token ids.
 
     Args:
@@ -194,7 +205,7 @@ def unigram_encode_batch(units: jnp.ndarray,
     D = max_depth
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
-        D=D, unk_id=unk_id, root_state=root_state)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
 
     # -- Viterbi scan ----------------------------------------------------------
     if use_pallas:
@@ -386,6 +397,9 @@ class UnigramBatchEncoder:
         # traced scalar broadcast (degrades XLA fusion badly, see above)
         u0 = int(model.trie.units[0])
         self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
+        pa = trie.build_pair_arcs(model.trie.units, self.root_state)
+        self.arcs = (tuple(jnp.asarray(a) for a in pa)
+                     if pa is not None else None)
         types = model.types
         # fold user-defined / unused rules into one score table
         # (unigram_model.cc:584-593)
@@ -419,7 +433,8 @@ class UnigramBatchEncoder:
             max_depth=self.max_depth, unk_id=self.unk_id,
             root_state=self.root_state,
             add_bos=self.add_bos, add_eos=self.add_eos, reverse=self.reverse,
-            bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id)
+            bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id,
+            arcs=self.arcs)
 
     def _bucketed(self, payloads, run, unpack):
         return bucketed(payloads, self.BUCKETS, self.MAX_BATCH, run, unpack)
@@ -480,7 +495,7 @@ class UnigramBatchEncoder:
                 self.units, self.lat_score_table, jnp.asarray(arr),
                 jnp.asarray(lens), self.unk_score,
                 max_depth=self.max_depth, unk_id=self.unk_id, k=K,
-                root_state=self.root_state)
+                root_state=self.root_state, arcs=self.arcs)
             return (np.asarray(rev_ids), np.asarray(n_toks),
                     np.asarray(scores), np.asarray(valid))
 
@@ -526,7 +541,7 @@ class UnigramBatchEncoder:
                 root_state=self.root_state,
                 add_bos=self.add_bos, add_eos=self.add_eos,
                 reverse=self.reverse, bos_id=self.bos_id,
-                eos_id=self.eos_id, pad_id=self.pad_id)
+                eos_id=self.eos_id, pad_id=self.pad_id, arcs=self.arcs)
             return np.asarray(out), np.asarray(n)
 
         return self._bucketed(
@@ -553,7 +568,8 @@ def unigram_sample_batch(units: jnp.ndarray,
                          reverse: bool = False,
                          bos_id: int = 1,
                          eos_id: int = 2,
-                         pad_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         pad_id: int = 0,
+                         arcs=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Subword-regularization sampling on device: forward-filter
     backward-sample over the byte-indexed lattice (the device analog of
     Lattice::Sample, unigram_model.cc:385-442; theta = inverse
@@ -569,7 +585,7 @@ def unigram_sample_batch(units: jnp.ndarray,
     D = max_depth
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
-        D=D, unk_id=unk_id, root_state=root_state)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
     # inverse temperature (theta * score, like Lattice::Sample); theta is
     # PER-ROW [B] — the TF op resolves nbest_size/alpha per batch row
     # (sentencepiece_processor_ops.cc:244-305). NEG_INF fills stay
@@ -679,7 +695,8 @@ def unigram_nbest_batch(units: jnp.ndarray,
                         max_depth: int,
                         unk_id: int,
                         k: int,
-                        root_state: int = 0):
+                        root_state: int = 0,
+                        arcs=None):
     """K-best Viterbi on device (SURVEY §2.8's n-best plan): the encode
     scan's D-wide window widened to [D, K] per-position score ranks, with
     lax.top_k merging D*K candidates per step and packed (j, rank)
@@ -697,7 +714,7 @@ def unigram_nbest_batch(units: jnp.ndarray,
     K = k
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
-        D=D, unk_id=unk_id, root_state=root_state)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
 
     # -- K-best forward scan --------------------------------------------------
     # window win[b, j, r] = r-th best score at position p-1-j; candidates

@@ -212,17 +212,20 @@ class TpuTokenizer:
         enc = self.enc
         if w_enc is None:
             w_enc = self.enc_width(n_in)
+        n_arcs = tuple(t.arcs) if t.arcs is not None else ()
         norm_tables = (t.units, t.esc_pool, t.v_attr, t.ws_arr,
-                       t.fffd_arr)
+                       t.fffd_arr) + n_arcs
+        NT = len(norm_tables)
 
         def norm_stage(batch, lengths, *nt):
             norm_out, norm_len = tpu_normalize.normalize_batch(
-                *nt, batch, lengths,
+                *nt[:5], batch, lengths,
                 max_rule_len=t.max_rule_len, root_state=t.root_state,
                 n_out=w_enc, ws_len=t.ws_len, max_rep_len=t.max_rep_len,
                 add_dummy_prefix=t.add_dummy_prefix,
                 remove_extra_whitespaces=t.remove_extra_whitespaces,
-                escape_whitespaces=t.escape_whitespaces, suffix=t.suffix)
+                escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
+                arcs=nt[5:] if len(nt) > 5 else None)
             overflow = norm_len > w_enc
             enc_len = jnp.minimum(norm_len, w_enc)
             # fusion fence: when both stages compile as ONE program, XLA
@@ -249,7 +252,7 @@ class TpuTokenizer:
             w_cp = min(n_in + 16, w_enc)
 
             def core_bpe(batch, lengths, *tabs):
-                nt, bt = tabs[:5], tabs[5:]
+                nt, bt = tabs[:NT], tabs[NT:]
                 norm_out, enc_len, overflow = norm_stage(batch, lengths,
                                                          *nt)
                 cps, cp_len = utf8_to_cp_batch(norm_out, enc_len,
@@ -270,10 +273,12 @@ class TpuTokenizer:
         if self._span is not None:
             from .span_encode import span_encode_batch
             se = self._span
-            tables = norm_tables + (se.units, se.zero_scores)
+            s_arcs = tuple(se.arcs) if se.arcs is not None else ()
+            tables = norm_tables + (se.units, se.zero_scores) + s_arcs
 
             def core_span(batch, lengths, *tabs):
-                nt, st = tabs[:5], tabs[5:]
+                nt, st = tabs[:NT], tabs[NT:NT + 2]
+                at = tabs[NT + 2:] if len(tabs) > NT + 2 else None
                 norm_out, enc_len, overflow = norm_stage(batch, lengths,
                                                          *nt)
                 ids, n_ids = span_encode_batch(
@@ -282,16 +287,19 @@ class TpuTokenizer:
                     unk_id=se.unk_id, root_state=se.root_state,
                     suffix=se.suffix, add_bos=se.add_bos,
                     add_eos=se.add_eos, reverse=se.reverse,
-                    bos_id=se.bos_id, eos_id=se.eos_id, pad_id=se.pad_id)
+                    bos_id=se.bos_id, eos_id=se.eos_id, pad_id=se.pad_id,
+                    arcs=at)
                 return ids, n_ids, overflow
 
             return core_span, tables
 
+        arcs = enc.arcs if enc.arcs is not None else ()
         tables = norm_tables + (enc.units, enc.lat_score_table,
-                                enc.unk_score)
+                                enc.unk_score) + tuple(arcs)
 
         def core_unigram(batch, lengths, *tabs):
-            nt, ut = tabs[:5], tabs[5:]
+            nt, ut = tabs[:NT], tabs[NT:NT + 3]
+            at = tabs[NT + 3:] if len(tabs) > NT + 3 else None
             norm_out, enc_len, overflow = norm_stage(batch, lengths, *nt)
             ids, n_ids = unigram_encode_batch(
                 ut[0], ut[1], norm_out, enc_len, ut[2],
@@ -299,7 +307,8 @@ class TpuTokenizer:
                 root_state=enc.root_state,
                 add_bos=enc.add_bos, add_eos=enc.add_eos,
                 reverse=enc.reverse, bos_id=enc.bos_id, eos_id=enc.eos_id,
-                pad_id=enc.pad_id, use_pallas=_use_pallas_scan())
+                pad_id=enc.pad_id, use_pallas=_use_pallas_scan(),
+                arcs=at)
             return ids, n_ids, overflow
 
         return core_unigram, tables

@@ -50,7 +50,8 @@ def span_encode_batch(units: jnp.ndarray,
                       reverse: bool = False,
                       bos_id: int = 1,
                       eos_id: int = 2,
-                      pad_id: int = 0):
+                      pad_id: int = 0,
+                      arcs=None):
     """Word/char-model encode of normalized UTF-8 bytes to token ids.
 
     Returns (ids int32[B, N+2], out_lengths int32[B]).
@@ -60,7 +61,7 @@ def span_encode_batch(units: jnp.ndarray,
     D = max_depth
     _, id_end = _populate_lattice(
         units, zero_scores, batch, lengths, jnp.float32(0.0),
-        D=D, unk_id=unk_id, root_state=root_state)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
 
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
@@ -163,6 +164,9 @@ class SpanBatchEncoder:
             self.units = jnp.asarray(trie.build_paired(da.units))
             u0 = int(da.units[0])
             self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
+            pa = trie.build_pair_arcs(da.units, self.root_state)
+            self.arcs = (tuple(jnp.asarray(a) for a in pa)
+                         if pa is not None else None)
             self.zero_scores = jnp.zeros(model.get_piece_size(), jnp.float32)
             self.max_depth = max(max(len(k) for k in keys), 4)
         ts = processor.model_proto.trainer_spec
@@ -183,7 +187,8 @@ class SpanBatchEncoder:
             mode=self.mode, max_depth=self.max_depth, unk_id=self.unk_id,
             root_state=self.root_state, suffix=self.suffix,
             add_bos=self.add_bos, add_eos=self.add_eos, reverse=self.reverse,
-            bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id)
+            bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id,
+            arcs=self.arcs)
 
     def encode(self, texts: Sequence[str]) -> List[List[int]]:
         if self.host_only:

@@ -197,6 +197,93 @@ def _taa(arr: jnp.ndarray, idx: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return jax.lax.optimization_barrier(out)
 
 
+def build_pair_arcs(units_np, root_state: int, max_arcs: int = 2048):
+    """Host precompute for the depth-1 walk step (the one following
+    step_root): the live DEPTH-2 ARCS of the trie, keyed by the first
+    two bytes. Real tries have very few (nmt_nfkc charsmap: 333; an 8k
+    English vocab: 123), so the device step collapses to a one-hot
+    compare over the sorted keys — ~20x cheaper than a full-table
+    gather. Returns (keys int32[K], w0 int32[K], w1 int32[K]) with
+    w0 = post-step state | has_leaf<<31 and w1 = leaf value, or None
+    when the trie has more than ``max_arcs`` arcs (the generic walk
+    step stays correct and cheap enough there)."""
+    import numpy as np
+    u = np.asarray(units_np, np.uint32)
+    U = len(u)
+    c1 = np.arange(256, dtype=np.uint32)
+    n1 = np.minimum(np.uint32(root_state) ^ c1, np.uint32(U - 1))
+    u1 = u[n1]
+    ok1 = (u1 & np.uint32((1 << 31) | 0xFF)) == c1
+    offs1 = (u1 >> np.uint32(10)) << ((u1 & np.uint32(1 << 9))
+                                      >> np.uint32(6))
+    s1 = n1 ^ offs1
+    keys, w0s, w1s = [], [], []
+    leaf_mask = np.uint32(0x7FFFFFFF)
+    for a in np.nonzero(ok1)[0]:
+        c2 = np.arange(256, dtype=np.uint32)
+        n2 = np.minimum(s1[a] ^ c2, np.uint32(U - 1))
+        u2 = u[n2]
+        ok2 = (u2 & np.uint32((1 << 31) | 0xFF)) == c2
+        if not ok2.any():
+            continue
+        offs2 = (u2 >> np.uint32(10)) << ((u2 & np.uint32(1 << 9))
+                                          >> np.uint32(6))
+        s2 = n2 ^ offs2
+        has_leaf = ok2 & ((u2 & np.uint32(1 << 8)) != 0)
+        leaf_pos = np.minimum(s2, np.uint32(U - 1))
+        leafv = u[leaf_pos] & leaf_mask
+        for b in np.nonzero(ok2)[0]:
+            keys.append(int(a) * 256 + int(b))
+            w0s.append(int(s2[b]) | (int(has_leaf[b]) << 31))
+            w1s.append(int(leafv[b]) if has_leaf[b] else 0)
+            if len(keys) > max_arcs:
+                return None
+    if not keys:  # degenerate trie: no depth-2 arcs at all
+        keys, w0s, w1s = [-1], [0], [0]
+    import numpy as _np
+    # w0's has_leaf bit 31 exceeds the positive int32 range — build as
+    # uint32 and reinterpret (the device side tests the sign bit)
+    return (_np.asarray(keys, _np.int32),
+            _np.asarray(w0s, _np.uint32).view(_np.int32),
+            _np.asarray(w1s, _np.int32))
+
+
+def step_pair(arc_keys: jnp.ndarray, arc_w0: jnp.ndarray,
+              arc_w1: jnp.ndarray, key: jnp.ndarray, live: jnp.ndarray,
+              state0: jnp.ndarray, block: int = 512):
+    """Depth-1 walk step via one-hot key matching over the live depth-2
+    arcs (see build_pair_arcs). ``key`` = first_byte*256 + second_byte
+    per lane; ``state0`` is the post-step_root state, kept where the
+    arc does not exist (matching the generic step's semantics).
+
+    Returns (state, alive, val)."""
+    K = int(arc_keys.shape[0])
+    flat = key.reshape(-1)
+    Kp = ((K + block - 1) // block) * block
+    kpad = jnp.concatenate(
+        [arc_keys, jnp.full((Kp - K,), -2, jnp.int32)]).reshape(-1, block)
+    w0pad = jnp.concatenate(
+        [arc_w0, jnp.zeros((Kp - K,), jnp.int32)]).reshape(-1, block)
+    w1pad = jnp.concatenate(
+        [arc_w1, jnp.zeros((Kp - K,), jnp.int32)]).reshape(-1, block)
+    fnd = jnp.zeros(flat.shape, bool)
+    w0 = jnp.zeros(flat.shape, jnp.int32)
+    w1 = jnp.zeros(flat.shape, jnp.int32)
+    for b in range(Kp // block):
+        oh = flat[:, None] == kpad[b][None, :]
+        fnd = fnd | jnp.any(oh, axis=1)
+        w0 = w0 + jnp.sum(jnp.where(oh, w0pad[b][None, :], 0), axis=1)
+        w1 = w1 + jnp.sum(jnp.where(oh, w1pad[b][None, :], 0), axis=1)
+    fnd = fnd.reshape(key.shape)
+    w0 = w0.reshape(key.shape)
+    w1 = w1.reshape(key.shape)
+    ok = live & fnd
+    state = jnp.where(ok, (w0 & 0x7FFFFFFF).astype(jnp.uint32), state0)
+    has_leaf = ok & (w0 < 0)
+    val = jnp.where(has_leaf, w1, jnp.int32(-1))
+    return state, ok, val
+
+
 def step_root(units: jnp.ndarray, batch: jnp.ndarray, in_range: jnp.ndarray,
               *, root_state: int):
     """Depth-0 walk step against the PAIRED table via a 256-row one-hot.
