@@ -186,7 +186,7 @@ def _utf8_class(batch: jnp.ndarray, lengths: jnp.ndarray
 
 
 def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
-                      arcs=None):
+                      arcs=None, value_bits=32):
     """Longest charsmap match per byte position: (mlen, mval) int32[B,N].
 
     The walk is an early-exit ``while_loop`` over depth, not a fixed
@@ -205,7 +205,12 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
     bp = jnp.concatenate([batch, jnp.zeros((B, D), jnp.uint8)], axis=1)
     label_mask = jnp.uint32((1 << 31) | 0xFF)
     leaf_bit = jnp.uint32(1 << 8)
-    use_mxu = int(units.shape[0]) <= 16384
+    # big tries (44k charsmap) measured faster with the serial row
+    # gather pre-col_bits; SPM_TPU_CHARSMAP_MXU=1 flips them onto the
+    # 6-plane MXU form for A/B (see docs/design.md rule 7)
+    import os
+    use_mxu = (int(units.shape[0]) <= 16384
+               or os.environ.get("SPM_TPU_CHARSMAP_MXU") == "1")
 
     # -- depth-0 step, peeled: the root can only transition through 256
     # positions (root_state ^ byte), so the first full-table gather
@@ -241,9 +246,11 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
         # units is the PAIRED table (trie.build_paired); MXU digit
         # gather for small tries (see encode.py walk note), serial row
         # gather for big ones (charsmap, 44k units — MXU form measured
-        # slower there)
+        # slower there pre-col_bits)
         if use_mxu:
-            row = trie.gather_mxu(units, safe, d2=32)
+            row = trie.gather_mxu(
+                units, safe, d2=32 if int(units.shape[0]) <= 16384 else 64,
+                col_bits=(32, value_bits))
         else:
             row = trie._gather(units, safe)
         unit = row[..., 0]
@@ -275,9 +282,13 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     out_len int32[B])."""
     B, N = batch.shape
 
+    # rule values are offsets into the raw pool, which the escaped pool
+    # bounds — static, so the MXU form can skip all-zero value planes
+    vbits = max(8, int(esc_pool.shape[0]).bit_length())
     mlen, mval = _charsmap_longest(units, batch, lengths,
                                    max_rule_len=max_rule_len,
-                                   root_state=root_state, arcs=arcs)
+                                   root_state=root_state, arcs=arcs,
+                                   value_bits=vbits)
     char_len, valid_utf8 = _utf8_class(batch, lengths)
 
     # per-position chunk tables
