@@ -88,10 +88,16 @@ def build_word_lattices(words: List[Tuple[str, int]],
 def _node_scores(lat_id, score_table, alive, min_score):
     """Per-node lattice scores with alive-mask + UNK fallback (id 0,
     min_score - 10) where no single-char piece survives
-    (unigram_model.cc:595-603)."""
+    (unigram_model.cc:595-603).
+
+    The alive mask folds into the score table ONCE (dead -> -inf) so
+    the lattice pays a single [W*P*K] gather, not two — gathers lower
+    to a per-element scalar loop on TPU and this is the E-step's widest
+    one."""
     vsafe = jnp.maximum(lat_id, 0)
-    piece_ok = (lat_id >= 0) & alive[vsafe]
-    sc = jnp.where(piece_ok, score_table[vsafe], NEG_INF)
+    masked = jnp.where(alive, score_table, NEG_INF)
+    sc = jnp.where(lat_id >= 0, masked[vsafe], NEG_INF)
+    piece_ok = sc > NEG_INF / 2
     unk_score = min_score - K_UNK_PENALTY
     # k=1 lane: if no surviving single-char piece, UNK node (id -> 0)
     lane0_ok = piece_ok[:, :, 0]
