@@ -185,11 +185,14 @@ def estep(lat_id: jnp.ndarray, lens: jnp.ndarray, freqs: jnp.ndarray,
     sc = jnp.where(valid, sc, NEG_INF)
     alpha, beta, logZ = _forward_backward(sc, lens)
 
-    # node marginal: alpha[begin] + sc + beta[end] - Z
+    # node marginal: alpha[begin] + sc + beta[end] - Z. beta[end] is the
+    # structured shift beta[:, p+j+1] — K stacked slices, not a
+    # lattice-wide gather (which lowers to a scalar loop on TPU)
     a_b = alpha[:, :P][:, :, None]
-    end_idx = jnp.broadcast_to(jnp.minimum(pos + klen, P), (W, P, K))
-    b_e = jnp.take_along_axis(beta, end_idx.reshape(W, P * K),
-                              axis=1).reshape(W, P, K)
+    b_e = jnp.stack(
+        [jnp.concatenate([beta[:, j + 1:],
+                          jnp.zeros((W, j), jnp.float32)], axis=1)[:, :P]
+         for j in range(K)], axis=2)
     marg = jnp.exp(a_b + sc + b_e - logZ[:, None, None])
     marg = jnp.where(valid & (node_id >= 0) & (sc > NEG_INF / 2), marg, 0.0)
     marg = marg * freqs[:, None, None]
