@@ -492,22 +492,41 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     ocols = jnp.arange(O, dtype=jnp.int32)[None, :]
     chunk_t = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
                                (B, N))
-    cid0 = jnp.full((B, O), -1, jnp.int32)
+    # which-chunk-covers-output-o map and the per-output chunk reads are
+    # all ROW-LOCAL (indices within the row's own span), so they run as
+    # batched one-hot matmuls on the MXU instead of serial per-element
+    # gathers (trie.taa_mxu rationale; ~15x at these widths). Rows that
+    # overflow n_out can mark one column twice — their cid/out bytes
+    # are garbage, but every overflow row is re-encoded on the exact
+    # host path and masked out of the gate.
     mark_cols = jnp.where(emits > 0, jnp.minimum(offs, n_out), O)
-    cid0 = trie._scatter_max(cid0,
-                             jnp.broadcast_to(rows[:, None], (B, N)),
-                             mark_cols, chunk_t)
+    cid0 = trie.scatter_rowlocal_mxu(
+        chunk_t, mark_cols, O, fill=-1,
+        value_bits=max(8, (N - 1).bit_length()))
     cid = jax.lax.cummax(cid0, axis=1)
 
     # pack (offset, kind, src) of each chunk into one word so the
-    # per-output gather is a single op: off<=O fits 9 bits (clipped),
-    # kind 2 bits, src (pool offset or input position) the rest.
-    pk = (jnp.minimum(offs, n_out + 1)
-          | (kinds << 9) | (srcs << 11))   # [B, N] int32
-    pk_o = trie._taa(pk, jnp.maximum(cid, 0))    # [B, O]
-    off_o = pk_o & 0x1FF
-    kind_o = (pk_o >> 9) & 3
-    src_o = pk_o >> 11
+    # per-output gather is a single op. Bit widths are STATIC from
+    # n_out and the pool size — a fixed 9-bit offset field silently
+    # corrupted rows whose normalized output passed 511 bytes (caught
+    # by test_device_normalizer_long_rows); when the three fields
+    # cannot share 31 bits (wide buckets), src moves to a second word.
+    ob = (n_out + 2).bit_length()
+    sb = max(int(esc_pool.shape[0]) + 4 * wsl, N).bit_length()
+    cidc = jnp.clip(cid, 0, N - 1)
+    off_c = jnp.minimum(offs, n_out + 1)
+    if ob + 2 + sb <= 31:
+        pk = off_c | (kinds << ob) | (srcs << (ob + 2))   # [B, N] int32
+        pk_o = trie.taa_mxu(pk, cidc, value_bits=ob + 2 + sb)
+        off_o = pk_o & ((1 << ob) - 1)
+        kind_o = (pk_o >> ob) & 3
+        src_o = pk_o >> (ob + 2)
+    else:
+        pk = off_c | (kinds << ob)
+        pk_o = trie.taa_mxu(pk, cidc, value_bits=ob + 2)
+        off_o = pk_o & ((1 << ob) - 1)
+        kind_o = (pk_o >> ob) & 3
+        src_o = trie.taa_mxu(srcs, cidc, value_bits=sb)
     j_o = ocols - off_o
 
     # byte pool lookup: MXU digit gather with single-plane values
@@ -518,7 +537,9 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     R = max(max_rep_len, 4)
     batch_pad = jnp.concatenate([batch, jnp.zeros((B, R), jnp.uint8)],
                                 axis=1)
-    raw_b = trie._taa(batch_pad, jnp.clip(src_o + j_o, 0, N + R - 1))
+    raw_b = trie.taa_mxu(batch_pad,
+                         jnp.clip(src_o + j_o, 0, N + R - 1),
+                         value_bits=8)
     jsafe = jnp.clip(j_o, 0, 3)
     fffd_pad = jnp.concatenate([fffd_arr, jnp.zeros(1, jnp.uint8)])
     ws_pad = jnp.concatenate([ws_arr, jnp.zeros(1, jnp.uint8)])

@@ -197,6 +197,70 @@ def _taa(arr: jnp.ndarray, idx: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return jax.lax.optimization_barrier(out)
 
 
+_ROWLOCAL_MAX_N = 2048
+
+
+def taa_mxu(arr: jnp.ndarray, idx: jnp.ndarray,
+            value_bits: int = 32) -> jnp.ndarray:
+    """Row-local take_along_axis via batched one-hot matmuls on the MXU.
+
+    out[b, o] = arr[b, idx[b, o]] — indices stay within each row's own
+    N-wide span, so the lookup is a batched dot against a [B, O, N]
+    one-hot: exact in 8-bit byte planes (see gather_mxu), and at
+    ~0.05 ns x N/128 per output lane it beats the serial per-element
+    gather (~7 ns) until N ~ 2000 (the fallback). idx must be in
+    [0, N); out-of-range lanes would read as 0 rather than clip.
+    """
+    B, N = int(arr.shape[0]), int(arr.shape[1])
+    if N > _ROWLOCAL_MAX_N:
+        return _taa(arr, idx)
+    nbytes = max(1, (value_bits + 7) // 8)
+    oh = (idx[:, :, None]
+          == jnp.arange(N, dtype=jnp.int32)[None, None, :]).astype(
+              jnp.bfloat16)                       # [B, O, N]
+    a32 = arr.astype(jnp.uint32) if arr.dtype != jnp.uint32 else arr
+    planes = jnp.stack([((a32 >> (8 * by)) & 0xFF).astype(jnp.bfloat16)
+                        for by in range(nbytes)], axis=2)   # [B, N, nb]
+    out_p = jnp.einsum("bon,bnc->boc", oh, planes,
+                       preferred_element_type=jnp.float32)
+    out_b = out_p.astype(jnp.uint32)
+    v = out_b[..., 0]
+    for by in range(1, nbytes):
+        v = v | (out_b[..., by] << (8 * by))
+    return v.astype(arr.dtype) if arr.dtype != jnp.uint32 else v
+
+
+def scatter_rowlocal_mxu(values: jnp.ndarray, cols: jnp.ndarray, O: int,
+                         fill: int, value_bits: int = 32) -> jnp.ndarray:
+    """Row-local scatter via the transposed one-hot dot: out[b, o] =
+    values[b, n] where cols[b, n] == o, else ``fill``. Requires cols to
+    hit each output column at most once per row (callers' offsets are
+    strictly increasing); cols >= O drop. Values must be >= 0
+    (biased internally so a no-hit column decodes to ``fill``)."""
+    B, N = int(values.shape[0]), int(values.shape[1])
+    if max(N, O) > _ROWLOCAL_MAX_N:
+        target = jnp.full((B, O + 1), fill, values.dtype)
+        rows = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
+        out = _scatter_set(target, rows, jnp.minimum(cols, O), values)
+        return out[:, :O]
+    nbytes = max(1, (value_bits + 8) // 8)  # +1 bit for the bias
+    oh = (cols[:, :, None]
+          == jnp.arange(O, dtype=jnp.int32)[None, None, :]).astype(
+              jnp.bfloat16)                       # [B, N, O]
+    biased = (values + 1).astype(jnp.uint32)      # 0 = no hit
+    planes = jnp.stack([((biased >> (8 * by)) & 0xFF).astype(jnp.bfloat16)
+                        for by in range(nbytes)], axis=2)   # [B, N, nb]
+    out_p = jnp.einsum("bno,bnc->boc", oh, planes,
+                       preferred_element_type=jnp.float32)
+    out_b = out_p.astype(jnp.uint32)
+    v = out_b[..., 0]
+    for by in range(1, nbytes):
+        v = v | (out_b[..., by] << (8 * by))
+    return jnp.where(v == 0, jnp.asarray(fill, values.dtype),
+                     (v - 1).astype(values.dtype))
+
+
 def build_pair_arcs(units_np, root_state: int, max_arcs: int = 2048):
     """Host precompute for the depth-1 walk step (the one following
     step_root): the live DEPTH-2 ARCS of the trie, keyed by the first

@@ -109,6 +109,44 @@ def test_pipeline_bit_exact_ja_unigram(fixtures_dir, wagahai_path):
     assert bad == 0
 
 
+def test_device_normalizer_long_rows():
+    """Regression: the packed (offset, kind, src) chunk word used a
+    FIXED 9-bit offset field, silently corrupting any row whose
+    normalized output passed 511 bytes (first corpus-visible in wide
+    buckets). Field widths are now static from n_out."""
+    import numpy as np
+    from sentencepiece_tpu.train.facade import get_normalizer_spec
+    from sentencepiece_tpu.normalizer.normalize import Normalizer
+    from sentencepiece_tpu.tpu.normalize import BatchNormalizer
+
+    spec = get_normalizer_spec("nmt_nfkc")
+    host = Normalizer(spec)
+    dev = BatchNormalizer(spec)
+    for L, W in [(700, 704), (1500, 1504)]:
+        line = (b"word stuff things " * 200)[:L]
+        arr = np.zeros((1, W), np.uint8)
+        arr[0, :L] = np.frombuffer(line, np.uint8)
+        out, total = dev.normalize(arr, np.asarray([L], np.int32))
+        got = np.asarray(out)[0, :int(total[0])].tobytes()
+        assert got == host.normalize(line)[0], L
+
+
+def test_pipeline_long_lines_bit_exact():
+    """Long lines (wide buckets, normalized output far past 511 bytes)
+    through the full device pipeline vs the host processor."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    texts = ["the quick brown fox jumps over the lazy dog " * 16,
+             "a " * 300, "supercalifragilistic " * 20]
+    dev = tok.encode(texts)
+    for t, d in zip(texts, dev):
+        assert d == sp.encode_as_ids(t), t[:40]
+
+
 def test_pick_enc_width():
     """The host-side normalized-length bound: exact-or-over for
     match-free rows, capped for pathological ones, sane on empties."""
