@@ -343,21 +343,22 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     # (mirrors sentencepiece_processor.cc:506-521, 945-979)
     t_idx = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
     T0 = jnp.sum(alive, axis=1, dtype=jnp.int32)
-    seq = jnp.full((B, L + 1), -1, jnp.int32)
-    seq = trie._scatter_set(seq, jnp.broadcast_to(rows[:, None], (B, L)),
-                            jnp.where(alive, t_idx, L),
-                            jnp.where(alive, out_id, -1))
-    seq = seq[:, :L]
+    # both compaction scatters are row-local -> MXU one-hot (see
+    # trie.taa_mxu); dropped lanes of the second pile into column M-1,
+    # which the set() below overwrites
+    vb = max(8, int(sym_to_id.shape[0]).bit_length())
+    seq = trie.scatter_rowlocal_mxu(
+        jnp.maximum(out_id, 0), jnp.where(alive, t_idx, L), L, fill=-1,
+        value_bits=vb)
     t = jnp.arange(L, dtype=jnp.int32)[None, :]
     prev = jnp.concatenate([jnp.full((B, 1), -1, seq.dtype), seq[:, :-1]],
                            axis=1)
     keep2 = (t < T0[:, None]) & ~((seq == unk_id) & (prev == unk_id))
     newidx = jnp.cumsum(keep2, axis=1, dtype=jnp.int32) - 1
     M = L + 2
-    out = jnp.full((B, M), pad_id, jnp.int32)
-    out = trie._scatter_set(out, jnp.broadcast_to(rows[:, None], (B, L)),
-                            jnp.where(keep2, newidx, M - 1),
-                            jnp.where(keep2, seq, pad_id))
+    out = trie.scatter_rowlocal_mxu(
+        jnp.where(keep2, seq, pad_id), jnp.where(keep2, newidx, M - 1),
+        M, fill=pad_id, value_bits=vb)
     out = out.at[:, M - 1].set(pad_id)
     newT = jnp.sum(keep2, axis=1, dtype=jnp.int32)
 
@@ -520,12 +521,12 @@ def utf8_to_cp_batch(batch, lengths, out_w: Optional[int] = None):
                       ((b & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3)))
     seg = jnp.cumsum(is_lead, axis=1, dtype=jnp.int32) - 1
     cp_lens = jnp.sum(is_lead, axis=1, dtype=jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, N))
-    out = jnp.zeros((B, W + 1), jnp.int32)
     put = is_lead & (seg < W)
-    out = trie._scatter_set(out, rows, jnp.where(put, seg, W),
-                            jnp.where(put, cp, 0))
-    return out[:, :W], cp_lens
+    # row-local compaction scatter -> MXU one-hot (trie.taa_mxu note)
+    out = trie.scatter_rowlocal_mxu(
+        jnp.where(put, cp, 0), jnp.where(put, seg, W), W, fill=0,
+        value_bits=21)
+    return out, cp_lens
 
 
 @functools.partial(
@@ -569,7 +570,10 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
 
     def scores_of(sym, nxt, alive):
         nsafe = jnp.clip(nxt, 0, L - 1)
-        r_sym = jnp.where(alive & (nxt < L), trie._taa(sym, nsafe), -1)
+        # row-local linked-list read -> MXU one-hot (sym holds -1s,
+        # which roundtrip exactly through the 32-bit byte planes)
+        r_sym = jnp.where(alive & (nxt < L),
+                          trie.taa_mxu(sym, nsafe, value_bits=32), -1)
         return pair_lookup(jnp.where(alive, sym, -1), r_sym)
 
     # scores are computed ONCE per round and carried through the loop
@@ -590,11 +594,14 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
         # Keep alternate chain members, leftmost first: rank parity via
         # segmented cumsum in position order (list order == position
         # order).
-        mark = jnp.zeros((Bb, L), jnp.bool_)
-        mark = trie._scatter_set(
-            mark, jnp.broadcast_to(rws[:, None], (Bb, L)),
-            jnp.where(sel, r_idx, L),
-            jnp.broadcast_to(jnp.bool_(True), (Bb, L)))
+        # the mark/absorb scatters and both linked-list reads are ROW-
+        # LOCAL (indices within the row's own L-wide span), so they run
+        # as batched one-hot matmuls on the MXU (trie.taa_mxu rationale;
+        # these four ops were the whole per-round serial-gather cost)
+        one = jnp.ones((Bb, L), jnp.int32)
+        mark = trie.scatter_rowlocal_mxu(
+            one, jnp.where(sel, r_idx, L), L, fill=0,
+            value_bits=8).astype(jnp.bool_)
         chain_cont = sel & mark
         # segment ranks: rank[p] = #consecutive chain predecessors
         csel = jnp.cumsum(sel, axis=1)
@@ -605,12 +612,11 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
         keep = sel & (rank % 2 == 0)
 
         # right halves being absorbed
-        absorbed = jnp.zeros((Bb, L), jnp.bool_)
-        absorbed = trie._scatter_set(
-            absorbed, jnp.broadcast_to(rws[:, None], (Bb, L)),
-            jnp.where(keep, r_idx, L),
-            jnp.broadcast_to(jnp.bool_(True), (Bb, L)))
-        nxt_of_r = trie._taa(nxt, r_idx)
+        absorbed = trie.scatter_rowlocal_mxu(
+            one, jnp.where(keep, r_idx, L), L, fill=0,
+            value_bits=8).astype(jnp.bool_)
+        nxt_of_r = trie.taa_mxu(nxt, r_idx,
+                                value_bits=max(8, (L + 1).bit_length()))
         new_sym = jnp.where(keep, pnew, sym)
         new_sym = jnp.where(absorbed, -1, new_sym)
         new_nxt = jnp.where(keep, nxt_of_r, nxt)
@@ -675,21 +681,22 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
     # sequential kernel)
     t_idx = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
     T0 = jnp.sum(alive, axis=1, dtype=jnp.int32)
-    seq = jnp.full((B, L + 1), -1, jnp.int32)
-    seq = trie._scatter_set(seq, jnp.broadcast_to(rows[:, None], (B, L)),
-                            jnp.where(alive, t_idx, L),
-                            jnp.where(alive, out_id, -1))
-    seq = seq[:, :L]
+    # both compaction scatters are row-local -> MXU one-hot (see
+    # trie.taa_mxu); dropped lanes of the second pile into column M-1,
+    # which the set() below overwrites
+    vb = max(8, int(sym_to_id.shape[0]).bit_length())
+    seq = trie.scatter_rowlocal_mxu(
+        jnp.maximum(out_id, 0), jnp.where(alive, t_idx, L), L, fill=-1,
+        value_bits=vb)
     t = jnp.arange(L, dtype=jnp.int32)[None, :]
     prev = jnp.concatenate([jnp.full((B, 1), -1, seq.dtype), seq[:, :-1]],
                            axis=1)
     keep2 = (t < T0[:, None]) & ~((seq == unk_id) & (prev == unk_id))
     newidx = jnp.cumsum(keep2, axis=1, dtype=jnp.int32) - 1
     M = L + 2
-    out = jnp.full((B, M), pad_id, jnp.int32)
-    out = trie._scatter_set(out, jnp.broadcast_to(rows[:, None], (B, L)),
-                            jnp.where(keep2, newidx, M - 1),
-                            jnp.where(keep2, seq, pad_id))
+    out = trie.scatter_rowlocal_mxu(
+        jnp.where(keep2, seq, pad_id), jnp.where(keep2, newidx, M - 1),
+        M, fill=pad_id, value_bits=vb)
     out = out.at[:, M - 1].set(pad_id)
     newT = jnp.sum(keep2, axis=1, dtype=jnp.int32)
 

@@ -280,10 +280,12 @@ def unigram_encode_batch(units: jnp.ndarray,
     rc_incl = jnp.flip(jnp.cumsum(jnp.flip(keep, axis=1), axis=1,
                                   dtype=jnp.int32), axis=1)
     newT = rc_incl[:, 0]
-    out = jnp.full((B, N + 2), pad_id, jnp.int32)
-    scat_col = jnp.where(keep, rc_incl - 1, N + 1)
-    out = out.at[rows[:, None], scat_col].set(
-        jnp.where(keep, rev_ids, pad_id), mode="drop")
+    # row-local scatter -> MXU one-hot; dropped lanes pile into column
+    # N+1, which the set() below overwrites
+    out = trie.scatter_rowlocal_mxu(
+        jnp.where(keep, rev_ids, pad_id),
+        jnp.where(keep, rc_incl - 1, N + 1), N + 2, fill=pad_id,
+        value_bits=max(8, int(lat_score_table.shape[0]).bit_length()))
     out = out.at[:, N + 1].set(pad_id)
 
     # -- extra options: reverse / bos / eos (ApplyExtraOptions order) ---------
@@ -658,10 +660,10 @@ def unigram_sample_batch(units: jnp.ndarray,
     rc_incl = jnp.flip(jnp.cumsum(jnp.flip(keep, axis=1), axis=1,
                                   dtype=jnp.int32), axis=1)
     newT = rc_incl[:, 0]
-    out = jnp.full((B, N + 2), pad_id, jnp.int32)
-    scat_col = jnp.where(keep, rc_incl - 1, N + 1)
-    out = out.at[rows[:, None], scat_col].set(
-        jnp.where(keep, rev_ids, pad_id), mode="drop")
+    out = trie.scatter_rowlocal_mxu(
+        jnp.where(keep, rev_ids, pad_id),
+        jnp.where(keep, rc_incl - 1, N + 1), N + 2, fill=pad_id,
+        value_bits=max(8, int(lat_score_table.shape[0]).bit_length()))
     out = out.at[:, N + 1].set(pad_id)
 
     M = N + 2

@@ -85,12 +85,11 @@ def span_encode_batch(units: jnp.ndarray,
     T = jnp.sum(starts, axis=1, dtype=jnp.int32)
     tok_idx = jnp.cumsum(starts, axis=1, dtype=jnp.int32) - 1
     rowsB = jnp.arange(B, dtype=jnp.int32)[:, None]
-    # starts_arr[b, k] = byte position of the k-th token start
-    starts_arr = trie._scatter_set(
-        jnp.zeros((B, N + 1), jnp.int32),
-        jnp.broadcast_to(rowsB, (B, N)),
-        jnp.where(starts, tok_idx, N),
-        jnp.where(starts, pos, 0))[:, :N]
+    # starts_arr[b, k] = byte position of the k-th token start —
+    # row-local compaction scatter -> MXU one-hot (trie.taa_mxu note)
+    starts_arr = trie.scatter_rowlocal_mxu(
+        jnp.where(starts, pos, 0), jnp.where(starts, tok_idx, N), N,
+        fill=0, value_bits=max(8, (N - 1).bit_length()))
     k = jnp.arange(N, dtype=jnp.int32)[None, :]
     ends = jnp.concatenate([starts_arr[:, 1:], jnp.zeros((B, 1), jnp.int32)],
                            axis=1)
@@ -108,10 +107,10 @@ def span_encode_batch(units: jnp.ndarray,
                            axis=1)
     keep = (t < T[:, None]) & ~((ids == unk_id) & (prev == unk_id))
     newidx = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
-    out = jnp.full((B, N + 2), pad_id, jnp.int32)
-    scat_col = jnp.where(keep, newidx, N + 1)
-    out = out.at[rows[:, None], scat_col].set(
-        jnp.where(keep, ids, pad_id), mode="drop")
+    out = trie.scatter_rowlocal_mxu(
+        jnp.where(keep, ids, pad_id), jnp.where(keep, newidx, N + 1),
+        N + 2, fill=pad_id,
+        value_bits=max(8, int(zero_scores.shape[0]).bit_length()))
     out = out.at[:, N + 1].set(pad_id)
     newT = jnp.sum(keep, axis=1, dtype=jnp.int32)
 
