@@ -69,10 +69,10 @@ if not os.path.exists(UNIGRAM_MODEL):  # reference mount is rig-specific
 # Attempt 1 gets a longer leash: a cold compilation-cache run pays
 # ~5 min of XLA compiles before any timing (the persistent cache only
 # fills on compile COMPLETION, so killing mid-compile forfeits the work).
-ATTEMPT_TIMEOUT_S = int(os.environ.get("SPM_BENCH_ATTEMPT_TIMEOUT", "480"))
+ATTEMPT_TIMEOUT_S = int(os.environ.get("SPM_BENCH_ATTEMPT_TIMEOUT", "600"))
 FIRST_ATTEMPT_TIMEOUT_S = int(
-    os.environ.get("SPM_BENCH_FIRST_ATTEMPT_TIMEOUT", "1200"))
-ATTEMPTS = int(os.environ.get("SPM_BENCH_ATTEMPTS", "3"))
+    os.environ.get("SPM_BENCH_FIRST_ATTEMPT_TIMEOUT", "1800"))
+ATTEMPTS = int(os.environ.get("SPM_BENCH_ATTEMPTS", "4"))
 
 
 def _note(msg: str) -> None:
@@ -171,48 +171,35 @@ def child_main() -> None:
     batch_bytes = int(lens.sum())
     a, l = jnp.asarray(arr), jnp.asarray(lens)
 
-    toks, fns, loops, procs = {}, {}, {}, {}
-    for name, model in (("unigram", UNIGRAM_MODEL), ("bpe", BPE_MODEL)):
+    def run_model(name, model, gold_path, label):
+        """Construct, compile, time, gate and EMIT one pipeline's
+        metric line. Per-model so a wedge while compiling the second
+        model cannot lose the first's already-measured result (the
+        supervisor salvages every parsed line from a failed attempt;
+        compile-cache entries persist per completed compile, so even
+        killed attempts make incremental progress)."""
         _note(f"{name}: construct tokenizer")
-        procs[name] = SentencePieceProcessor(model)
-        toks[name] = TpuTokenizer(procs[name])
+        sp = SentencePieceProcessor(model)
+        tok = TpuTokenizer(sp)
         # batch-adaptive encode width (host-side normalized-length
         # bound): the program the user's encode() would dispatch
-        w_enc = toks[name].pick_enc_width(arr, lens, WIDTH)
-        _note(f"{name}: encode width {w_enc} "
-              f"(cap {toks[name].enc_width(WIDTH)})")
-        fns[name] = toks[name]._pipeline_fn(WIDTH, w_enc)
-        loops[name] = toks[name].bench_loop_fn(WIDTH, w_enc)
+        w_enc = tok.pick_enc_width(arr, lens, WIDTH)
+        _note(f"{name}: encode width {w_enc} (cap {tok.enc_width(WIDTH)})")
+        fn = tok._pipeline_fn(WIDTH, w_enc)
+        loop = tok.bench_loop_fn(WIDTH, w_enc)
         _note(f"{name}: warm dispatch (compile if cold)")
-        _, _ = _run_to_scalar(loops[name], a, l, 1)  # compile + warm
-        _note(f"{name}: warm done")
-
-    # ---- timed phase for BOTH pipelines BEFORE any device->host
-    # readback (readbacks can degrade later dispatches on this rig) ----
-    values = {}
-    for name in ("bpe", "unigram"):
+        _run_to_scalar(loop, a, l, 1)
         _note(f"{name}: timed windows")
-        values[name] = _time_pipeline(loops[name], a, l, batch_bytes)
-        _note(f"{name}: timed done ({values[name] / 1e6:.2f} MB/s)")
-
-    # ---- correctness gates (untimed, on-device compare) ----
-    results = []
-    for name, gold_path, label in (
-            ("bpe", GOLD_BPE,
-             "encode bytes/s/chip (normalize+bpe merge scan, botchan, "
-             "bit-exact)"),
-            ("unigram", GOLD_UNIGRAM,
-             "encode bytes/s/chip (normalize+unigram viterbi, botchan, "
-             "bit-exact)")):
-        entry = {"metric": label, "value": round(values[name], 1),
+        value = _time_pipeline(loop, a, l, batch_bytes)
+        _note(f"{name}: timed done ({value / 1e6:.2f} MB/s)")
+        entry = {"metric": label, "value": round(value, 1),
                  "unit": "bytes/s",
-                 "vs_baseline": round(values[name] / BASELINE_BYTES_PER_S,
-                                      4)}
+                 "vs_baseline": round(value / BASELINE_BYTES_PER_S, 4)}
         if gold_path is not None:
             _note(f"{name}: device gate")
             gold = _load_gold(gold_path)
             short_gold = [gold[i] for i in short_idx]
-            nbad, oflow = _device_gate(fns[name], a, l, short_gold)
+            nbad, oflow = _device_gate(fn, a, l, short_gold)
             # host path covers what the device batch didn't: long lines
             # + normalization-overflow rows (pure CPU, no relay risk)
             _note(f"{name}: host-path gate (device bad={nbad}, "
@@ -220,7 +207,6 @@ def child_main() -> None:
             host_rows = [i for i in range(len(raw)) if len(raw[i]) > WIDTH]
             host_rows += [short_idx[j] for j in range(len(short_idx))
                           if oflow[j]]
-            sp = procs[name]
             nbad_host = sum(
                 1 for i in host_rows
                 if sp.encode_as_ids(
@@ -229,11 +215,21 @@ def child_main() -> None:
                 entry.update(value=0, vs_baseline=0.0,
                              error=(f"{nbad} device / {nbad_host} host "
                                     f"lines mismatch reference ids"))
-        results.append(entry)
+        return entry
 
-    results[-1]["bpe_bytes_per_s"] = results[0]["value"]
-    for entry in results:  # headline unigram metric printed last
-        print(json.dumps(entry))
+    # BPE first, headline unigram LAST (a single-line parser records
+    # the final line)
+    bpe_entry = run_model(
+        "bpe", BPE_MODEL, GOLD_BPE,
+        "encode bytes/s/chip (normalize+bpe merge scan, botchan, "
+        "bit-exact)")
+    print(json.dumps(bpe_entry), flush=True)
+    uni_entry = run_model(
+        "unigram", UNIGRAM_MODEL, GOLD_UNIGRAM,
+        "encode bytes/s/chip (normalize+unigram viterbi, botchan, "
+        "bit-exact)")
+    uni_entry["bpe_bytes_per_s"] = bpe_entry["value"]
+    print(json.dumps(uni_entry), flush=True)
 
 
 def main() -> None:
@@ -242,8 +238,12 @@ def main() -> None:
         return
     # Supervisor: run the measurement in a child; if the relay session
     # wedges (no output for the attempt window), kill THAT pid and retry
-    # with a fresh process/session.
+    # with a fresh process/session. Parsed metric lines from FAILED
+    # attempts are salvaged — the child emits each model's line as soon
+    # as it is gated, and completed XLA compiles persist in the cache,
+    # so every attempt makes progress even when a later stage wedges.
     last_err = "no attempts ran"
+    best: list = []
     for attempt in range(1, ATTEMPTS + 1):
         tmo = FIRST_ATTEMPT_TIMEOUT_S if attempt == 1 else ATTEMPT_TIMEOUT_S
         _note(f"attempt {attempt}/{ATTEMPTS} (timeout {tmo}s)")
@@ -251,27 +251,37 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__)],
             env={**os.environ, "SPM_BENCH_CHILD": "1"},
             stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+        timed_out = False
         try:
             out, _ = p.communicate(timeout=tmo)
         except subprocess.TimeoutExpired:
             p.kill()
-            p.wait()
-            last_err = f"attempt {attempt} wedged (killed pid {p.pid})"
-            _note(last_err)
-            continue
-        lines = [ln for ln in (out or "").splitlines() if ln.strip()]
-        try:
-            parsed = [json.loads(ln) for ln in lines]
-        except json.JSONDecodeError:
-            last_err = f"attempt {attempt} bad output: {lines[-1][:200]}"
-            _note(last_err)
-            continue
-        if p.returncode == 0 and parsed:
+            out, _ = p.communicate()  # salvage buffered stdout
+            timed_out = True
+        lines = []
+        for ln in (out or "").splitlines():
+            if not ln.strip():
+                continue
+            try:
+                json.loads(ln)
+                lines.append(ln)
+            except json.JSONDecodeError:
+                pass
+        if len(lines) > len(best):
+            best = lines
+        if not timed_out and p.returncode == 0 and lines:
             for ln in lines:
                 print(ln)
             return
-        last_err = f"attempt {attempt} rc={p.returncode}"
+        last_err = (f"attempt {attempt} "
+                    + ("wedged (killed)" if timed_out
+                       else f"rc={p.returncode}")
+                    + f"; salvaged {len(lines)} metric lines")
         _note(last_err)
+    if best:
+        for ln in best:
+            print(ln)
+        return
     print(json.dumps({
         "metric": "encode bytes/s/chip (normalize+unigram viterbi, "
                   "botchan, bit-exact)",
