@@ -147,6 +147,34 @@ def test_pipeline_long_lines_bit_exact():
         assert d == sp.encode_as_ids(t), t[:40]
 
 
+def test_pipeline_fuzz_random_bytes():
+    """Seeded fuzz: random byte soup (malformed UTF-8, space runs,
+    meta/boundary chars, long rows) through the full device pipeline
+    must match the host processor exactly. This class of input found
+    the 9-bit packed-offset bug the corpora missed."""
+    import numpy as np
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    rng = np.random.default_rng(20260818)
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    alphabet = (list(b"abcdefgh THE the.,!?") + [0x09, 0x0A, 0x0D, 0x00]
+                + [0xE2, 0x96, 0x81, 0xC3, 0xA9, 0xEF, 0xBF, 0x80, 0xFF,
+                   0xF0, 0x9F, 0x98, 0x80])
+    texts = []
+    for _ in range(120):
+        n = int(rng.integers(0, 120))
+        texts.append(bytes(rng.choice(alphabet, n).astype(np.uint8))
+                     .decode("utf-8", "surrogateescape"))
+    texts += ["x" * 600, ("a b" * 250), "▁" * 120]  # long rows
+    dev = tok.encode(texts)
+    bad = [(i, t[:40]) for i, (t, d) in enumerate(zip(texts, dev))
+           if d != sp.encode_as_ids(t)]
+    assert not bad, bad[:3]
+
+
 def test_pick_enc_width():
     """The host-side normalized-length bound: exact-or-over for
     match-free rows, capped for pathological ones, sane on empties."""
