@@ -202,7 +202,10 @@ def unigram_encode_batch(units: jnp.ndarray,
       (ids int32[B, N+2], out_lengths int32[B]); rows padded with pad_id.
     """
     B, N = batch.shape
-    D = max_depth
+    # pieces longer than the padded width can never match, and the
+    # adaptive encode width may undercut a big-piece model's max depth
+    # (word models); the clamp is exact
+    D = min(max_depth, N)
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
         D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
@@ -584,7 +587,10 @@ def unigram_sample_batch(units: jnp.ndarray,
     inline walk: hoisting it into a shared helper has broken XLA's gather
     fusion before (see the design note at the top of this module)."""
     B, N = batch.shape
-    D = max_depth
+    # pieces longer than the padded width can never match, and the
+    # adaptive encode width may undercut a big-piece model's max depth
+    # (word models); the clamp is exact
+    D = min(max_depth, N)
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
         D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
@@ -712,7 +718,10 @@ def unigram_nbest_batch(units: jnp.ndarray,
     The lattice populate repeats the inline walk (see the fusion note at
     the top of this module)."""
     B, N = batch.shape
-    D = max_depth
+    # pieces longer than the padded width can never match, and the
+    # adaptive encode width may undercut a big-piece model's max depth
+    # (word models); the clamp is exact
+    D = min(max_depth, N)
     K = k
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,

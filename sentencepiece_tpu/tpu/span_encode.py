@@ -58,7 +58,10 @@ def span_encode_batch(units: jnp.ndarray,
     """
     assert mode in ("word", "char")
     B, N = batch.shape
-    D = max_depth
+    # pieces longer than the padded width can never match; the adaptive
+    # encode width may undercut a big-piece model's max depth (word
+    # models) — the clamp is exact
+    D = min(max_depth, N)
     _, id_end = _populate_lattice(
         units, zero_scores, batch, lengths, jnp.float32(0.0),
         D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)

@@ -147,18 +147,24 @@ def test_pipeline_long_lines_bit_exact():
         assert d == sp.encode_as_ids(t), t[:40]
 
 
-def test_pipeline_fuzz_random_bytes():
+@pytest.mark.parametrize("model", [
+    "/root/reference/python/test/test_model.model",   # unigram
+    "FIX/bpe_en_300.model",                           # bpe
+    "FIX/word_ja_900.model",                          # word
+    "FIX/char_ja_400.model",                          # char
+])
+def test_pipeline_fuzz_random_bytes(model, fixtures_dir):
     """Seeded fuzz: random byte soup (malformed UTF-8, space runs,
     meta/boundary chars, long rows) through the full device pipeline
-    must match the host processor exactly. This class of input found
-    the 9-bit packed-offset bug the corpora missed."""
+    must match the host processor exactly, for all four model types.
+    This class of input found the 9-bit packed-offset bug the corpora
+    missed."""
     import numpy as np
     from sentencepiece_tpu import SentencePieceProcessor
     from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
 
     rng = np.random.default_rng(20260818)
-    sp = SentencePieceProcessor(
-        "/root/reference/python/test/test_model.model")
+    sp = SentencePieceProcessor(model.replace("FIX", str(fixtures_dir)))
     tok = TpuTokenizer(sp)
     alphabet = (list(b"abcdefgh THE the.,!?") + [0x09, 0x0A, 0x0D, 0x00]
                 + [0xE2, 0x96, 0x81, 0xC3, 0xA9, 0xEF, 0xBF, 0x80, 0xFF,
@@ -168,7 +174,10 @@ def test_pipeline_fuzz_random_bytes():
         n = int(rng.integers(0, 120))
         texts.append(bytes(rng.choice(alphabet, n).astype(np.uint8))
                      .decode("utf-8", "surrogateescape"))
-    texts += ["x" * 600, ("a b" * 250), "▁" * 120]  # long rows
+    if model.endswith("test_model.model"):
+        # long rows (wide buckets) only for the headline model — each
+        # extra bucket is a fresh multi-minute compile on cold caches
+        texts += ["x" * 600, ("a b" * 250), "▁" * 120]
     dev = tok.encode(texts)
     bad = [(i, t[:40]) for i, (t, d) in enumerate(zip(texts, dev))
            if d != sp.encode_as_ids(t)]
