@@ -582,7 +582,6 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
     def body(state):
         sym, nxt, alive, it, psc, pnew = state
         Bb = sym.shape[0]           # phase batches shrink (see below)
-        rws = jnp.arange(Bb)
         best = jnp.max(psc, axis=1)                       # [Bb]
         row_on = best > NEG_INF / 2
         sel = row_on[:, None] & (psc == best[:, None])

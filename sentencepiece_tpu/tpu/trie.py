@@ -211,7 +211,7 @@ def taa_mxu(arr: jnp.ndarray, idx: jnp.ndarray,
     gather (~7 ns) until N ~ 2000 (the fallback). idx must be in
     [0, N); out-of-range lanes would read as 0 rather than clip.
     """
-    B, N = int(arr.shape[0]), int(arr.shape[1])
+    N = int(arr.shape[1])
     if N > _ROWLOCAL_MAX_N:
         return _taa(arr, idx)
     nbytes = max(1, (value_bits + 7) // 8)
