@@ -70,6 +70,47 @@ def main():
             f"  ({per/K*1e3:7.3f} ms/gather, "
             f"{per/(K*M)*1e9:8.3f} ns/elem; warm {warm:.1f}s)")
 
+    # row-local one-hot lookup (trie.taa_mxu) vs the serial _taa, at the
+    # pipeline's shapes — verifies the ~15x claim behind the 2026-08-18
+    # rewrites and tunes _ROWLOCAL_MAX_N
+    for B, N in [(8192, 128), (8192, 256), (2048, 1024), (1024, 2048)]:
+        arr = jnp.asarray(
+            np.random.default_rng(0).integers(0, 1 << 20, (B, N)
+                                              ).astype(np.int32))
+        idx0 = jnp.asarray(
+            np.random.default_rng(1).integers(0, N, (B, N)).astype(
+                np.int32))
+
+        def mk(form):
+            @jax.jit
+            def loop(arr, idx, n):
+                def body(_, carry):
+                    i = idx.at[0, 0].set(idx[0, 0] ^ (carry & 1))
+                    if form == "mxu":
+                        v = trie.taa_mxu(arr, i)
+                    else:
+                        v = trie._taa(arr, i)
+                    return (jnp.sum(v, dtype=jnp.int32)
+                            & 0xFF).astype(jnp.int32) ^ carry
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+            def fn(n):
+                return loop(arr, idx0, jnp.int32(n))
+            return fn
+
+        for form in ("mxu", "serial"):
+            fn = mk(form)
+            int(np.asarray(fn(1)))
+            t0 = time.time()
+            int(np.asarray(fn(2)))
+            d2v = time.time() - t0
+            t0 = time.time()
+            int(np.asarray(fn(6)))
+            d6v = time.time() - t0
+            per = (d6v - d2v) / 4
+            log(f"taa[{form:6s}] B={B} N={N}: {per*1e3:8.2f} ms "
+                f"({per/(B*N)*1e9:6.2f} ns/lane)")
+
 
 if __name__ == "__main__":
     main()
