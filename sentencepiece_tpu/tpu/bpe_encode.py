@@ -346,7 +346,9 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     # both compaction scatters are row-local -> MXU one-hot (see
     # trie.taa_mxu); dropped lanes of the second pile into column M-1,
     # which the set() below overwrites
-    vb = max(8, int(sym_to_id.shape[0]).bit_length())
+    # ids index the FULL vocab (controls included), which can exceed the
+    # symbol-universe size — 24 bits covers any realistic piece count
+    vb = 24
     seq = trie.scatter_rowlocal_mxu(
         jnp.maximum(out_id, 0), jnp.where(alive, t_idx, L), L, fill=-1,
         value_bits=vb)
@@ -683,7 +685,9 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
     # both compaction scatters are row-local -> MXU one-hot (see
     # trie.taa_mxu); dropped lanes of the second pile into column M-1,
     # which the set() below overwrites
-    vb = max(8, int(sym_to_id.shape[0]).bit_length())
+    # ids index the FULL vocab (controls included), which can exceed the
+    # symbol-universe size — 24 bits covers any realistic piece count
+    vb = 24
     seq = trie.scatter_rowlocal_mxu(
         jnp.maximum(out_id, 0), jnp.where(alive, t_idx, L), L, fill=-1,
         value_bits=vb)
