@@ -146,7 +146,10 @@ def _pair_lookup_bsearch(pair_keys, pair_score, pair_new, key, valid):
     flat = key.reshape(-1)
     lo = jnp.zeros(flat.shape, jnp.int32)
     hi = jnp.full(flat.shape, n, jnp.int32)
-    steps = max(1, (n - 1).bit_length())
+    # lower_bound over n+1 possible outcomes needs ceil(log2(n+1))
+    # halvings; (n-1).bit_length() is one short at exact powers of two
+    # (missing index-1 keys at n=8192 etc.)
+    steps = max(1, n.bit_length())
     for _ in range(steps):
         mid = (lo + hi) // 2
         km = trie._gather(pair_keys, jnp.clip(mid, 0, n - 1))

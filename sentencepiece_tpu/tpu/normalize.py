@@ -146,43 +146,13 @@ class NormalizerTables:
 
 def _utf8_class(batch: jnp.ndarray, lengths: jnp.ndarray
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(char_len int32[B,N], valid bool[B,N]) per byte position, mirroring
-    string_util::IsValidDecodeUTF8 (is_valid_decode_utf8 in
-    utils/unicode.py): structural checks + overlong/surrogate/range."""
-    B, N = batch.shape
-    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    """(char_len int32[B,N], valid bool[B,N]) per byte position —
+    the SHARED classifier (tpu/utf8.py) instantiated on jax.numpy; the
+    host-side width estimator (pipeline.pick_enc_width) runs the same
+    code on numpy, which keeps the overflow-guard reasoning sound."""
+    from . import utf8
 
-    def byte_at(off):
-        padded = jnp.concatenate([batch, jnp.zeros((B, 4), jnp.uint8)],
-                                 axis=1)
-        return jax.lax.dynamic_slice_in_dim(padded, off, N, axis=1)
-
-    b0 = batch.astype(jnp.int32)
-    b1 = byte_at(1).astype(jnp.int32)
-    b2 = byte_at(2).astype(jnp.int32)
-    b3 = byte_at(3).astype(jnp.int32)
-    cont1 = (b1 & 0xC0) == 0x80
-    cont2 = (b2 & 0xC0) == 0x80
-    cont3 = (b3 & 0xC0) == 0x80
-    rem = lengths[:, None] - pos  # bytes remaining including this one
-
-    is1 = b0 < 0x80
-    is2 = ((b0 & 0xE0) == 0xC0) & cont1 & (rem >= 2)
-    cp2 = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
-    is2 &= cp2 >= 0x80  # no overlong
-    is3 = ((b0 & 0xF0) == 0xE0) & cont1 & cont2 & (rem >= 3)
-    cp3 = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-    is3 &= (cp3 >= 0x800) & ~((cp3 >= 0xD800) & (cp3 <= 0xDFFF))
-    is4 = ((b0 & 0xF8) == 0xF0) & cont1 & cont2 & cont3 & (rem >= 4)
-    cp4 = (((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12)
-           | ((b2 & 0x3F) << 6) | (b3 & 0x3F))
-    is4 &= (cp4 >= 0x10000) & (cp4 <= 0x10FFFF)
-
-    char_len = jnp.where(is1, 1,
-                         jnp.where(is2, 2, jnp.where(is3, 3,
-                                                     jnp.where(is4, 4, 1))))
-    valid = is1 | is2 | is3 | is4
-    return char_len.astype(jnp.int32), valid
+    return utf8.utf8_class(jnp, batch, lengths)
 
 
 def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
@@ -328,18 +298,10 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     # — checked below — the greedy chain visits exactly the
     # non-continuation positions; a stray continuation byte forces the
     # check false because no valid start can cover it).
+    from . import utf8 as utf8_mod
     is_cont = (batch & 0xC0) == 0x80
-    covered = jnp.zeros((B, N), bool)
-    for j in (1, 2, 3):
-        v = jnp.concatenate(
-            [jnp.zeros((B, j), bool), valid_utf8[:, :N - j]], axis=1)
-        cl_j = jnp.concatenate(
-            [jnp.zeros((B, j), jnp.int32), char_len[:, :N - j]], axis=1)
-        conts = jnp.ones((B, N), bool)
-        for i in range(1, j):
-            conts &= jnp.concatenate(
-                [jnp.zeros((B, i), bool), is_cont[:, :N - i]], axis=1)
-        covered |= v & (cl_j > j) & conts
+    covered = utf8_mod.covered_continuations(jnp, batch, valid_utf8,
+                                             char_len)
     pos_ok = jnp.where(is_cont, covered, valid_utf8)
     any_complex = jnp.any(in_range & (matched | ~pos_ok))
 

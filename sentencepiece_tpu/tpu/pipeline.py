@@ -153,49 +153,27 @@ class TpuTokenizer:
         flip the overflow mask and re-encode on the exact host path,
         the same guard the cap relies on. On ASCII text this runs the
         encode stage at ~n_in instead of 1.5x n_in."""
+        from . import utf8
+
         cap = self.enc_width(n_in)
         B, N = arr.shape
         if B == 0:
             return cap
         pos_in = np.arange(N)[None, :] < lens[:, None]
         b = arr.astype(np.int32)
-        # numpy mirror of _utf8_class validity (structural + overlong +
-        # surrogate/range), evaluated at every position
-        bp = np.concatenate([b, np.zeros((B, 4), np.int32)], axis=1)
-        b1, b2, b3 = bp[:, 1:N + 1], bp[:, 2:N + 2], bp[:, 3:N + 3]
-        c1, c2, c3 = ((b1 & 0xC0) == 0x80, (b2 & 0xC0) == 0x80,
-                      (b3 & 0xC0) == 0x80)
-        rem = lens[:, None] - np.arange(N)[None, :]
-        is1 = b < 0x80
-        cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
-        is2 = ((b & 0xE0) == 0xC0) & c1 & (rem >= 2) & (cp2 >= 0x80)
-        cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-        is3 = (((b & 0xF0) == 0xE0) & c1 & c2 & (rem >= 3)
-               & (cp3 >= 0x800) & ~((cp3 >= 0xD800) & (cp3 <= 0xDFFF)))
-        cp4 = (((b & 0x07) << 18) | ((b1 & 0x3F) << 12)
-               | ((b2 & 0x3F) << 6) | (b3 & 0x3F))
-        is4 = (((b & 0xF8) == 0xF0) & c1 & c2 & c3
-               & (cp4 >= 0x10000) & (cp4 <= 0x10FFFF))
-        valid = is1 | is2 | is3 | is4
-        char_len = np.where(is1, 1, np.where(is2, 2, np.where(is3, 3,
-                                                              np.where(is4, 4, 1))))
-        # per-byte contribution, walking starts only (vectorized via
-        # "covered" propagation: a byte inside a valid char costs 1)
+        # the SAME classifier the device normalizer runs (tpu/utf8.py,
+        # instantiated on numpy here) — the overflow guard is sound
+        # because both sides classify bytes identically
+        char_len, valid = utf8.utf8_class(np, arr, lens.astype(np.int32))
+        covered = utf8.covered_continuations(np, arr, valid, char_len)
         is_cont = (b & 0xC0) == 0x80
-        covered = np.zeros((B, N), bool)
-        for j in (1, 2, 3):
-            v = np.zeros((B, N), bool)
-            v[:, j:] = valid[:, :N - j] & (char_len[:, :N - j] > j)
-            conts = np.ones((B, N), bool)
-            for i in range(1, j):
-                conts[:, i:] &= is_cont[:, :N - i]
-                conts[:, :i] = False
-            covered |= v & conts
+        # per-byte contribution: spaces emit the ws token, bytes inside
+        # valid chars emit themselves, everything else FFFDs (3 bytes)
         wsl = self.norm.ws_len if self.norm.escape_whitespaces else 1
         contrib = np.where(
             b == 0x20, wsl,
             np.where(is_cont & covered, 1,
-                     np.where(valid, 1, np.where(is_cont, 3, 3))))
+                     np.where(valid, 1, 3)))
         est = int((np.where(pos_in, contrib, 0)).sum(axis=1).max()
                   ) + (wsl if self.norm.add_dummy_prefix else 0)
         w = -(-(est + 8) // 32) * 32

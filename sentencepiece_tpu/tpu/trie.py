@@ -235,8 +235,10 @@ def scatter_rowlocal_mxu(values: jnp.ndarray, cols: jnp.ndarray, O: int,
     """Row-local scatter via the transposed one-hot dot: out[b, o] =
     values[b, n] where cols[b, n] == o, else ``fill``. Requires cols to
     hit each output column at most once per row (callers' offsets are
-    strictly increasing); cols >= O drop. Values must be >= 0
-    (biased internally so a no-hit column decodes to ``fill``)."""
+    strictly increasing); cols >= O drop. Values must be in
+    [0, 2^31 - 2] (biased internally so a no-hit column decodes to
+    ``fill``; the plane count caps at 4, so the biased value must fit
+    32 bits and shifts stay < 32)."""
     B, N = int(values.shape[0]), int(values.shape[1])
     if max(N, O) > _ROWLOCAL_MAX_N:
         target = jnp.full((B, O + 1), fill, values.dtype)
@@ -244,7 +246,7 @@ def scatter_rowlocal_mxu(values: jnp.ndarray, cols: jnp.ndarray, O: int,
             jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
         out = _scatter_set(target, rows, jnp.minimum(cols, O), values)
         return out[:, :O]
-    nbytes = max(1, (value_bits + 8) // 8)  # +1 bit for the bias
+    nbytes = min(4, max(1, (value_bits + 8) // 8))  # +1 bit for the bias
     oh = (cols[:, :, None]
           == jnp.arange(O, dtype=jnp.int32)[None, None, :]).astype(
               jnp.bfloat16)                       # [B, N, O]

@@ -92,6 +92,18 @@ def test_pair_lookup_bsearch_matches_dense(fixtures_dir, monkeypatch):
     assert np.array_equal(np.asarray(ns_b), np.asarray(ns_d))
     assert np.array_equal(np.asarray(sc_b), np.asarray(sc_d))
 
+    # power-of-two table size regression: (n-1).bit_length() ran one
+    # binary-search round short and missed index-1 keys at n=2^k
+    for n in (4096 * 2, 4096 * 4):
+        k2 = (np.arange(n) * 7 + 3).astype(np.int32)  # sorted, unique
+        s2 = np.arange(n, dtype=np.float32)
+        v2 = np.arange(n, dtype=np.int32)
+        q2 = k2[[0, 1, 2, n - 2, n - 1]]
+        sc2, ns2 = be._pair_lookup_bsearch(
+            jnp.asarray(k2), jnp.asarray(s2), jnp.asarray(v2),
+            jnp.asarray(q2), jnp.ones(5, bool))
+        assert np.array_equal(np.asarray(ns2), [0, 1, 2, n - 2, n - 1])
+
     # full encode with every lookup forced through the bsearch path
     sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
     from sentencepiece_tpu.tpu.bpe_encode import BpeBatchEncoder
