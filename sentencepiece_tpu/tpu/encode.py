@@ -123,12 +123,16 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     # UNK fallback where no single-char piece covers the char start
     # (unigram_model.cc:595-603): the UNK node spans one char (1-4 bytes).
     # Insert it into lane charlen-1 when that lane has no match there.
+    # The lane select/insert is D-local, so it's a 15-wide one-hot
+    # compare — the old take_along + scatter pair cost two serial
+    # B*N-element ops (~7 ns each on TPU).
     lat_ids = jnp.stack(id_lanes, axis=2)  # [B, N, D] start-aligned
     cl = jnp.clip(charlen - 1, 0, D - 1)
-    lane_at_cl = jnp.take_along_axis(lat_ids, cl[:, :, None], axis=2)[:, :, 0]
+    lane_oh = (jnp.arange(D, dtype=jnp.int32)[None, None, :]
+               == cl[:, :, None])                          # [B, N, D]
+    lane_at_cl = jnp.sum(jnp.where(lane_oh, lat_ids + 1, 0), axis=2) - 1
     need_unk = is_start & (lane_at_cl < 0)
-    is_unk_node = jnp.zeros((B, N, D), jnp.bool_).at[
-        jnp.arange(B)[:, None], pos, cl].set(need_unk, mode="drop")
+    is_unk_node = lane_oh & need_unk[:, :, None]
     lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
 
     vsafe = jnp.maximum(lat_ids, 0)
