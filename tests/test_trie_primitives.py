@@ -62,6 +62,24 @@ def test_scatter_rowlocal_matches_numpy(jnp):
         assert np.array_equal(got, want), (B, N, O)
 
 
+def test_utf8_classifier_np_jnp_agree(jnp):
+    """The shared UTF-8 classifier must produce identical results on
+    its numpy (host width estimator) and jax.numpy (device normalizer)
+    instantiations — the overflow-guard reasoning depends on it."""
+    from sentencepiece_tpu.tpu import utf8
+
+    rng = np.random.default_rng(9)
+    batch = rng.integers(0, 256, (16, 96)).astype(np.uint8)
+    lens = rng.integers(0, 97, 16).astype(np.int32)
+    cl_n, v_n = utf8.utf8_class(np, batch, lens)
+    cl_j, v_j = utf8.utf8_class(jnp, jnp.asarray(batch), jnp.asarray(lens))
+    assert np.array_equal(cl_n, np.asarray(cl_j))
+    assert np.array_equal(v_n, np.asarray(v_j))
+    cov_n = utf8.covered_continuations(np, batch, v_n, cl_n)
+    cov_j = utf8.covered_continuations(jnp, jnp.asarray(batch), v_j, cl_j)
+    assert np.array_equal(cov_n, np.asarray(cov_j))
+
+
 def test_step_root_and_pair_match_generic_walk(jnp):
     """step_root + step_pair must reproduce the generic darts walk's
     first two steps exactly on a real vocab trie."""
