@@ -84,6 +84,12 @@ def _load():
         lib.spm_sais.restype = None
         lib.spm_sais.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int64, ctypes.c_int64]
+        lib.spm_cumsum_mask.restype = None
+        lib.spm_cumsum_mask.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p]
+        lib.spm_charoffs_utf8.restype = None
+        lib.spm_charoffs_utf8.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_void_p]
         lib.spm_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -238,6 +244,34 @@ class NativeNormalizer:
                 return None
             cap *= 8
         return None
+
+
+def cumsum_mask(mask: np.ndarray) -> Optional[np.ndarray]:
+    """Inclusive int64 prefix sum of a bool/uint8 mask; None if native
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(mask, np.uint8)
+    out = np.empty(len(m), np.int64)
+    lib.spm_cumsum_mask(m.ctypes.data_as(ctypes.c_void_p),
+                        ctypes.c_int64(len(m)),
+                        out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def charoffs_utf8(blob: bytes, offs: np.ndarray) -> Optional[np.ndarray]:
+    """Char counts of ``blob[:offs[i]]`` for ascending byte offsets;
+    None if native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    o = np.ascontiguousarray(offs, np.int64)
+    out = np.empty(len(o), np.int64)
+    lib.spm_charoffs_utf8(blob, o.ctypes.data_as(ctypes.c_void_p),
+                          ctypes.c_int64(len(o)),
+                          out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def sais(arr: np.ndarray, alphabet: int) -> Optional[np.ndarray]:

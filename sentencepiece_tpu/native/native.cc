@@ -562,6 +562,33 @@ void spm_sais(const int32_t *T, int32_t *SA, int64_t n, int64_t K) {
   sais_core(T, SA, n, K);
 }
 
+// Inclusive int64 prefix sum of a 0/1 byte mask. Single memory-bound
+// pass; serves the trainer's corpus char-offset arithmetic
+// (trainer_interface.cc:349-383 analog) without pulling a heavyweight
+// tensor library into the process for one cumsum.
+void spm_cumsum_mask(const uint8_t *mask, int64_t n, int64_t *out) {
+  int64_t acc = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    acc += mask[i];
+    out[i] = acc;
+  }
+}
+
+// Char offsets at byte positions: out[i] = count of UTF-8 char-start
+// bytes (non-continuation) in blob[0:offs[i]). offs must be ascending.
+// Fuses the loader's mask + prefix-sum + gather into one blob pass so
+// the 8-byte-per-input-byte cumsum array is never materialized.
+void spm_charoffs_utf8(const uint8_t *blob, const int64_t *offs,
+                       int64_t n_offs, int64_t *out) {
+  int64_t acc = 0, prev = 0;
+  for (int64_t i = 0; i < n_offs; ++i) {
+    const int64_t end = offs[i];
+    for (int64_t b = prev; b < end; ++b) acc += ((blob[b] & 0xC0) != 0x80);
+    prev = end;
+    out[i] = acc;
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -16,7 +16,6 @@ self-test samples (:479-570).
 from __future__ import annotations
 
 import logging
-import sys
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -43,19 +42,18 @@ Sentence = Tuple[str, int]  # (text, freq)
 def fast_cumsum(x: "np.ndarray") -> "np.ndarray":
     """int64 inclusive prefix sum at memory-bound speed.
 
-    numpy's cumsum runs a scalar loop (~9x slower than torch's
-    vectorized one on this host); for corpus-sized arrays (tens of MB)
-    the difference is hundreds of milliseconds per call. Small arrays
-    stay on numpy: importing torch costs ~0.5 s of process time, which
-    would dominate small-corpus training runs."""
-    if x.size < (1 << 22) and "torch" not in sys.modules:
-        return np.cumsum(x, dtype=np.int64)
-    try:
-        import torch
-    except ImportError:  # pragma: no cover - torch is baked into the rig
-        return np.cumsum(x, dtype=np.int64)
-    return torch.cumsum(torch.from_numpy(np.ascontiguousarray(x)), 0,
-                        dtype=torch.int64).numpy()
+    numpy's cumsum runs a scalar loop with per-element ufunc overhead;
+    for corpus-sized bool masks (tens of MB) that is hundreds of
+    milliseconds per call, so those route to a single-pass C loop in
+    native.cc. (An earlier revision used torch.cumsum instead — the
+    cumsum itself was fast but a cold `import torch` costs ~1.9 s of
+    process time, which dominated every training run on this host.)"""
+    if x.dtype in (np.bool_, np.uint8) and x.size >= (1 << 18):
+        from .. import native
+        out = native.cumsum_mask(x)
+        if out is not None:
+            return out
+    return np.cumsum(x, dtype=np.int64)
 
 
 def _key_bytes(k):
@@ -485,17 +483,21 @@ class TrainerInterface:
                     whole = None
             if whole is not None:
                 offs = np.asarray(off, np.int64)[:len(self.sentences) + 1]
-                barr = np.frombuffer(blob, np.uint8)
-                mask = (barr & 0xC0) != 0x80
-                # per-line char offset = exclusive prefix-sum of the
-                # char-start mask sampled at the byte offsets. (An
-                # earlier np.add.reduceat form paid ~12 us of ufunc
-                # overhead PER SEGMENT — 5.4 s on a 26 MB corpus of
-                # ~450k lines; the full prefix-sum is memory-bound and
-                # line-count-free.)
-                cum = np.zeros(len(barr) + 1, np.int64)
-                cum[1:] = fast_cumsum(mask)
-                coff = cum[offs]
+                # per-line char offset = count of char-start bytes below
+                # each byte offset. The native op fuses mask + prefix-sum
+                # + gather into one blob pass. (Earlier forms: an
+                # np.add.reduceat paid ~12 us of ufunc overhead PER
+                # SEGMENT — 5.4 s on a 26 MB corpus of ~450k lines; a
+                # full materialized prefix-sum wrote 8 bytes per corpus
+                # byte — ~0.5 s at 14 MB.)
+                from .. import native
+                coff = native.charoffs_utf8(blob, offs)
+                if coff is None:
+                    barr = np.frombuffer(blob, np.uint8)
+                    mask = (barr & 0xC0) != 0x80
+                    cum = np.zeros(len(barr) + 1, np.int64)
+                    cum[1:] = fast_cumsum(mask)
+                    coff = cum[offs]
                 sents = [(whole[coff[i]:coff[i + 1]], freq)
                          for i, (_t, freq) in enumerate(self.sentences)]
             else:

@@ -33,7 +33,10 @@ def suffix_array(arr: np.ndarray) -> np.ndarray:
         if int(arr.max()) < (1 << 30):
             sa = native.sais(arr, int(arr.max()) + 1)
             if sa is not None:
-                return sa.astype(np.int64)
+                # keep int32: the native consumers (esa_nodes,
+                # seed_filter) take int32, and widening costs two
+                # corpus-sized copies per train on the hot path
+                return sa
     except Exception:
         pass
     rank = np.unique(arr, return_inverse=True)[1].astype(np.int64)
