@@ -230,23 +230,35 @@ class Trainer(TrainerInterface):
         # truncated to the seed budget instead of a Python tuple sort
         need = max(0, self.trainer_spec.seed_sentencepiece_size - len(seed))
         order = np.lexsort((kidx_a, -score_a))[:need]
-        for i, score in zip(kidx_a[order].tolist(),
-                            score_a[order].tolist()):
-            L, R, D = nodes[i]
-            offset = int(sa[L])
-            w = corpus[offset:offset + D]
-            assert w not in all_chars
-            seed.append((w, float(score)))
+        ksel = kidx_a[order]
+        nd_sel = np.asarray(nodes, np.int64)[ksel]
+        offs_sel = np.asarray(sa, np.int64)[nd_sel[:, 0]]
+        dep_sel = nd_sel[:, 2]
+        # substrings have depth > 1 (seed filter), so they can never
+        # collide with the single-char all_chars entries
+        words = [corpus[o:o + d] for o, d in
+                 zip(offs_sel.tolist(), dep_sel.tolist())]
+        scores = score_a[order].tolist()
 
-        # ToLogProb with float32 running sum (unigram_model_trainer.cc:42-55)
-        acc = F32(0.0)
-        for _, sc in seed:
-            acc = F32(acc + F32(sc))
+        # ToLogProb with float32 running sum (unigram_model_trainer.cc:42-55).
+        # np.cumsum over float32 IS the serial float32 addition chain
+        # (accumulate has no pairwise variant), so the final element
+        # equals the reference's `float sum += score` loop bit for bit —
+        # pinned by the byte-identical .vocab conformance fixtures.
+        sc32 = np.empty(len(seed) + len(words), np.float32)
+        sc32[:len(seed)] = [f for _, f in seed]
+        sc32[len(seed):] = score_a[order]
+        acc = sc32.cumsum(dtype=np.float32)[-1] if len(sc32) else F32(0.0)
         logsum = _f32(math.log(float(acc)))
         # scores live as float32 in the pieces vector BEFORE ToLogProb, so
-        # the log reads the narrowed value (visible for counts >= 2^24)
-        seed = [(w, _f32(math.log(float(F32(sc))) - logsum))
-                for w, sc in seed]
+        # the log reads the narrowed value (visible for counts >= 2^24).
+        # math.log (glibc double) per UNIQUE narrowed score — substring
+        # scores are small-integer products, so uniques are few.
+        uq, inv = np.unique(sc32, return_inverse=True)
+        lp = np.fromiter((_f32(math.log(float(u)) - logsum) for u in uq),
+                         np.float64, len(uq))[inv]
+        seed = [(w, s) for (w, _), s in zip(seed, lp[:len(seed)].tolist())]
+        seed.extend(zip(words, lp[len(seed):].tolist()))
         log.info("Initialized %d seed sentencepieces", len(seed))
         return seed
 
