@@ -519,10 +519,11 @@ class TrainerInterface:
         # resulting sentence ORDER feeds the suffix-array seed indices,
         # EM thread striding, and BPE position ids — all tie-breakers.
         # (The swapped-in element is not rechecked, exactly like the C++.)
+        # (the reference's per-line space CHECK runs here; ours is the
+        # corpus-level `arr == 0x0020` scan below — same error, one pass
+        # instead of 450k substring scans)
         i = 0
         while i < len(sents):
-            if " " in sents[i][0]:
-                raise ValueError("Normalized string must not include spaces")
             if not sents[i][0]:
                 last = len(sents) - 1
                 sents[i] = sents[last]

@@ -231,8 +231,13 @@ class Trainer(TrainerInterface):
         need = max(0, self.trainer_spec.seed_sentencepiece_size - len(seed))
         order = np.lexsort((kidx_a, -score_a))[:need]
         ksel = kidx_a[order]
-        nd_sel = np.asarray(nodes, np.int64)[ksel]
-        offs_sel = np.asarray(sa, np.int64)[nd_sel[:, 0]]
+        # select the ~seed-budget rows BEFORE widening: nodes/sa are
+        # corpus-sized int32 tables and a full astype costs hundreds of
+        # MB of copies
+        nd_all = (nodes if isinstance(nodes, np.ndarray)
+                  else np.asarray(nodes, np.int64).reshape(-1, 3))
+        nd_sel = nd_all[ksel].astype(np.int64)
+        offs_sel = np.asarray(sa)[nd_sel[:, 0]].astype(np.int64)
         dep_sel = nd_sel[:, 2]
         # substrings have depth > 1 (seed filter), so they can never
         # collide with the single-char all_chars entries
