@@ -684,12 +684,34 @@ class FusedUnigramEncoder:
             out_norm_off
 
     def encode_ids(self, data: bytes):
-        """Single line -> list[int] ids, or None on failure."""
-        r = self.encode_ids_batch([data])
-        if r is None:
+        """Single line -> list[int] ids, or None on failure.
+
+        Uses persistent per-instance scratch (grown geometrically) and
+        cached ctypes pointers: the batch framing (cumsum/join/6 array
+        allocations) costs more than the encode itself at one line.
+        Not thread-safe per instance (neither is the reference
+        processor)."""
+        if self.lib is None:
             return None
-        out_ids, out_off = r
-        return out_ids[:out_off[1]].tolist()
+        cap = len(data) * 13 + 32
+        sc = getattr(self, "_one", None)
+        if sc is None or sc[0] < cap:
+            cap = max(cap, 4096)
+            ids = np.empty(cap, np.int32)
+            off = np.zeros(2, np.int64)
+            inoff = np.zeros(2, np.int64)
+            sc = self._one = (cap, ids, off, inoff,
+                              ctypes.c_void_p(ids.ctypes.data),
+                              ctypes.c_void_p(off.ctypes.data),
+                              ctypes.c_void_p(inoff.ctypes.data))
+        cap, ids, off, inoff, p_ids, p_off, p_inoff = sc
+        inoff[1] = len(data)
+        m = self.lib.spm_unigram_encode_ids_batch(
+            *self._args_head, ctypes.c_char_p(data or b"\x00"), p_inoff, 1,
+            p_ids, cap, p_off, None, 0, None, None, None)
+        if m < 0:
+            return None
+        return ids[:off[1]].tolist()
 
 
 class FusedBpeEncoder:
@@ -769,6 +791,43 @@ class FusedBpeEncoder:
             return None
         return (out_ids, out_starts, out_lens, out_off, out_norm,
                 out_norm_off)
+
+    def encode_one(self, data: bytes):
+        """Single line -> (ids, starts, lens, norm, n_ids) VIEWS into
+        persistent per-instance scratch (valid until the next call), or
+        None. Skips the batch framing — see
+        FusedUnigramEncoder.encode_ids. Not thread-safe per instance."""
+        if self.lib is None:
+            return None
+        cap = len(data) * 13 + 32
+        sc = getattr(self, "_one", None)
+        if sc is None or sc[0] < cap:
+            cap = max(cap, 4096)
+            ids = np.empty(cap, np.int32)
+            starts = np.empty(cap, np.int32)
+            lens = np.empty(cap, np.int32)
+            norm = np.empty(cap, np.uint8)
+            off = np.zeros(2, np.int64)
+            noff = np.zeros(2, np.int64)
+            inoff = np.zeros(2, np.int64)
+            sc = self._one = (
+                cap, ids, starts, lens, norm, off, noff, inoff,
+                ctypes.c_void_p(ids.ctypes.data),
+                ctypes.c_void_p(starts.ctypes.data),
+                ctypes.c_void_p(lens.ctypes.data),
+                ctypes.c_void_p(norm.ctypes.data),
+                ctypes.c_void_p(off.ctypes.data),
+                ctypes.c_void_p(noff.ctypes.data),
+                ctypes.c_void_p(inoff.ctypes.data))
+        (cap, ids, starts, lens, norm, off, noff, inoff,
+         p_ids, p_starts, p_lens, p_norm, p_off, p_noff, p_inoff) = sc
+        inoff[1] = len(data)
+        m = self.lib.spm_bpe_encode_ids_batch(
+            *self._args_head, ctypes.c_char_p(data or b"\x00"), p_inoff, 1,
+            p_ids, p_starts, p_lens, cap, p_off, p_norm, cap, p_noff)
+        if m < 0:
+            return None
+        return ids, starts, lens, norm, int(off[1])
 
 
 def esa_nodes(arr, sa):

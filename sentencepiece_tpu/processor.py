@@ -79,11 +79,26 @@ class _FusedBpeAdapter:
         return np.asarray(res_ids, np.int32), res_off
 
     def encode_ids(self, raw):
-        r = self.encode_ids_batch([raw])
+        r = self.fe.encode_one(raw)
         if r is None:
             return None
-        ids, off = r
-        return ids[:off[1]].tolist()
+        ids, starts, lens, norm, n_ids = r  # scratch views: consume now
+        out = ids[:n_ids].tolist()
+        unk_id = self.fe.enc.unk_id
+        if unk_id not in out:
+            return out
+        is_unknown = self.sp.model.is_unknown
+        p2i = self.sp.model.piece_to_id
+        res: List[int] = []
+        prev_unk = False
+        for k, pid in enumerate(out):
+            if pid == unk_id:
+                pid = p2i(norm[starts[k]:starts[k] + lens[k]].tobytes())
+            unk = is_unknown(pid)
+            if not (unk and prev_unk):
+                res.append(pid)
+            prev_unk = unk
+        return res
 
 TextInput = Union[str, bytes]
 
