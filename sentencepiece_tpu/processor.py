@@ -51,32 +51,42 @@ class _FusedBpeAdapter:
         m = int(off[-1])
         idsv = ids[:m]
         unk_id = self.fe.enc.unk_id
-        unk_mask = idsv == unk_id
-        if not unk_mask.any():
+        unk_pos = np.nonzero(idsv == unk_id)[0]
+        if not len(unk_pos):
             return idsv, off
+        # only rows CONTAINING an unk need Python resolution; runs of
+        # clean rows between them pass through as single views
+        bad = np.unique(np.searchsorted(off, unk_pos, side="right") - 1)
         is_unknown = self.sp.model.is_unknown
         p2i = self.sp.model.piece_to_id
-        res_ids: List[int] = []
-        res_off = np.zeros(len(raws) + 1, np.int64)
-        for i in range(len(raws)):
+        lens_out = np.diff(off)
+        parts = []
+        prev_end = 0
+        for i in bad.tolist():
             a, b = int(off[i]), int(off[i + 1])
-            if not unk_mask[a:b].any():
-                res_ids.extend(idsv[a:b].tolist())
-            else:
-                base = int(norm_off[i])
-                prev_unk = False
-                for k in range(a, b):
-                    pid = int(idsv[k])
-                    if pid == unk_id:
-                        w = norm[base + starts[k]:
-                                 base + starts[k] + lens[k]].tobytes()
-                        pid = p2i(w)
-                    unk = is_unknown(pid)
-                    if not (unk and prev_unk):
-                        res_ids.append(pid)
-                    prev_unk = unk
-            res_off[i + 1] = len(res_ids)
-        return np.asarray(res_ids, np.int32), res_off
+            if a > prev_end:
+                parts.append(idsv[prev_end:a])
+            base = int(norm_off[i])
+            row: List[int] = []
+            prev_unk = False
+            for k in range(a, b):
+                pid = int(idsv[k])
+                if pid == unk_id:
+                    w = norm[base + starts[k]:
+                             base + starts[k] + lens[k]].tobytes()
+                    pid = p2i(w)
+                unk = is_unknown(pid)
+                if not (unk and prev_unk):
+                    row.append(pid)
+                prev_unk = unk
+            parts.append(np.asarray(row, np.int32))
+            lens_out[i] = len(row)
+            prev_end = b
+        if prev_end < m:
+            parts.append(idsv[prev_end:m])
+        res_off = np.zeros(len(raws) + 1, np.int64)
+        np.cumsum(lens_out, out=res_off[1:])
+        return np.concatenate(parts) if parts else idsv[:0], res_off
 
     def encode_ids(self, raw):
         r = self.fe.encode_one(raw)
