@@ -232,6 +232,67 @@ def child_main() -> None:
     print(json.dumps(uni_entry), flush=True)
 
 
+def _extra_targets() -> dict:
+    """The two remaining BASELINE.md driver targets, measured host-side
+    (no relay involvement): BPE-train merges/s (byte-exactness-gated vs
+    the reference binary when present) and multi-process EM weak-scaling
+    efficiency. Failure-tolerant: each runs in a subprocess under a
+    timeout and is simply omitted on any error."""
+    extras: dict = {}
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench_train.py")],
+            capture_output=True, text=True, timeout=420).stdout
+        for ln in out.splitlines():
+            try:
+                d = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if d["metric"].startswith("bpe train"):
+                extras["bpe_train_merges_per_s"] = d["value"]
+                extras["bpe_train_vs_ref_binary"] = d["vs_baseline"]
+                extras["bpe_train_byte_exact"] = d.get("exact")
+            elif d["metric"].startswith("unigram train"):
+                extras["unigram_train_s"] = d["value"]
+                extras["unigram_train_ref_over_ours"] = d["vs_baseline"]
+                extras["unigram_train_byte_exact"] = d.get("exact")
+    except Exception as e:  # noqa: BLE001 - never risk the headline line
+        _note(f"extra target bench_train failed: {e}")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench_scaling.py")],
+            env={**os.environ, "SPM_BENCH_CHILD": "",
+                 "SPM_SCALING_PROCESSES": "2"},
+            capture_output=True, text=True, timeout=420).stdout
+        for ln in out.splitlines():
+            try:
+                d = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if "multiprocess" in d:
+                extras["em_scaling_2proc_efficiency"] = (
+                    d["multiprocess"]["efficiency_vs_1proc"])
+                extras["em_scaling_note"] = (
+                    "virtual-CPU-device harness; cross-device traffic is "
+                    "one psum of the expected-count vector per step")
+    except Exception as e:  # noqa: BLE001
+        _note(f"extra target bench_scaling failed: {e}")
+    return extras
+
+
+def _emit(lines: list) -> None:
+    """Print result lines, folding the host-side BASELINE targets into
+    the FINAL (headline) line."""
+    extras = _extra_targets()
+    for i, ln in enumerate(lines):
+        if i == len(lines) - 1:
+            d = json.loads(ln)
+            d.update(extras)
+            print(json.dumps(d))
+        else:
+            print(ln)
+
+
 def main() -> None:
     if os.environ.get("SPM_BENCH_CHILD") == "1":
         child_main()
@@ -270,8 +331,7 @@ def main() -> None:
         if len(lines) > len(best):
             best = lines
         if not timed_out and p.returncode == 0 and lines:
-            for ln in lines:
-                print(ln)
+            _emit(lines)
             return
         last_err = (f"attempt {attempt} "
                     + ("wedged (killed)" if timed_out
@@ -279,14 +339,13 @@ def main() -> None:
                     + f"; salvaged {len(lines)} metric lines")
         _note(last_err)
     if best:
-        for ln in best:
-            print(ln)
+        _emit(best)
         return
-    print(json.dumps({
+    _emit([json.dumps({
         "metric": "encode bytes/s/chip (normalize+unigram viterbi, "
                   "botchan, bit-exact)",
         "value": 0, "unit": "bytes/s", "vs_baseline": 0.0,
-        "error": last_err}))
+        "error": last_err})])
 
 
 if __name__ == "__main__":

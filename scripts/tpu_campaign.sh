@@ -42,7 +42,7 @@ say "relay alive: $(tail -1 "$LOG/liveness.log")"
 
 # 1. the driver benchmark (both pipeline metrics, bit-exactness gated;
 #    has its own wedge supervisor). Longest leash: cold compiles.
-run_step bench 3900 python bench.py
+run_step bench 4800 python bench.py
 
 # 2. stage localization: where does the pipeline's time go now?
 for st in matmul full normalize walk encode populate scan smallbatch; do
