@@ -541,17 +541,23 @@ class TrainerInterface:
                                 np.int64, len(self.sentences))
         s_freqs_np = np.fromiter((f for _, f in self.sentences), np.int64,
                                  len(self.sentences))
-        valid_m = ((arr < 0xD800)
-                   | ((arr >= 0xE000) & (arr <= 0x10FFFF))) & (arr > 0)
-        if bool(((arr == 0x0020) & valid_m).any()):
+        if bool((arr == 0x0020).any()):  # 0x20 is always a valid codepoint
             raise ValueError(
                 "space must not be included in normalized string.")
         if (s_freqs_np == 1).all():
-            # plain-text corpora: unweighted integer bincount (exact)
-            cnt_full = np.bincount(arr[valid_m])
+            # plain-text corpora: unweighted integer bincount (exact).
+            # Validity (nonzero, non-surrogate, <= 0x10FFFF) is a pure
+            # VALUE predicate, so instead of mask-selecting a copy of the
+            # corpus array, count everything and zero the invalid bins.
+            cnt_full = np.bincount(arr)
+            cnt_full[:1] = 0
+            if len(cnt_full) > 0xD800:
+                cnt_full[0xD800:0xE000] = 0
             uniq = np.nonzero(cnt_full)[0]
             cnt = cnt_full[uniq]
         else:
+            valid_m = ((arr < 0xD800)
+                       | ((arr >= 0xE000) & (arr <= 0x10FFFF))) & (arr > 0)
             w_rep = np.repeat(s_freqs_np, s_lens_np)
             cnt_full = np.bincount(
                 arr, weights=np.where(valid_m, w_rep, 0).astype(np.float64))
@@ -735,9 +741,11 @@ class TrainerInterface:
             f.write(model_proto.serialize())
         return model_proto
 
-    def save_vocab(self, filename: str) -> None:
+    def save_vocab(self, filename: str,
+                   model_proto: Optional[ModelProto] = None) -> None:
         log.info("Saving vocabs: %s", filename)
-        model_proto = self.serialize()
+        if model_proto is None:
+            model_proto = self.serialize()
         with open(filename, "w", encoding="utf-8") as f:
             for piece in model_proto.pieces:
                 score = piece.score
@@ -746,7 +754,10 @@ class TrainerInterface:
 
     def save(self) -> ModelProto:
         proto = self.save_model(self.trainer_spec.model_prefix + ".model")
-        self.save_vocab(self.trainer_spec.model_prefix + ".vocab")
+        # the pieces are identical either way (self_test_data is the only
+        # post-serialize mutation); reuse the proto instead of rebuilding
+        # the vocab-size object tree a second time
+        self.save_vocab(self.trainer_spec.model_prefix + ".vocab", proto)
         return proto
 
     # -- entry point -----------------------------------------------------------

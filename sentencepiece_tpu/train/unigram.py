@@ -485,8 +485,11 @@ class Trainer(TrainerInterface):
             p = nodes[k][0]
         return _f32(wf * Z), ntok  # `return freq * Z` — float32 multiply
 
-    def _run_mstep(self, pieces, expected) -> List[Tuple[str, float]]:
-        """Digamma Bayesian M-step (unigram_model_trainer.cc:298-332)."""
+    def _run_mstep(self, pieces, expected
+                   ) -> Tuple[List[Tuple[str, float]], np.ndarray]:
+        """Digamma Bayesian M-step (unigram_model_trainer.cc:298-332).
+
+        Returns (new_pieces, kept_input_indices)."""
         assert len(pieces) == len(expected)
         exp_arr = np.asarray(expected, np.float32)
         keep_m = ~(exp_arr < F32(0.5))
@@ -510,7 +513,7 @@ class Trainer(TrainerInterface):
         # vectorized float32 round replays the scalar chain
         res = (np.asarray(dg, np.float64) - logsum).astype(
             np.float32).astype(np.float64)
-        return list(zip(words, res.tolist()))
+        return list(zip(words, res.tolist())), np.nonzero(keep_m)[0]
 
     # -- prune (unigram_model_trainer.cc:337-491) -------------------------------
     def _prune_pieces(self, pieces, scores, seed_to_cur, tables,
@@ -654,8 +657,8 @@ class Trainer(TrainerInterface):
             r = native.prune_losses(freq, F_arr, vsum, ak, alt_ids, alt_off)
             if r is not None:
                 flags, losses = r
-                new_pieces = [pieces[i]
-                              for i in np.nonzero(flags == 1)[0]]
+                sel = np.nonzero(flags == 1)[0].tolist()
+                new_pieces = [pieces[i] for i in sel]
                 cand_idx = np.nonzero(flags == 2)[0]
                 candidates = [(int(i), float(np.float32(losses[i])))
                               for i in cand_idx]
@@ -666,11 +669,13 @@ class Trainer(TrainerInterface):
                     if len(new_pieces) == pruned_size:
                         break
                     new_pieces.append(pieces[i])
-                return new_pieces
+                    sel.append(i)
+                return new_pieces, sel
         sum_f = F32(np.sum(freq.astype(np.float64)))
         logsum = _f32(math.log(float(sum_f)))
         candidates: List[Tuple[int, float]] = []
         new_pieces: List[Tuple[str, float]] = []
+        sel: List[int] = []
         for i in range(m):
             alts = (alternatives[i] if alternatives is not None
                     else alt_ids[alt_off[i]:alt_off[i + 1]].tolist())
@@ -678,6 +683,7 @@ class Trainer(TrainerInterface):
                 continue
             elif not alts:
                 new_pieces.append(pieces[i])
+                sel.append(i)
             else:
                 if F_arr is not None:
                     F = F_arr[i]
@@ -712,7 +718,8 @@ class Trainer(TrainerInterface):
             if len(new_pieces) == pruned_size:
                 break
             new_pieces.append(pieces[i])
-        return new_pieces
+            sel.append(i)
+        return new_pieces, sel
 
     def _build_piece_tables(self, pieces, seed_index_of):
         max_len = self.trainer_spec.max_sentencepiece_length
@@ -876,13 +883,17 @@ class Trainer(TrainerInterface):
                 tables = self._build_word_tables(seed_pieces)
                 self._native_tables = self._flatten_tables(tables)
 
+        # Every current piece IS a seed piece (EM/prune only ever drop),
+        # so the current->seed index map can be carried as an array and
+        # updated by the keep-index lists the steps already compute —
+        # make_maps then has no per-piece Python loop.
+        cur_sidx = np.arange(len(seed_pieces), dtype=np.int64)
+
         def make_maps(cur_pieces):
             scores = [sc for _, sc in cur_pieces]
             seed_to_cur = np.full(len(seed_pieces), -1, np.int64)
-            for i, (w, _) in enumerate(cur_pieces):
-                si = seed_index_of.get(w)
-                if si is not None:
-                    seed_to_cur[si] = i
+            seed_to_cur[cur_sidx] = np.arange(len(cur_pieces),
+                                              dtype=np.int64)
             return scores, seed_to_cur
 
         if self.engine == "device":
@@ -891,6 +902,9 @@ class Trainer(TrainerInterface):
         ckpt = self._load_ckpt()
         if ckpt is not None:
             rnd, pieces = ckpt
+            cur_sidx = np.fromiter(
+                (seed_index_of[w] for w, _ in pieces), np.int64,
+                len(pieces))
         while True:
             with profiling.phase("em_round"):
                 if self.engine == "device":
@@ -898,6 +912,7 @@ class Trainer(TrainerInterface):
                     # _DeviceEM.em_rounds)
                     pieces, stats = dev.em_rounds(pieces,
                                                   ts.num_sub_iterations)
+                    cur_sidx = dev.last_sidx
                     for it, (obj, ntok) in enumerate(stats):
                         log.info("EM sub_iter=%d size=%d obj=%s "
                                  "num_tokens=%d num_tokens/piece=%.4f",
@@ -908,7 +923,8 @@ class Trainer(TrainerInterface):
                         scores, seed_to_cur = make_maps(pieces)
                         expected, obj, ntok = self._run_estep(
                             pieces, scores, seed_to_cur, tables)
-                        pieces = self._run_mstep(pieces, expected)
+                        pieces, kept = self._run_mstep(pieces, expected)
+                        cur_sidx = cur_sidx[kept]
                         log.info("EM sub_iter=%d size=%d obj=%s "
                                  "num_tokens=%d num_tokens/piece=%.4f",
                                  it, len(pieces), obj, ntok,
@@ -917,8 +933,9 @@ class Trainer(TrainerInterface):
                 break
             with profiling.phase("prune"):
                 scores, seed_to_cur = make_maps(pieces)
-                pieces = self._prune_pieces(pieces, scores, seed_to_cur,
-                                            tables, seed_index_of)
+                pieces, kept = self._prune_pieces(
+                    pieces, scores, seed_to_cur, tables, seed_index_of)
+                cur_sidx = cur_sidx[np.asarray(kept, np.int64)]
             rnd += 1
             self._save_ckpt(pieces, rnd)
 
@@ -1010,6 +1027,9 @@ class _DeviceEM:
         new_alive = np.asarray(al_d)
         stats = [(float(np.asarray(o)) / self.all_freq,
                   int(np.asarray(t))) for o, t in stats_d]
+        # seed indices of the surviving pieces, in emission order — the
+        # train loop carries these so make_maps stays loop-free
+        self.last_sidx = np.nonzero(new_alive)[0].astype(np.int64)
         new_pieces = [(self.seed_pieces[i][0], float(new_scores[i]))
-                      for i in range(self.num_seed) if new_alive[i]]
+                      for i in self.last_sidx.tolist()]
         return new_pieces, stats
