@@ -18,8 +18,15 @@ cd "$REPO"
 say() { echo "[watch $(date +%H:%M:%S)] $*" | tee -a "$LOG/watch.log"; }
 
 say "watcher start (probe period ${PERIOD}s)"
+# Hard lifetime cap: the driver runs bench.py on the chip at round end,
+# and a concurrent probe could wedge the relay session — die well before.
+DEADLINE=$((SECONDS + ${3:-28800}))
 n=0
 while :; do
+  if [ "$SECONDS" -ge "$DEADLINE" ]; then
+    say "lifetime cap reached — exiting without campaign"
+    exit 2
+  fi
   n=$((n + 1))
   say "probe #$n"
   if timeout 300 python -c "
