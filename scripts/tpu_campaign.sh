@@ -59,6 +59,9 @@ run_step gather 1200 python scripts/probe_gather.py
 # 5. the Pallas question: XLA scan vs Mosaic kernel, bit-exactness gated.
 run_step pallas_ab 1800 python scripts/ab_pallas_scan.py
 
+# 6. device unigram EM train_step throughput (loop-program timing).
+run_step em_chip 1200 python scripts/probe_em_chip.py
+
 say "campaign complete; logs in $LOG"
 say "next: update README (device-pipeline numbers), docs/design.md"
 say "      (rule 7 cost model + the Pallas table) from these logs"
