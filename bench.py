@@ -240,9 +240,11 @@ def _extra_targets() -> dict:
     timeout and is simply omitted on any error."""
     extras: dict = {}
     try:
+        # generous timeout: bench_train rebuilds the reference binary on
+        # demand when /tmp was wiped (scripts/build_reference.sh, ~4 min)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench_train.py")],
-            capture_output=True, text=True, timeout=420).stdout
+            capture_output=True, text=True, timeout=1500).stdout
         for ln in out.splitlines():
             try:
                 d = json.loads(ln)
@@ -250,12 +252,14 @@ def _extra_targets() -> dict:
                 continue
             if d["metric"].startswith("bpe train"):
                 extras["bpe_train_merges_per_s"] = d["value"]
-                extras["bpe_train_vs_ref_binary"] = d["vs_baseline"]
                 extras["bpe_train_byte_exact"] = d.get("exact")
+                if d["vs_baseline"]:
+                    extras["bpe_train_vs_ref_binary"] = d["vs_baseline"]
             elif d["metric"].startswith("unigram train"):
                 extras["unigram_train_s"] = d["value"]
-                extras["unigram_train_ref_over_ours"] = d["vs_baseline"]
                 extras["unigram_train_byte_exact"] = d.get("exact")
+                if d["vs_baseline"]:
+                    extras["unigram_train_ref_over_ours"] = d["vs_baseline"]
     except Exception as e:  # noqa: BLE001 - never risk the headline line
         _note(f"extra target bench_train failed: {e}")
     try:

@@ -15,16 +15,33 @@ publishes no trainer throughput figures).
 """
 
 import json
+import os
 import subprocess
 import sys
 import tempfile
 import time
 from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 CORPUS = "/root/reference/data/wagahaiwa_nekodearu.txt"
-REF_BIN = "/tmp/refbuild2/src/spm_train"
+REF_BIN = os.environ.get("SPM_REF_TRAIN_BIN", "/tmp/refbuild2/src/spm_train")
+
+
+def _ensure_ref_bin() -> bool:
+    """Build the reference binary on demand (/tmp is wiped between runs;
+    scripts/build_reference.sh caches by existence). Never fatal."""
+    if Path(REF_BIN).exists():
+        return True
+    if os.environ.get("SPM_BENCH_NO_REF_BUILD") == "1":
+        return False
+    try:
+        subprocess.run(["sh", os.path.join(REPO, "scripts/build_reference.sh")],
+                       check=True, capture_output=True, timeout=900)
+    except Exception:  # noqa: BLE001 - comparison is optional
+        return False
+    return Path(REF_BIN).exists()
 
 
 def main() -> None:
@@ -37,7 +54,7 @@ def main() -> None:
     native._load()
     tmp = Path(tempfile.mkdtemp())
     ref_times = {}
-    have_ref = Path(REF_BIN).exists()
+    have_ref = _ensure_ref_bin()
     for mt in ("bpe", "unigram"):
         if have_ref:
             t0 = time.time()
@@ -60,9 +77,13 @@ def main() -> None:
             "value": round(n_merges / dt, 1) if mt == "bpe"
             else round(dt, 2),
             "unit": "merges/s" if mt == "bpe" else "s",
-            "vs_baseline": round(ref_times[mt] / dt, 3) if have_ref else 0.0,
             "exact": bool(exact),
         }
+        if have_ref:
+            out["vs_baseline"] = round(ref_times[mt] / dt, 3)
+        else:
+            out["vs_baseline"] = 0.0
+            out["ref"] = "reference binary unavailable (build failed)"
         print(json.dumps(out))
 
 
