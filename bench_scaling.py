@@ -31,7 +31,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SEED_PIECES = 2048
-W_PER_DEV = 2048      # words per device (weak scaling)
+# words per device (weak scaling). The default matches real training
+# shapes: a 14 MB corpus distills to ~100k distinct words, ~12k/device
+# on an 8-device mesh — per-step collective latency (one psum of the
+# expected-count vector) must amortize against that much E-step work,
+# not a toy batch.
+W_PER_DEV = int(os.environ.get("SPM_SCALING_WORDS_PER_DEV", "12288"))
 P_LEN, K = 16, 8
 
 
