@@ -267,7 +267,7 @@ def _extra_targets() -> dict:
             [sys.executable, os.path.join(REPO, "bench_scaling.py")],
             env={**os.environ, "SPM_BENCH_CHILD": "",
                  "SPM_SCALING_PROCESSES": "2"},
-            capture_output=True, text=True, timeout=420).stdout
+            capture_output=True, text=True, timeout=900).stdout
         for ln in out.splitlines():
             try:
                 d = json.loads(ln)
