@@ -199,22 +199,23 @@ def _pair_lookup_dense(pair_keys, pair_score, pair_new, key, valid,
     spad = jnp.concatenate(
         [pair_score, jnp.zeros((npd - n,), pair_score.dtype)]
     ).reshape(-1, block)
+    # new_sym biased +1 so a zero sum means "no hit" — folds the found
+    # reduction into the value reduction (2 passes over the table
+    # instead of 3; the per-round lookup is the merge loop's main cost)
     vpad = jnp.concatenate(
-        [pair_new, jnp.zeros((npd - n,), pair_new.dtype)]
+        [pair_new + 1, jnp.zeros((npd - n,), pair_new.dtype)]
     ).reshape(-1, block)
     sc = jnp.zeros(flat.shape, pair_score.dtype)
     ns = jnp.zeros(flat.shape, pair_new.dtype)
-    fnd = jnp.zeros(flat.shape, bool)
     for b in range(npd // block):
         oh = flat[:, None] == kpad[b][None, :]
-        fnd = fnd | jnp.any(oh, axis=1)
         sc = sc + jnp.sum(jnp.where(oh, spad[b][None, :],
                                     jnp.zeros((), spad.dtype)), axis=1)
         ns = ns + jnp.sum(jnp.where(oh, vpad[b][None, :],
                                     jnp.zeros((), vpad.dtype)), axis=1)
-    found = (valid.reshape(-1) & fnd).reshape(key.shape)
+    found = (valid.reshape(-1) & (ns > 0)).reshape(key.shape)
     sc = jnp.where(found, sc.reshape(key.shape), jnp.float32(NEG_INF))
-    ns = jnp.where(found, ns.reshape(key.shape), -1)
+    ns = jnp.where(found, ns.reshape(key.shape) - 1, -1)
     return sc, ns
 
 
@@ -385,6 +386,17 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     return out, newT
 
 
+def merge_kernel():
+    """The production batched-merge kernel. The propagate-scan kernel is
+    the default (on-chip A/B: see docs/design.md); SPM_BPE_KERNEL=
+    parallel selects the older linked-list/one-hot-matmul kernel."""
+    import os
+
+    if os.environ.get("SPM_BPE_KERNEL", "scan") == "parallel":
+        return bpe_encode_batch_parallel
+    return bpe_encode_batch_scan
+
+
 class BpeBatchEncoder:
     """Host wrapper: normalize (host), codepoint-split, device merge loop.
 
@@ -425,7 +437,7 @@ class BpeBatchEncoder:
             processor.pad_id(), 0)
 
     def _device_encode(self, cps: np.ndarray, lens: np.ndarray):
-        return bpe_encode_batch_parallel(
+        return merge_kernel()(
             self.pair_keys, self.pair_new, self.pair_score, self.cp_to_sym,
             self.sym_to_id, jnp.asarray(cps), jnp.asarray(lens),
             universe=self.U, max_merges=cps.shape[1] - 1,
@@ -532,6 +544,193 @@ def utf8_to_cp_batch(batch, lengths, out_w: Optional[int] = None):
         jnp.where(put, cp, 0), jnp.where(put, seg, W), W, fill=0,
         value_bits=21)
     return out, cp_lens
+
+
+def _suffix_first_alive(val, mask, fill):
+    """out[b, p] = val at the smallest q > p with mask[b, q] (fill when
+    none): a reverse associative scan — log2(L) levels of pure
+    elementwise selects (VPU rate, no gathers)."""
+    def comb(a, b):
+        # reverse-mode scan flips the array first, so b is the EARLIER
+        # index block (verified empirically); first alive wins = b wins
+        return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+    sfx = jax.lax.associative_scan(comb, (val, mask), reverse=True, axis=1)
+    B = val.shape[0]
+    pad = jnp.full((B, 1), fill, val.dtype)
+    return jnp.concatenate([sfx[0][:, 1:], pad], axis=1)
+
+
+def _prefix_last_alive(val, mask, fill):
+    """out[b, p] = val at the largest q < p with mask[b, q] (fill when
+    none): forward associative scan, then shift right."""
+    def comb(a, b):
+        # b = later index block; last alive wins
+        return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+    pfx = jax.lax.associative_scan(comb, (val, mask), axis=1)
+    B = val.shape[0]
+    pad = jnp.full((B, 1), fill, val.dtype)
+    return jnp.concatenate([pad, pfx[0][:, :-1]], axis=1)
+
+
+def _emit_ids(sym, alive, sym_to_id, lengths, *, unk_id, add_bos, add_eos,
+              reverse, bos_id, eos_id, pad_id):
+    """Shared emission tail: alive symbols -> ids, compaction, adjacent-
+    UNK merge, extra options (mirrors sentencepiece_processor.cc:506-521,
+    945-979). Both compaction scatters are row-local -> MXU one-hot."""
+    B, L = sym.shape
+    rows = jnp.arange(B)
+    out_id = jnp.where(alive & (sym >= 0),
+                       trie._gather(sym_to_id, jnp.maximum(sym, 0)), -1)
+    out_id = jnp.where(alive, jnp.where(out_id >= 0, out_id, unk_id), -1)
+
+    t_idx = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
+    T0 = jnp.sum(alive, axis=1, dtype=jnp.int32)
+    # ids index the FULL vocab (controls included) — 24 bits covers any
+    # realistic piece count
+    vb = 24
+    seq = trie.scatter_rowlocal_mxu(
+        jnp.maximum(out_id, 0), jnp.where(alive, t_idx, L), L, fill=-1,
+        value_bits=vb)
+    t = jnp.arange(L, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate([jnp.full((B, 1), -1, seq.dtype), seq[:, :-1]],
+                           axis=1)
+    keep2 = (t < T0[:, None]) & ~((seq == unk_id) & (prev == unk_id))
+    newidx = jnp.cumsum(keep2, axis=1, dtype=jnp.int32) - 1
+    M = L + 2
+    out = trie.scatter_rowlocal_mxu(
+        jnp.where(keep2, seq, pad_id), jnp.where(keep2, newidx, M - 1),
+        M, fill=pad_id, value_bits=vb)
+    out = out.at[:, M - 1].set(pad_id)
+    newT = jnp.sum(keep2, axis=1, dtype=jnp.int32)
+
+    tt = jnp.arange(M, dtype=jnp.int32)[None, :]
+    if reverse:
+        src = jnp.clip(newT[:, None] - 1 - tt, 0, M - 1)
+        rev = jnp.take_along_axis(out, src, axis=1)
+        out = jnp.where(tt < newT[:, None], rev, pad_id)
+    if add_bos:
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), bos_id, jnp.int32), out[:, :M - 1]], axis=1)
+        out = jnp.where(tt <= newT[:, None], shifted, pad_id)
+        out = out.at[:, 0].set(bos_id)
+        newT = newT + 1
+    if add_eos:
+        out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
+        newT = newT + 1
+        out = jnp.where(tt < newT[:, None], out, pad_id)
+    return out, newT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("universe", "max_merges", "unk_id", "add_bos",
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
+                          sym_to_id, cps, lengths, *, universe: int,
+                          max_merges: int, unk_id: int,
+                          add_bos: bool = False, add_eos: bool = False,
+                          reverse: bool = False, bos_id: int = 1,
+                          eos_id: int = 2, pad_id: int = 0):
+    """Batched-merge BPE encode on an (alive mask + propagate scan)
+    representation — same round semantics as bpe_encode_batch_parallel
+    (every occurrence of each row's best-scoring pair merges per round;
+    position-contiguous chains keep alternate members, leftmost first,
+    reproducing the sequential agenda outcome; bpe_model.cc:37-199) but
+    with ZERO per-round gathers or one-hot matmuls outside the pair
+    lookup:
+
+      * the doubly-linked symbol list is replaced by an ``alive`` mask;
+      * "symbol at the next alive position" / "was my previous alive
+        position selected/kept" become log2(L)-level associative
+        propagate scans — pure elementwise VPU work (the old kernel
+        spent its rounds in B*L*L one-hot matmuls for the same reads);
+      * "I get absorbed" = "my previous alive position was kept", so the
+        absorb/mark scatters disappear entirely.
+
+    Per round: one suffix scan (next-alive symbol), the pair-table
+    lookup, two prefix scans (chain detection, absorption), cumsum +
+    max-scan for chain parity, elementwise selects. The row-capacity
+    decimation ladder from the parallel kernel is kept unchanged.
+
+    Pair scores recompute FULLY each round. An incremental variant
+    (compact the <=2K changed lanes to a narrow buffer, look up there,
+    scatter back) was measured on-chip at 258 ms vs 93 ms for full
+    recompute — the four per-round MXU scatter/compact one-hots cost
+    more than the full-width lookup they replace at these table sizes."""
+    B, L = cps.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+
+    sym0 = trie._gather(cp_to_sym, jnp.clip(cps, 0, 0x10FFFF))
+    sym0 = jnp.where(in_range, sym0, -1)
+    alive0 = in_range
+
+    def scores_full(sym, alive):
+        nsym = _suffix_first_alive(sym, alive, jnp.int32(-1))
+        valid = alive & (sym >= 0) & (nsym >= 0)
+        key = jnp.where(valid, sym * universe + nsym, -1)
+        return _pair_lookup_dense(pair_keys, pair_score, pair_new, key,
+                                  valid)
+
+    def body(state):
+        sym, alive, it, psc, pnew = state
+        best = jnp.max(psc, axis=1)
+        row_on = best > NEG_INF / 2
+        sel = row_on[:, None] & (psc == best[:, None])  # sel implies alive
+        # chain continuation: my previous alive position is also selected
+        # (its pair's right half IS me, by definition of next-alive)
+        pred_sel = _prefix_last_alive(sel, alive, False)
+        chain_cont = sel & pred_sel
+        # keep alternate chain members, leftmost first (segmented parity)
+        csel = jnp.cumsum(sel, axis=1, dtype=jnp.int32)
+        start_mark = jnp.where(sel & ~chain_cont, csel, 0)
+        seg_base = jax.lax.associative_scan(jnp.maximum, start_mark, axis=1)
+        keep = sel & ((csel - seg_base) % 2 == 0)
+        # a position is absorbed iff its previous alive position merged
+        pred_keep = _prefix_last_alive(keep, alive, False)
+        absorbed = alive & pred_keep
+        new_alive = alive & ~absorbed
+        new_sym = jnp.where(new_alive, jnp.where(keep, pnew, sym), -1)
+        psc, pnew = scores_full(new_sym, new_alive)
+        return (new_sym, new_alive, it + 1, psc, pnew)
+
+    def phase_loop(state, cap_rows):
+        def cond(s):
+            _, _, it, psc, _ = s
+            row_unf = jnp.any(psc > NEG_INF / 2, axis=1)
+            pairs = jnp.any(row_unf)
+            n_unf = jnp.sum(row_unf, dtype=jnp.int32)
+            return pairs & (it < max_merges) & (n_unf > cap_rows)
+        return jax.lax.while_loop(cond, body, state)
+
+    def compact(state, nrows):
+        sym, alive, it, psc, pnew = state
+        unf = jnp.any(psc > NEG_INF / 2, axis=1)
+        idx = jnp.argsort(jnp.where(unf, 0, 1), stable=True)[:nrows]
+        return idx, (sym[idx], alive[idx], it, psc[idx], pnew[idx])
+
+    psc0, pnew0 = scores_full(sym0, alive0)
+    state = (sym0, alive0, jnp.int32(0), psc0, pnew0)
+    caps = []
+    cap = B // 2
+    while cap >= 64:
+        caps.append(cap)
+        cap //= 2
+    scatters = []
+    for capr in caps:
+        state = phase_loop(state, capr)
+        idx, sub = compact(state, capr)
+        scatters.append((idx, state[0], state[1]))
+        state = sub
+    state = phase_loop(state, 0)
+    f_sym, f_alive = state[0], state[1]
+    for idx, lv_sym, lv_alive in reversed(scatters):
+        f_sym = lv_sym.at[idx].set(f_sym)
+        f_alive = lv_alive.at[idx].set(f_alive)
+
+    return _emit_ids(f_sym, f_alive, sym_to_id, lengths, unk_id=unk_id,
+                     add_bos=add_bos, add_eos=add_eos, reverse=reverse,
+                     bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
 
 
 @functools.partial(

@@ -215,9 +215,9 @@ class TpuTokenizer:
             return norm_out, enc_len, overflow
 
         if self._bpe is not None:
-            from .bpe_encode import (utf8_to_cp_batch,
-                                     bpe_encode_batch_parallel)
+            from .bpe_encode import utf8_to_cp_batch, merge_kernel
             bpe = self._bpe
+            bpe_merge = merge_kernel()
             tables = norm_tables + (bpe.pair_keys, bpe.pair_new,
                                     bpe.pair_score, bpe.cp_to_sym,
                                     bpe.sym_to_id)
@@ -237,7 +237,7 @@ class TpuTokenizer:
                                                out_w=w_cp)
                 overflow = overflow | (cp_len > w_cp)
                 cp_len = jnp.minimum(cp_len, w_cp)
-                ids, n_ids = bpe_encode_batch_parallel(
+                ids, n_ids = bpe_merge(
                     bt[0], bt[1], bt[2], bt[3], bt[4], cps, cp_len,
                     universe=bpe.U, max_merges=w_cp - 1,
                     unk_id=bpe.unk_id, add_bos=bpe.add_bos,

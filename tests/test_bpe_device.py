@@ -149,6 +149,42 @@ def test_parallel_merge_kernel_matches_sequential(fixtures_dir):
         assert a1[j, :n1[j]].tolist() == a2[j, :n2[j]].tolist()
 
 
+def test_scan_merge_kernel_matches_sequential(fixtures_dir):
+    """bpe_encode_batch_scan (alive-mask + propagate scans) reproduces
+    the sequential scan's ids exactly, including same-symbol runs and
+    chain parity."""
+    import jax.numpy as jnp
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.bpe_encode import (BpeBatchEncoder,
+                                                  bpe_encode_batch,
+                                                  bpe_encode_batch_scan)
+    from sentencepiece_tpu.utils.unicode import utf8_to_unicode_text
+
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
+    enc = BpeBatchEncoder(sp)
+    texts = ["A cold day.", "aaaaaa bbb", "the theatre there",
+             "mississippi", "", "xyzzy plugh", "a", "  doubled  spaces "]
+    cps_list = [utf8_to_unicode_text(sp.normalizer.normalize(t)[0])
+                for t in texts]
+    W = 64
+    arr = np.zeros((8, W), np.int32)
+    lens = np.zeros(8, np.int32)
+    for j, c in enumerate(cps_list):
+        arr[j, :len(c)] = c
+        lens[j] = len(c)
+    kw = dict(universe=enc.U, max_merges=W - 1, unk_id=enc.unk_id,
+              pad_id=enc.pad_id)
+    a1, n1 = bpe_encode_batch(enc.pair_keys, enc.pair_new, enc.pair_score,
+                              enc.cp_to_sym, enc.sym_to_id,
+                              jnp.asarray(arr), jnp.asarray(lens), **kw)
+    a2, n2 = bpe_encode_batch_scan(
+        enc.pair_keys, enc.pair_new, enc.pair_score, enc.cp_to_sym,
+        enc.sym_to_id, jnp.asarray(arr), jnp.asarray(lens), **kw)
+    a1, n1, a2, n2 = map(np.asarray, (a1, n1, a2, n2))
+    for j in range(len(texts)):
+        assert a1[j, :n1[j]].tolist() == a2[j, :n2[j]].tolist()
+
+
 def test_parallel_merge_capacity_guard_uniform_depth():
     """Capacity-ladder decimation: when EVERY row needs many merge
     rounds, no phase may exit before the unfinished rows fit the next
