@@ -107,7 +107,8 @@ def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
                      cps, lengths, *, universe: int, max_merges: int,
                      unk_id: int, add_bos: bool = False,
                      add_eos: bool = False, reverse: bool = False,
-                     bos_id: int = 1, eos_id: int = 2, pad_id: int = 0):
+                     bos_id: int = 1, eos_id: int = 2, pad_id: int = 0,
+                     pack_bits: int = 0):
     """cps int32[B, L] codepoints per char position; lengths in chars.
 
     Returns (ids int32[B, L+2], out_len int32[B])."""
@@ -115,14 +116,16 @@ def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
         pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id, cps, lengths,
         jax.random.PRNGKey(0), universe=universe, max_merges=max_merges,
         unk_id=unk_id, dropout_p=0.0, add_bos=add_bos, add_eos=add_eos,
-        reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
+        reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
+        pack_bits=pack_bits)
 
 
 def bpe_dropout_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
                       cps, lengths, key, *, universe: int, max_merges: int,
                       unk_id: int, dropout_p: float, add_bos: bool = False,
                       add_eos: bool = False, reverse: bool = False,
-                      bos_id: int = 1, eos_id: int = 2, pad_id: int = 0):
+                      bos_id: int = 1, eos_id: int = 2, pad_id: int = 0,
+                      pack_bits: int = 0):
     """BPE-dropout on device: each selected merge instance is skipped with
     probability dropout_p (and stays skipped until a neighboring merge
     re-forms the pair), matching the host agenda semantics in
@@ -131,7 +134,8 @@ def bpe_dropout_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
         pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id, cps, lengths,
         key, universe=universe, max_merges=max_merges, unk_id=unk_id,
         dropout_p=float(dropout_p), add_bos=add_bos, add_eos=add_eos,
-        reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
+        reverse=reverse, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
+        pack_bits=pack_bits)
 
 
 _DENSE_MAX_PAIRS = 4096
@@ -171,16 +175,21 @@ def _pair_lookup_bsearch(pair_keys, pair_score, pair_new, key, valid):
 
 
 def _pair_lookup_dense(pair_keys, pair_score, pair_new, key, valid,
-                       block: int = 512):
+                       block: int = 512, pack_bits: int = 0):
     """(score, new_sym) for packed pair keys.
 
     Small tables: one-hot compare-reduce over the whole pair table.
     XLA's gather lowers to a per-element scalar loop on TPU (~7 ns/elem,
     scripts/probe_gather.py), so the old searchsorted(+3 gathers) path
     cost ~90 ms per million lanes; the one-hot form runs at VPU vector
-    rate (~0.25 ns per lane*key) — ~76x faster at 297 pairs. Keys are
-    unique, so each lane sums at most one table entry (exact for float
-    scores).
+    rate — ~76x faster at 297 pairs. Keys are unique, so each lane sums
+    at most one table entry (exact for float scores).
+
+    ``pack_bits`` > 0 (host-checked: every score is an integral
+    non-positive merge rank and rank_bits + sym_bits fit 31) packs
+    (rank << pack_bits) | (new_sym + 1) into ONE int32 value table, so
+    the per-round lookup makes a single masked-sum pass over the table
+    instead of two — the merge loop's dominant cost.
 
     Big tables (large-vocab BPE models reach ~100k pairs): the one-hot
     cost — and its unrolled compile size — scales with the table, so
@@ -196,12 +205,30 @@ def _pair_lookup_dense(pair_keys, pair_score, pair_new, key, valid,
     kpad = jnp.concatenate(
         [pair_keys, jnp.full((npd - n,), -1, pair_keys.dtype)]
     ).reshape(-1, block)
+    if pack_bits > 0:
+        rank = (-pair_score).astype(jnp.int32)
+        packed = (rank << pack_bits) | (pair_new + 1)
+        vpad = jnp.concatenate(
+            [packed, jnp.zeros((npd - n,), jnp.int32)]).reshape(-1, block)
+        pk = jnp.zeros(flat.shape, jnp.int32)
+        for b in range(npd // block):
+            oh = flat[:, None] == kpad[b][None, :]
+            pk = pk + jnp.sum(jnp.where(oh, vpad[b][None, :],
+                                        jnp.zeros((), jnp.int32)), axis=1)
+        # new_sym+1 >= 1 for every entry, so a zero sum means "no hit"
+        found = (valid.reshape(-1)
+                 & ((pk & ((1 << pack_bits) - 1)) > 0)).reshape(key.shape)
+        pk = pk.reshape(key.shape)
+        sc = jnp.where(found, -(pk >> pack_bits).astype(jnp.float32),
+                       jnp.float32(NEG_INF))
+        ns = jnp.where(found, (pk & ((1 << pack_bits) - 1)) - 1, -1)
+        return sc, ns
     spad = jnp.concatenate(
         [pair_score, jnp.zeros((npd - n,), pair_score.dtype)]
     ).reshape(-1, block)
     # new_sym biased +1 so a zero sum means "no hit" — folds the found
     # reduction into the value reduction (2 passes over the table
-    # instead of 3; the per-round lookup is the merge loop's main cost)
+    # instead of 3)
     vpad = jnp.concatenate(
         [pair_new + 1, jnp.zeros((npd - n,), pair_new.dtype)]
     ).reshape(-1, block)
@@ -219,16 +246,32 @@ def _pair_lookup_dense(pair_keys, pair_score, pair_new, key, valid,
     return sc, ns
 
 
+def pack_bits_for(pair_score, pair_new, universe: int) -> int:
+    """Host-side static check for the packed single-pass lookup: valid
+    when every pair score is an integral non-positive rank (BPE piece
+    scores are -merge_rank, bpe_model_trainer.cc:269-270) and
+    rank_bits + sym_bits <= 31. Returns the sym_bits shift, or 0."""
+    s = np.asarray(pair_score)
+    if s.size == 0:
+        return 0
+    if not (np.all(s <= 0) and np.all(s == np.round(s))):
+        return 0
+    rank_bits = max(1, int(-s.min())).bit_length()
+    sym_bits = (int(np.asarray(pair_new).max(initial=0)) + 1).bit_length()
+    return sym_bits if rank_bits + sym_bits <= 31 else 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("universe", "max_merges", "unk_id", "dropout_p",
                      "add_bos", "add_eos", "reverse", "bos_id", "eos_id",
-                     "pad_id"))
+                     "pad_id", "pack_bits"))
 def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
                      cps, lengths, key, *, universe: int, max_merges: int,
                      unk_id: int, dropout_p: float, add_bos: bool = False,
                      add_eos: bool = False, reverse: bool = False,
-                     bos_id: int = 1, eos_id: int = 2, pad_id: int = 0):
+                     bos_id: int = 1, eos_id: int = 2, pad_id: int = 0,
+                     pack_bits: int = 0):
     B, L = cps.shape
     rows = jnp.arange(B)
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -245,7 +288,7 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
         valid = (l_sym >= 0) & (r_sym >= 0)
         key = jnp.where(valid, l_sym * universe + r_sym, -1)
         return _pair_lookup_dense(pair_keys, pair_score, pair_new, key,
-                                  valid)
+                                  valid, pack_bits=pack_bits)
 
     # initial pair cache: pair (p, p+1)
     r_sym0 = jnp.concatenate([sym[:, 1:], jnp.full((B, 1), -1, sym.dtype)],
@@ -427,6 +470,7 @@ class BpeBatchEncoder:
             self.cp_to_sym = jnp.asarray(cp_to_sym)
             self.sym_to_id = jnp.asarray(sym_id)
             self.U = U
+            self.pack_bits = pack_bits_for(pair_score, new_sym, U)
         self.unk_id = model.unk_id
         self.add_bos = add_bos
         self.add_eos = add_eos
@@ -443,7 +487,7 @@ class BpeBatchEncoder:
             universe=self.U, max_merges=cps.shape[1] - 1,
             unk_id=self.unk_id, add_bos=self.add_bos, add_eos=self.add_eos,
             reverse=self.reverse, bos_id=self.bos_id, eos_id=self.eos_id,
-            pad_id=self.pad_id)
+            pad_id=self.pad_id, pack_bits=self.pack_bits)
 
     def encode(self, texts) -> List[List[int]]:
         from ..utils.unicode import utf8_to_unicode_text
@@ -495,7 +539,7 @@ class BpeBatchEncoder:
                 dropout_p=float(dropout_p), add_bos=self.add_bos,
                 add_eos=self.add_eos, reverse=self.reverse,
                 bos_id=self.bos_id, eos_id=self.eos_id,
-                pad_id=self.pad_id)
+                pad_id=self.pad_id, pack_bits=self.pack_bits)
             return np.asarray(ids), np.asarray(n_ids), arr.shape[1]
 
         def unpack(res, j, gi):
@@ -624,13 +668,15 @@ def _emit_ids(sym, alive, sym_to_id, lengths, *, unk_id, add_bos, add_eos,
 @functools.partial(
     jax.jit,
     static_argnames=("universe", "max_merges", "unk_id", "add_bos",
-                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id",
+                     "pack_bits"))
 def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
                           sym_to_id, cps, lengths, *, universe: int,
                           max_merges: int, unk_id: int,
                           add_bos: bool = False, add_eos: bool = False,
                           reverse: bool = False, bos_id: int = 1,
-                          eos_id: int = 2, pad_id: int = 0):
+                          eos_id: int = 2, pad_id: int = 0,
+                          pack_bits: int = 0):
     """Batched-merge BPE encode on an (alive mask + propagate scan)
     representation — same round semantics as bpe_encode_batch_parallel
     (every occurrence of each row's best-scoring pair merges per round;
@@ -670,7 +716,7 @@ def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
         valid = alive & (sym >= 0) & (nsym >= 0)
         key = jnp.where(valid, sym * universe + nsym, -1)
         return _pair_lookup_dense(pair_keys, pair_score, pair_new, key,
-                                  valid)
+                                  valid, pack_bits=pack_bits)
 
     def body(state):
         sym, alive, it, psc, pnew = state
@@ -736,13 +782,15 @@ def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
 @functools.partial(
     jax.jit,
     static_argnames=("universe", "max_merges", "unk_id", "add_bos",
-                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id",
+                     "pack_bits"))
 def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
                               sym_to_id, cps, lengths, *, universe: int,
                               max_merges: int, unk_id: int,
                               add_bos: bool = False, add_eos: bool = False,
                               reverse: bool = False, bos_id: int = 1,
-                              eos_id: int = 2, pad_id: int = 0):
+                              eos_id: int = 2, pad_id: int = 0,
+                              pack_bits: int = 0):
     """Batched-merge BPE encode: each while_loop iteration merges EVERY
     occurrence of the current best-scoring pair at once (BPE pair scores
     are -merge_rank, so the best score names a unique piece; equal-score
@@ -770,7 +818,7 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
         valid = (l_sym >= 0) & (r_sym >= 0)
         key = jnp.where(valid, l_sym * universe + r_sym, -1)
         return _pair_lookup_dense(pair_keys, pair_score, pair_new, key,
-                                  valid)
+                                  valid, pack_bits=pack_bits)
 
     def scores_of(sym, nxt, alive):
         nsafe = jnp.clip(nxt, 0, L - 1)

@@ -243,7 +243,7 @@ class TpuTokenizer:
                     unk_id=bpe.unk_id, add_bos=bpe.add_bos,
                     add_eos=bpe.add_eos, reverse=bpe.reverse,
                     bos_id=bpe.bos_id, eos_id=bpe.eos_id,
-                    pad_id=bpe.pad_id)
+                    pad_id=bpe.pad_id, pack_bits=bpe.pack_bits)
                 return ids, n_ids, overflow
 
             return core_bpe, tables
