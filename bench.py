@@ -284,17 +284,49 @@ def _extra_targets() -> dict:
     return extras
 
 
+def _roofline() -> dict:
+    """Modeled lookup-cost ceilings (scripts/roofline.py): counts the
+    pipelines' gather/one-hot/matmul work units eagerly on the CPU
+    backend and prices them at the measured rates of design.md rule 7.
+    Returns {"unigram": ceiling_bytes_per_s, "bpe": ...} or {}."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/roofline.py")],
+            capture_output=True, text=True, timeout=900).stdout
+        for ln in out.splitlines():
+            try:
+                d = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if "unigram" in d and "bpe" in d:
+                return {k: v["modeled_ceiling_bytes_per_s"]
+                        for k, v in d.items()}
+    except Exception as e:  # noqa: BLE001
+        _note(f"roofline model failed: {e}")
+    return {}
+
+
 def _emit(lines: list) -> None:
     """Print result lines, folding the host-side BASELINE targets into
-    the FINAL (headline) line."""
+    the FINAL (headline) line and the modeled roofline denominator into
+    every pipeline line (VERDICT r2 item 4: emit modeled_ceiling +
+    achieved_pct so throughput regressions in the lookup paths are
+    visible against the cost model, not just the baseline anchor)."""
     extras = _extra_targets()
+    ceilings = _roofline()
     for i, ln in enumerate(lines):
+        d = json.loads(ln)
+        which = "bpe" if "bpe" in d["metric"] else "unigram"
+        if ceilings.get(which):
+            d["modeled_ceiling_bytes_per_s"] = ceilings[which]
+            d["achieved_pct"] = round(
+                100.0 * d["value"] / ceilings[which], 1)
+            d["roofline_note"] = (
+                "lookup-cost floor (gathers/one-hot/matmul at measured "
+                "rates, scripts/roofline.py); elementwise glue unpriced")
         if i == len(lines) - 1:
-            d = json.loads(ln)
             d.update(extras)
-            print(json.dumps(d))
-        else:
-            print(ln)
+        print(json.dumps(d))
 
 
 def main() -> None:

@@ -200,6 +200,7 @@ def _pair_lookup_dense(pair_keys, pair_score, pair_new, key, valid,
     if n > _DENSE_MAX_PAIRS:
         return _pair_lookup_bsearch(pair_keys, pair_score, pair_new, key,
                                     valid)
+    trie.count_vpu(key.size, n * (1 if pack_bits > 0 else 2))
     flat = key.reshape(-1)
     npd = ((n + block - 1) // block) * block
     kpad = jnp.concatenate(
@@ -598,6 +599,7 @@ def _suffix_first_alive(val, mask, fill):
         # reverse-mode scan flips the array first, so b is the EARLIER
         # index block (verified empirically); first alive wins = b wins
         return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+    trie.count_vpu(val.size, 3 * max(1, int(val.shape[1]).bit_length()))
     sfx = jax.lax.associative_scan(comb, (val, mask), reverse=True, axis=1)
     B = val.shape[0]
     pad = jnp.full((B, 1), fill, val.dtype)
@@ -610,6 +612,7 @@ def _prefix_last_alive(val, mask, fill):
     def comb(a, b):
         # b = later index block; last alive wins
         return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+    trie.count_vpu(val.size, 3 * max(1, int(val.shape[1]).bit_length()))
     pfx = jax.lax.associative_scan(comb, (val, mask), axis=1)
     B = val.shape[0]
     pad = jnp.full((B, 1), fill, val.dtype)

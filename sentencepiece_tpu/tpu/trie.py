@@ -21,6 +21,28 @@ _HAS_LEAF = jnp.uint32(1 << 8)
 _LABEL_MASK = jnp.uint32((1 << 31) | 0xFF)
 _VALUE_MASK = jnp.uint32(0x7FFFFFFF)
 
+# ---------------------------------------------------------------------------
+# Lookup-cost accounting (the bench roofline, docs/design.md rule 7).
+# When COUNTERS is a dict (enable ONLY inside jax.disable_jit(), so ops
+# execute eagerly with real while_loop trip counts), every primitive
+# accumulates its work units:
+#   serial_gather_lanes  — XLA per-element scalar-loop gathers/scatters
+#   row_gather_lanes     — W-wide paired-row gathers (~1.4x a scalar)
+#   onehot_lane_keys     — compare-reduce lanes x keys (VPU)
+#   mxu_flops            — one-hot matmul flops (taa_mxu / scatter / gather_mxu)
+COUNTERS = None
+
+
+def _count(kind: str, n) -> None:
+    if COUNTERS is not None:
+        COUNTERS[kind] = COUNTERS.get(kind, 0) + int(n)
+
+
+def count_vpu(lanes, ops) -> None:
+    """Explicit VPU elementwise accounting for non-trie code (propagate
+    scans, pair-lookup compare loops)."""
+    _count("onehot_lane_keys", int(lanes) * int(ops))
+
 
 def offsets(units: jnp.ndarray) -> jnp.ndarray:
     """DoubleArrayUnit::offset() (darts.h:72-74), vectorized."""
@@ -63,6 +85,8 @@ def _gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     be int32 — uint32 indices take a slow conversion-fused path."""
     if idx.dtype != jnp.int32:
         idx = jnp.minimum(idx, jnp.uint32(len(table) - 1)).astype(jnp.int32)
+    _count("row_gather_lanes" if table.ndim > 1 else "serial_gather_lanes",
+           idx.size)
     idx = jax.lax.optimization_barrier(idx)
     out = table.at[idx].get(mode="promise_in_bounds")
     return jax.lax.optimization_barrier(out)
@@ -88,6 +112,7 @@ def gather_small(table: jnp.ndarray, idx: jnp.ndarray,
     K = int(table.shape[0])
     if idx.dtype != jnp.int32:
         idx = jnp.minimum(idx, jnp.uint32(K - 1)).astype(jnp.int32)
+    _count("onehot_lane_keys", idx.size * K)
     flat = idx.reshape(-1)
     Kp = ((K + block - 1) // block) * block
     tpad = jnp.concatenate(
@@ -135,6 +160,8 @@ def gather_mxu(table: jnp.ndarray, idx: jnp.ndarray,
     flat = idx.reshape(-1)
     L = int(flat.shape[0])
     d1 = (K + d2 - 1) // d2
+    nplanes = sum(max(1, (int(vb) + 7) // 8) for vb in (col_bits or ()))
+    _count("mxu_flops", 2 * L * d1 * max(nplanes, 1) * d2)
     # [K, W] u32 -> [K, planes] byte planes (column-major: all of col
     # 0's bytes, then col 1's, ...) -> [d1, d2*planes]
     tb = t2.astype(jnp.uint32)
@@ -173,6 +200,7 @@ def _scatter_set(target: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
     """Out-of-line 2D scatter-set with optimization barriers (same XLA
     fusion pathology as _gather: fused scatters serialize and explode
     compile time)."""
+    _count("serial_gather_lanes", values.size)
     rows = jax.lax.optimization_barrier(rows)
     cols = jax.lax.optimization_barrier(cols)
     values = jax.lax.optimization_barrier(values)
@@ -192,6 +220,7 @@ def _scatter_max(target: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
 
 def _taa(arr: jnp.ndarray, idx: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """Out-of-line take_along_axis (barriered, like _gather)."""
+    _count("serial_gather_lanes", idx.size)
     idx = jax.lax.optimization_barrier(idx)
     out = jnp.take_along_axis(arr, idx, axis=axis)
     return jax.lax.optimization_barrier(out)
@@ -215,6 +244,7 @@ def taa_mxu(arr: jnp.ndarray, idx: jnp.ndarray,
     if N > _ROWLOCAL_MAX_N:
         return _taa(arr, idx)
     nbytes = max(1, (value_bits + 7) // 8)
+    _count("mxu_flops", 2 * idx.size * N * nbytes)
     oh = (idx[:, :, None]
           == jnp.arange(N, dtype=jnp.int32)[None, None, :]).astype(
               jnp.bfloat16)                       # [B, O, N]
@@ -247,6 +277,7 @@ def scatter_rowlocal_mxu(values: jnp.ndarray, cols: jnp.ndarray, O: int,
         out = _scatter_set(target, rows, jnp.minimum(cols, O), values)
         return out[:, :O]
     nbytes = min(4, max(1, (value_bits + 8) // 8))  # +1 bit for the bias
+    _count("mxu_flops", 2 * B * N * O * nbytes)
     oh = (cols[:, :, None]
           == jnp.arange(O, dtype=jnp.int32)[None, None, :]).astype(
               jnp.bfloat16)                       # [B, N, O]
@@ -324,6 +355,7 @@ def step_pair(arc_keys: jnp.ndarray, arc_w0: jnp.ndarray,
 
     Returns (state, alive, val)."""
     K = int(arc_keys.shape[0])
+    _count("onehot_lane_keys", 3 * key.size * K)
     flat = key.reshape(-1)
     Kp = ((K + block - 1) // block) * block
     kpad = jnp.concatenate(
