@@ -9,9 +9,12 @@ TPU-native form of the reference BPE trainer's inner machinery
 active-symbol heap become, per merge step,
 
   1. a dense pair-count histogram over the (growing) symbol universe,
-     scatter-added from every adjacent pair in the corpus shard — with the
-     reference's overlap dedup ("AAA" counts ONE "AA",
-     bpe_model_trainer.cc:85-116) via even-offset-in-run masking;
+     scatter-added from every TRACKED adjacent pair in the corpus shard —
+     a persistent per-lane mask replicating the reference's
+     ComputeFreq position-set semantics exactly (overlap dedup at
+     creation, permanent forgetting of overlap-skipped occurrences,
+     re-adds only for merged-symbol pairs, dup pops erase positions;
+     see tpu/bpe_train_sparse.py's module docstring for the argument);
   2. `jax.lax.psum` of the histogram over the data-parallel mesh axis (the
      multi-host reduction of SURVEY.md §2.9: corpus sharded by words,
      merge decisions replicated);
@@ -31,11 +34,13 @@ the lex pass compares per-symbol codepoint tables position by position
 (UTF-8 byte order equals codepoint order, so codepoint lex == ToString()
 lex) and is `cond`-gated so it only runs on actual (freq, len) ties.
 
-Documented deviations from the reference: counts are always exact (the
-reference's active-set cache only approximates them between refreshes,
-which can reorder the freq-1 tail — see docs/conformance.md). Universe
+Documented deviation from the reference: selection is a GLOBAL argmax —
+the reference restricts candidates to its active set, whose
+equal-frequency cutoff depends on libstdc++ container internals
+(host-only state; measured divergence point:
+scripts/oracle_bpe_active_set.py, docs/conformance.md). Universe
 (alphabet + merges) is bounded by the dense histogram to ~4k symbols;
-bigger runs use the host engine.
+bigger runs use the sparse active-table engine (tpu/bpe_train_sparse.py).
 """
 
 from __future__ import annotations
@@ -56,14 +61,22 @@ SCRIPT_MIXED = -2
 @functools.partial(
     jax.jit,
     static_argnames=("universe", "n_merges", "max_piece_len", "axis_name"))
-def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
-                     sym_ws_inner0, sym_script0, sym_valid0, sym_chars0, *,
+def bpe_train_merges(sym0, tracked0, freqs, first_new_id, sym_len0,
+                     sym_ws_prefix0, sym_ws_inner0, sym_script0,
+                     sym_valid0, sym_chars0, *,
                      universe: int, n_merges: int, max_piece_len: int,
                      axis_name: Optional[str] = None):
     """Run the merge loop. Returns (merge_l, merge_r, merge_freq) arrays of
-    length n_merges; entries are -1 / 0 once no valid pair remains.
+    length n_merges; entries are -1 / 0 once no valid pair remains, and
+    (-2, -2) for steps that popped a duplicate piece string (skipped
+    without applying, like the reference's dup pop).
 
-    sym0 int32[W, L]: per-char symbol ids (-1 pad); freqs f32[W];
+    sym0 int32[W, L]: per-char symbol ids (-1 pad); tracked0 bool[W, L]:
+    the load-time tracked-position mask (bpe_train_sparse.init_tracked)
+    — pair frequency is the sum over TRACKED lanes, replicating the
+    reference's ComputeFreq position-set semantics (overlap-skipped
+    occurrences are permanently forgotten; see
+    tpu/bpe_train_sparse.py's module docstring). freqs f32[W];
     first_new_id: universe id assigned to the first merge product.
     Per-symbol attribute vectors are sized [universe];
     sym_chars0 int32[universe, max_piece_len]: codepoints (0 pad) — the
@@ -74,21 +87,10 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
     Lp = max_piece_len
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
 
-    def run_parity(flag):
-        """parity of position within each maximal run of True `flag`
-        (via cumulative max of run-start positions)."""
-        starts = jnp.where(flag, -1, pos)
-        run_start = jax.lax.associative_scan(jnp.maximum, starts, axis=1)
-        return ((pos - run_start) % 2) == 0
-
-    def histogram(sym):
+    def histogram(sym, tracked):
         nxt_sym = jnp.concatenate(
             [sym[:, 1:], jnp.full((W, 1), -1, sym.dtype)], axis=1)
-        pair_ok = (sym >= 0) & (nxt_sym >= 0)
-        same_prev = jnp.concatenate(
-            [jnp.zeros((W, 1), bool), sym[:, 1:] == sym[:, :-1]], axis=1)
-        in_run = pair_ok & (sym == nxt_sym)
-        counted = pair_ok & jnp.where(in_run, run_parity(same_prev), True)
+        counted = tracked & (sym >= 0) & (nxt_sym >= 0)
         key = jnp.where(counted, sym * U + nxt_sym, U * U)
         w = jnp.broadcast_to(freqs[:, None], (W, L))
         flat_key = jax.lax.optimization_barrier(key.reshape(-1))
@@ -99,8 +101,9 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
         return jax.lax.optimization_barrier(counts[:U * U])
 
     def step(carry, _):
-        (sym, s_len, s_wsp, s_wsi, s_scr, s_val, s_chr, next_id) = carry
-        counts = histogram(sym)
+        (sym, tracked, s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
+         next_id) = carry
+        counts = histogram(sym, tracked)
         if axis_name is not None:
             # pair counts are integer-valued float32 (sums of integer word
             # freqs), so psum is order-exact below 2^24 — the merge
@@ -156,17 +159,40 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
         bl = best // U
         br = best % U
 
+        # merged codepoints: chars[bl] ++ chars[br], 0-padded
+        jpos = jnp.arange(Lp, dtype=jnp.int32)
+        idx_r = jnp.clip(jpos - s_len[bl], 0, Lp - 1)
+        merged = jnp.where(jpos < s_len[bl], s_chr[bl],
+                           jnp.where(jpos < s_len[bl] + s_len[br],
+                                     s_chr[br][idx_r], 0))
+        mlen = s_len[bl] + s_len[br]
+        # dup piece string: the reference pops it, erases the symbol WITH
+        # its tracked positions, applies nothing (train/bpe.py:341-345)
+        uid = jnp.arange(U, dtype=jnp.int32)
+        prior = (uid >= first_new_id) & (uid < next_id)
+        isdup = active & jnp.any(prior & (s_len == mlen)
+                                 & jnp.all(s_chr == merged[None, :],
+                                           axis=1))
         nxt_sym = jnp.concatenate(
             [sym[:, 1:], jnp.full((W, 1), -1, sym.dtype)], axis=1)
-        hit = active & (sym == bl) & (nxt_sym == br)
-        same_prev_hit = jnp.concatenate(
-            [jnp.zeros((W, 1), bool), hit[:, :-1]], axis=1) & hit
-        apply = hit & jnp.where(bl == br, run_parity(same_prev_hit), True)
+        pairhere = tracked & (sym == bl) & (nxt_sym == br)
+        tracked = jnp.where(isdup, tracked & ~pairhere, tracked)
+        applying = active & ~isdup
+        # tracked lanes are already overlap-deduped (non-overlapping by
+        # construction), so every tracked occurrence applies
+        apply = applying & pairhere
         sym = jnp.where(apply, next_id, sym)
         kill = jnp.concatenate(
             [jnp.zeros((W, 1), bool), apply[:, :-1]], axis=1)
         sym = jnp.where(kill, -1, sym)
-        # compact so adjacency stays +1
+        # a lane's tracking dies when its symbol or partner changes:
+        # apply sites (new symbol) and their LEFT neighbors (partner now
+        # the merged symbol); killed lanes drop in the compaction;
+        # re-adds happen below
+        next_apply = jnp.concatenate(
+            [apply[:, 1:], jnp.zeros((W, 1), bool)], axis=1)
+        tracked = tracked & ~apply & ~next_apply
+        # compact so adjacency stays +1 (tracked rides along)
         alive = sym >= 0
         tgt = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
         rows = jnp.arange(W, dtype=jnp.int32)[:, None]
@@ -174,34 +200,52 @@ def bpe_train_merges(sym0, freqs, first_new_id, sym_len0, sym_ws_prefix0,
         new_sym = trie._scatter_set(
             new_sym, jnp.broadcast_to(rows, (W, L)),
             jnp.where(alive, tgt, L), jnp.where(alive, sym, -1))
+        new_trk = jnp.zeros((W, L + 1), jnp.int32)
+        new_trk = trie._scatter_set(
+            new_trk, jnp.broadcast_to(rows, (W, L)),
+            jnp.where(alive, tgt, L), tracked.astype(jnp.int32))
         sym = new_sym[:, :L]
+        tracked = new_trk[:, :L].astype(jnp.bool_)
+        # re-track the merged symbol's new pairs ((x,new),(new,y)) with
+        # chain dedup at creation — the reference's _add_new_pair +
+        # first-ComputeFreq (see bpe_train_sparse.py's module docstring)
+        nxt2 = jnp.concatenate(
+            [sym[:, 1:], jnp.full((W, 1), -1, sym.dtype)], axis=1)
+        cand = applying & ((sym == next_id) | (nxt2 == next_id)) \
+            & (sym >= 0) & (nxt2 >= 0)
+        keyl = sym * U + nxt2
+        prev_cand = jnp.concatenate(
+            [jnp.zeros((W, 1), bool), cand[:, :-1]], axis=1)
+        prev_key = jnp.concatenate(
+            [jnp.full((W, 1), -2, keyl.dtype), keyl[:, :-1]], axis=1)
+        cont = cand & prev_cand & (prev_key == keyl)
+        cc = jnp.cumsum(cand, axis=1, dtype=jnp.int32)
+        start_mark = jnp.where(cand & ~cont, cc, 0)
+        seg_base = jax.lax.associative_scan(jnp.maximum, start_mark, axis=1)
+        keep_new = cand & ((cc - seg_base) % 2 == 0)
+        tracked = jnp.where(cand, keep_new, tracked)
 
-        s_len = s_len.at[next_id].set(
-            jnp.where(active, s_len[bl] + s_len[br], 0))
-        s_wsp = s_wsp.at[next_id].set(jnp.where(active, s_wsp[bl], False))
+        s_len = s_len.at[next_id].set(jnp.where(applying, mlen, 0))
+        s_wsp = s_wsp.at[next_id].set(jnp.where(applying, s_wsp[bl], False))
         s_wsi = s_wsi.at[next_id].set(
-            jnp.where(active, s_wsi[bl] | s_wsp[br] | s_wsi[br], False))
+            jnp.where(applying, s_wsi[bl] | s_wsp[br] | s_wsi[br], False))
         new_scr = jnp.where(
             s_scr[bl] == SCRIPT_ANY, s_scr[br],
             jnp.where(s_scr[br] == SCRIPT_ANY, s_scr[bl],
                       jnp.where(s_scr[bl] == s_scr[br], s_scr[bl],
                                 SCRIPT_MIXED)))
-        s_scr = s_scr.at[next_id].set(jnp.where(active, new_scr, 0))
-        s_val = s_val.at[next_id].set(active)
-        # merged codepoints: chars[bl] ++ chars[br], 0-padded
-        jpos = jnp.arange(Lp, dtype=jnp.int32)
-        idx_r = jnp.clip(jpos - s_len[bl], 0, Lp - 1)
-        merged = jnp.where(jpos < s_len[bl], s_chr[bl],
-                           jnp.where(jpos < s_len[bl] + s_len[br],
-                                     s_chr[br][idx_r], 0))
-        s_chr = s_chr.at[next_id].set(jnp.where(active, merged, 0))
-        out = (jnp.where(active, bl, -1), jnp.where(active, br, -1),
-               jnp.where(active, m, 0.0))
-        return ((sym, s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
-                 next_id + jnp.where(active, 1, 0)), out)
+        s_scr = s_scr.at[next_id].set(jnp.where(applying, new_scr, 0))
+        s_val = s_val.at[next_id].set(applying)
+        s_chr = s_chr.at[next_id].set(jnp.where(applying, merged, 0))
+        out = (jnp.where(applying, bl, jnp.where(isdup, -2, -1)),
+               jnp.where(applying, br, jnp.where(isdup, -2, -1)),
+               jnp.where(applying, m, 0.0))
+        return ((sym, tracked, s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
+                 next_id + jnp.where(applying, 1, 0)), out)
 
-    carry0 = (sym0, sym_len0, sym_ws_prefix0, sym_ws_inner0, sym_script0,
-              sym_valid0, sym_chars0, jnp.asarray(first_new_id, jnp.int32))
+    carry0 = (sym0, tracked0, sym_len0, sym_ws_prefix0, sym_ws_inner0,
+              sym_script0, sym_valid0, sym_chars0,
+              jnp.asarray(first_new_id, jnp.int32))
     (_, (ml, mr, mf)) = jax.lax.scan(step, carry0, None, length=n_merges)
     return ml, mr, mf
 
@@ -266,23 +310,26 @@ def train_device_bpe(trainer, n_merges: int):
                 scr = SCRIPT_ANY
         s_scr[i] = scr
 
+    from .bpe_train_sparse import init_tracked
+
     sym_d = dist.put_sharded(sym, mesh)
+    tracked_d = dist.put_sharded(init_tracked(sym), mesh)
     freqs_d = dist.put_sharded(freqs, mesh)
 
     import functools as ft
 
     @jax.jit
     @ft.partial(shard_map, mesh=mesh,
-                in_specs=(P("dp"), P("dp"), P(), P(), P(), P(), P(), P(),
-                          P()),
+                in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), P(), P(),
+                          P(), P(), P()),
                 out_specs=(P(), P(), P()), check_vma=False)
-    def run(sym_s, freqs_s, fni, sl, swp, swi, ssc, sva, sch):
+    def run(sym_s, trk_s, freqs_s, fni, sl, swp, swi, ssc, sva, sch):
         return bpe_train_merges(
-            sym_s, freqs_s, fni, sl, swp, swi, ssc, sva, sch,
+            sym_s, trk_s, freqs_s, fni, sl, swp, swi, ssc, sva, sch,
             universe=U, n_merges=n_merges,
             max_piece_len=Lp, axis_name="dp")
 
-    ml, mr, mf = run(sym_d, freqs_d,
+    ml, mr, mf = run(sym_d, tracked_d, freqs_d,
                      dist.put_replicated(np.int32(A), mesh),
                      dist.put_replicated(s_len, mesh),
                      dist.put_replicated(s_wsp, mesh),
@@ -292,13 +339,17 @@ def train_device_bpe(trainer, n_merges: int):
                      dist.put_replicated(s_chr, mesh))
     ml = np.asarray(ml)
     mr = np.asarray(mr)
-    # reconstruct strings
+    # reconstruct strings (-2 entries are dup pops: skipped, no new id)
     strings = list(chars) + [None] * n_merges
     out = []
+    j = 0
     for k in range(n_merges):
+        if ml[k] == -2:
+            continue
         if ml[k] < 0:
             break
         s = strings[ml[k]] + strings[mr[k]]
-        strings[A + k] = s
+        strings[A + j] = s
+        j += 1
         out.append(s)
     return out

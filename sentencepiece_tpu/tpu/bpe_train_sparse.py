@@ -1,0 +1,682 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""Sparse device BPE training: active-table merge loop on the mesh.
+
+Scales the device BPE trainer past the dense U^2 histogram's ~4k symbol
+bound (tpu/bpe_train.py) to reference-scale vocabularies (32k+), keeping
+the corpus sharded over the data mesh. TPU-native re-expression of the
+reference's lazily-maintained sparse pair sets + active-symbol heap
+(bpe_model_trainer.cc:156-183,233-314, bpe_model_trainer.h:84-101):
+
+  * the corpus shard is a dense [W, L] symbol array with HOLES (-1) —
+    merged-away positions are never compacted; "next symbol" is a
+    log-depth associative propagate scan (pure VPU), so a merge step
+    never scatters the corpus;
+  * pair frequencies replicate the reference's TRACKED-POSITION
+    semantics, not raw corpus adjacency: ComputeFreq permanently erases
+    overlap-skipped positions (``positions = set(kept)``,
+    bpe_model_trainer.cc:85-116 / train/bpe.py:187), so an occurrence
+    whose overlapping predecessor is later consumed by a DIFFERENT
+    merge stays forgotten (botchan: '▁www…' rows keep a real (w,w)
+    adjacency that the reference no longer counts). The device carries
+    a persistent per-lane ``tracked`` mask: initialized to the
+    chain-parity-kept occurrences of the load-time corpus, invalidated
+    whenever a lane's symbol or partner changes, and re-established
+    only for pairs involving the freshly merged symbol (the reference's
+    _add_new_pair), with chain dedup applied at creation — equivalent
+    because every reference symbol's first ComputeFreq runs at the pop
+    immediately after its positions are added. A pair's frequency is
+    then a plain masked sum over tracked lanes;
+  * counts in the replicated ACTIVE TABLE of K entries are UPPER
+    BOUNDS: tracked counts only decrease (new adjacencies always
+    involve the newest symbol). Selection runs a while_loop: take the
+    tuple-argmin (count desc, merged length asc, merged string lex asc,
+    key asc) over the table, recount THAT key exactly (one elementwise
+    pass over tracked lanes + psum), write it back, and stop when the
+    winner's exact count survives — mirroring ComputeFreq-at-pop;
+  * each applied merge discovers its new pairs ((x,new), (new,y),
+    (new,new)) from the site rows only: rows containing sites are
+    compacted (bounded by ``site_rows``), pair lanes sorted + segment-
+    summed per shard, all_gathered, and re-reduced — exact counts at
+    creation, like the reference's _add_new_pair position inserts;
+  * when the table can no longer prove the global best (winner tuple
+    >= the refresh floor) or has no room for appends, the epoch ends
+    and a REFRESH recounts every present pair from the corpus shard
+    (sort + segment-sum), merges shards via all_gather, orders all
+    records with ONE variadic lax.sort keyed (count desc, len asc,
+    chars..., key), and rebuilds the table + floor record;
+  * duplicate piece strings (two symbol paths to the same string) are
+    detected ON DEVICE against the emitted-piece array and skipped
+    without applying — matching the reference's dup pop
+    (bpe_model_trainer.cc:276-281 analog in train/bpe.py:341-345).
+
+Semantics contract (``engine="device"``, documented in
+docs/conformance.md): counts replicate the reference's tracked-position
+frequency exactly (see above), including dup-string pops (the winner's
+tracked lanes are erased without applying, matching the reference's
+symbol erasure with position loss); selection is a GLOBAL argmax — the
+reference restricts candidates to an active set of top max(1000,
+5%*cache) symbols whose equal-frequency cutoff depends on libstdc++
+unordered_map iteration order + partial_sort internals
+(bpe_model_trainer.cc:156-183), which is host-only state. The two
+engines are byte-identical until the first cutoff tie event
+(scripts/oracle_bpe_active_set.py measures: botchan 8k diverges at piece
+4264). Final tie-break beyond (freq, length, string) is smallest pair
+key (the reference uses symbol creation order). The merge sequence is
+invariant to mesh size and process count: pair counts are
+integer-valued f32 (exact psum below 2^24).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import trie
+from .bpe_encode import _prefix_last_alive, _suffix_first_alive
+from .bpe_train import SCRIPT_ANY, SCRIPT_MIXED
+
+NEG = jnp.float32(-1e30)
+KEY_EMPTY = jnp.int32(-1)
+CHR_PAD = jnp.int32(0x7FFFFFFF)  # sorts AFTER every real codepoint
+
+# status codes returned by the epoch program
+ST_REFRESH = 0     # table exhausted / floor reached / append overflow
+ST_DONE = 1        # n_merges emitted
+ST_NO_PAIRS = 2    # corpus has no mergeable pair left
+
+
+def _lane_keys(sym, universe):
+    """(key, alive): key = sym*U + next_alive_sym per lane (-1 when the
+    lane is dead or has no alive successor)."""
+    alive = sym >= 0
+    nsym = _suffix_first_alive(sym, alive, jnp.int32(-1))
+    valid = alive & (nsym >= 0)
+    key = jnp.where(valid, sym * universe + nsym, -1)
+    return key, alive
+
+
+def _chain_parity_keep(cand, key, alive):
+    """Overlap dedup among candidate occurrence lanes: consecutive
+    alive-order candidates with the SAME key form overlap chains; keep
+    alternate members, leftmost first (the reference's ComputeFreq
+    dedup, bpe_model_trainer.cc:85-116)."""
+    pkey = _prefix_last_alive(jnp.where(cand, key, -3), alive,
+                              jnp.int32(-2))
+    pcand = _prefix_last_alive(cand, alive, False)
+    cont = cand & pcand & (pkey == key)
+    c = jnp.cumsum(cand, axis=1, dtype=jnp.int32)
+    start_mark = jnp.where(cand & ~cont, c, 0)
+    seg_base = jax.lax.associative_scan(jnp.maximum, start_mark, axis=1)
+    return cand & ((c - seg_base) % 2 == 0)
+
+
+def _pair_lanes(sym, universe):
+    """Initial tracked-position mask: every valid pair lane of the
+    load-time corpus, chain-deduped. Returns (key, tracked, alive)."""
+    key, alive = _lane_keys(sym, universe)
+    cand = key >= 0
+    return key, _chain_parity_keep(cand, key, alive), alive
+
+
+def _segment_totals(keys_sorted, w_sorted, sentinel):
+    """(is_start, totals): per-lane segment start mask over sorted keys
+    and, at start lanes, the segment's summed weight. Uses only scans —
+    no gathers."""
+    n = keys_sorted.shape[-1]
+    prev = jnp.concatenate(
+        [jnp.full(keys_sorted.shape[:-1] + (1,), -3, keys_sorted.dtype),
+         keys_sorted[..., :-1]], axis=-1)
+    start = (keys_sorted != prev) & (keys_sorted != sentinel)
+    boundary = keys_sorted != prev
+    csum = jnp.cumsum(w_sorted, axis=-1)
+    csum_prev = jnp.concatenate(
+        [jnp.zeros(keys_sorted.shape[:-1] + (1,), w_sorted.dtype),
+         csum[..., :-1]], axis=-1)
+    # csum at the last lane of each segment = csum_prev at the NEXT
+    # boundary (fill: total sum for the final segment)
+    total = csum[..., -1:]
+    last_in_seg = _suffix_first_alive(
+        csum_prev.reshape(1, -1), boundary.reshape(1, -1),
+        jnp.float32(0)).reshape(csum_prev.shape)
+    # fill for the final segment: no later boundary -> suffix fill is 0;
+    # patch with the row total
+    has_later = _suffix_first_alive(
+        jnp.ones_like(boundary, jnp.int32).reshape(1, -1),
+        boundary.reshape(1, -1), jnp.int32(0)).reshape(boundary.shape)
+    last_in_seg = jnp.where(has_later == 1, last_in_seg, total)
+    totals = last_in_seg - csum_prev
+    return start, jnp.where(start, totals, 0.0)
+
+
+def _merged_chars(s_chr, s_len, l, r, Lp):
+    """chars of piece l ++ piece r, CHR_PAD-padded, for record lanes."""
+    cl = trie._gather(s_chr, l)                      # [n, Lp]
+    cr = trie._gather(s_chr, r)
+    ll = trie._gather(s_len, l)
+    lr = trie._gather(s_len, r)
+    j = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    idx_r = jnp.clip(j - ll[:, None], 0, Lp - 1)
+    crr = jnp.take_along_axis(cr, idx_r, axis=1)
+    out = jnp.where(j < ll[:, None], cl,
+                    jnp.where(j < (ll + lr)[:, None], crr, CHR_PAD))
+    return out, ll + lr
+
+
+def _pair_valid(l, r, s_len, s_wsp, s_wsi, s_scr, s_val, max_piece_len):
+    """IsValidSentencePiece composition rules for a merged pair — same
+    decomposition the dense kernel validates byte-exactly
+    (tpu/bpe_train.py step(); trainer_interface.cc:178-267)."""
+    len_l = trie._gather(s_len, l)
+    len_r = trie._gather(s_len, r)
+    ok = (trie._gather(s_val.astype(jnp.int32), l) > 0)
+    ok &= (trie._gather(s_val.astype(jnp.int32), r) > 0)
+    ok &= (len_l + len_r) <= max_piece_len
+    wsi_l = trie._gather(s_wsi.astype(jnp.int32), l) > 0
+    wsp_r = trie._gather(s_wsp.astype(jnp.int32), r) > 0
+    wsi_r = trie._gather(s_wsi.astype(jnp.int32), r) > 0
+    ok &= ~wsi_l & ~wsp_r & ~wsi_r
+    scr_l = trie._gather(s_scr, l)
+    scr_r = trie._gather(s_scr, r)
+    compat = (((scr_l == SCRIPT_ANY) | (scr_r == SCRIPT_ANY)
+               | (scr_l == scr_r))
+              & (scr_l != SCRIPT_MIXED) & (scr_r != SCRIPT_MIXED))
+    return ok & compat
+
+
+def _tuple_less(cnt_a, len_a, chr_a, key_a, cnt_b, len_b, chr_b, key_b, Lp):
+    """(cnt desc, len asc, chars lex asc, key asc) tuple compare a < b."""
+    def chr_cmp(i, st):
+        lt, eq = st
+        ca = chr_a[i]
+        cb = chr_b[i]
+        lt = lt | (eq & (ca < cb))
+        eq = eq & (ca == cb)
+        return lt, eq
+    lt = cnt_a > cnt_b
+    eq = cnt_a == cnt_b
+    lt = lt | (eq & (len_a < len_b))
+    eq = eq & (len_a == len_b)
+    lt, eq = jax.lax.fori_loop(0, Lp, chr_cmp, (lt, eq))
+    return lt | (eq & (key_a < key_b))
+
+
+def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
+                  table_k: int, site_rows: int, new_cap: int,
+                  dist_cap: int, axis_name: str, mesh):
+    """Build the (refresh, epoch) shard_map'd programs for one config."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    U = universe
+    Lp = max_piece_len
+    K = table_k
+    ndev = mesh.size
+
+    # ---------------- refresh: full recount + table rebuild ----------------
+    def refresh_impl(sym, tracked, freqs, s_len, s_wsp, s_wsi, s_scr,
+                     s_val, s_chr):
+        W, L = sym.shape
+        key, _ = _lane_keys(sym, U)
+        SENT = jnp.int32(2**31 - 1)
+        flatk = jnp.where(tracked, key, SENT).reshape(-1)
+        flatw = jnp.where(tracked, freqs[:, None],
+                          jnp.zeros((), jnp.float32)).reshape(-1)
+        ks, ws = jax.lax.sort((flatk, flatw), num_keys=1)
+        start, totals = _segment_totals(ks, ws, SENT)
+        ridx = jnp.cumsum(start) - 1
+        dk = jnp.full((dist_cap + 1,), SENT, jnp.int32)
+        dc = jnp.zeros((dist_cap + 1,), jnp.float32)
+        tgt = jnp.where(start, jnp.minimum(ridx, dist_cap), dist_cap)
+        dk = trie._scatter_set(dk[None, :], jnp.zeros_like(tgt), tgt,
+                               ks)[0, :dist_cap]
+        dc = trie._scatter_set(dc[None, :], jnp.zeros_like(tgt), tgt,
+                               totals)[0, :dist_cap]
+        overflow = jnp.sum(start, dtype=jnp.int32) > dist_cap
+        # merge shards
+        gk = jax.lax.all_gather(dk, axis_name).reshape(-1)
+        gc = jax.lax.all_gather(dc, axis_name).reshape(-1)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis_name) > 0
+        ks2, cs2 = jax.lax.sort((gk, gc), num_keys=1)
+        start2, tot2 = _segment_totals(ks2, cs2, SENT)
+        n2 = ks2.shape[0]
+        l2 = jnp.where(ks2 != SENT, ks2 // U, 0)
+        r2 = jnp.where(ks2 != SENT, ks2 % U, 0)
+        valid = start2 & (ks2 != SENT)
+        valid &= _pair_valid(l2, r2, s_len, s_wsp, s_wsi, s_scr, s_val, Lp)
+        chr2, len2 = _merged_chars(s_chr, s_len, l2, r2, Lp)
+        # drop already-emitted duplicate strings? NO — the reference
+        # re-creates dup symbols fresh; they are skipped at pop time.
+        cnt2 = jnp.where(valid, tot2, -1.0)
+        # full order in ONE variadic sort: count desc, len asc, chars
+        # asc, key asc (records with cnt <= 0 sink to the bottom)
+        ops = ((-cnt2, len2)
+               + tuple(jnp.where(valid, chr2[:, j], CHR_PAD)
+                       for j in range(Lp))
+               + (jnp.where(valid, ks2, SENT),))
+        sorted_ops = jax.lax.sort(ops, num_keys=len(ops))
+        scnt = -sorted_ops[0]
+        slen = sorted_ops[1]
+        schr = jnp.stack(sorted_ops[2:2 + Lp], axis=1)
+        skey = sorted_ops[2 + Lp]
+        t_key = jnp.where(scnt[:K] > 0, skey[:K], KEY_EMPTY)
+        t_cnt = jnp.where(scnt[:K] > 0, scnt[:K], 0.0)
+        t_len = jnp.where(scnt[:K] > 0, slen[:K], 0)
+        t_chr = jnp.where((scnt[:K] > 0)[:, None], schr[:K],
+                          jnp.full((K, Lp), CHR_PAD, jnp.int32))
+        has_floor = (n2 > K) & (scnt[K] > 0)
+        fl_cnt = jnp.where(has_floor, scnt[K], NEG)
+        fl_len = jnp.where(has_floor, slen[K], 0)
+        fl_chr = jnp.where(has_floor, schr[K],
+                           jnp.full((Lp,), CHR_PAD, jnp.int32))
+        fl_key = jnp.where(has_floor, skey[K], SENT)
+        return (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr,
+                fl_key, overflow)
+
+    # ---------------- epoch: merge steps until refresh/done ----------------
+    def epoch_impl(sym, tracked, freqs, t_key, t_cnt, t_len, t_chr,
+                   fl_cnt, fl_len, fl_chr, fl_key,
+                   s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
+                   ml, mr, mf, e_len, e_chr, next_id, k_done):
+        W, L = sym.shape
+        SENT = jnp.int32(2**31 - 1)
+        BIG = jnp.int32(2**31 - 1)
+
+        def recount_on(sym_c, tracked_c, wkey):
+            """Exact global tracked-position count of one pair key —
+            the device ComputeFreq (bpe_model_trainer.cc:85-116)."""
+            key, _ = _lane_keys(sym_c, U)
+            s = jnp.sum(jnp.where(tracked_c & (key == wkey),
+                                  freqs[:, None], 0.0))
+            return jax.lax.psum(s, axis_name)
+
+        def table_argmin(t_key_c, t_cnt_c, t_len_c, t_chr_c):
+            """index of the tuple-min (cnt desc, len, lex, key) entry."""
+            occ = t_key_c >= 0
+            m = jnp.max(jnp.where(occ, t_cnt_c, NEG))
+            msk = occ & (t_cnt_c == m)
+            ml_ = jnp.min(jnp.where(msk, t_len_c, BIG))
+            msk &= t_len_c == ml_
+            def body(j, mk):
+                c = jnp.where(mk, t_chr_c[:, j], BIG)
+                return mk & (c == jnp.min(c))
+            msk = jax.lax.fori_loop(0, Lp, body, msk)
+            kk = jnp.min(jnp.where(msk, t_key_c, BIG))
+            idx = jnp.argmax(msk & (t_key_c == kk)).astype(jnp.int32)
+            return idx, m
+
+        def select(sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c):
+            """while_loop: resolve the exact global-best table entry.
+            Returns (t_key, t_cnt, winner_idx, exact_cnt, ok, stuck)."""
+            def cond(st):
+                t_key_i, t_cnt_i, idx, exact, done, iters = st
+                return (~done) & (iters < 2 * K)
+
+            def body(st):
+                t_key_i, t_cnt_i, idx, exact, done, iters = st
+                c1, m = table_argmin(t_key_i, t_cnt_i, t_len_c, t_chr_c)
+                has = m > 0.5
+                wkey = t_key_i[c1]
+                ex = jnp.where(has, recount_on(sym_c, tracked_c, wkey), 0.0)
+                t_cnt_i = t_cnt_i.at[c1].set(jnp.where(has, ex, 0.0))
+                resolved = has & (ex == m)
+                # count can hit 0 (all occurrences were consumed by
+                # earlier sibling merges): drop the entry
+                t_key_i = jnp.where((ex < 0.5) & has,
+                                    t_key_i.at[c1].set(KEY_EMPTY), t_key_i)
+                done_now = resolved | ~has
+                return (t_key_i, t_cnt_i,
+                        jnp.where(resolved, c1, idx),
+                        jnp.where(resolved, ex, jnp.where(has, exact, 0.0)),
+                        done_now, iters + 1)
+
+            st0 = (t_key_c, t_cnt_c, jnp.int32(-1), jnp.float32(0.0),
+                   jnp.bool_(False), jnp.int32(0))
+            t_key_o, t_cnt_o, idx, exact, done, iters = \
+                jax.lax.while_loop(cond, body, st0)
+            ok = idx >= 0
+            return t_key_o, t_cnt_o, idx, exact, ok, iters >= 2 * K
+
+        def step_cond(st):
+            (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
+             s_len_c, s_wsp_c, s_wsi_c, s_scr_c, s_val_c, s_chr_c, ml_c,
+             mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status) = st
+            return status < 0
+
+        def step_body(st):
+            (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
+             s_len_c, s_wsp_c, s_wsi_c, s_scr_c, s_val_c, s_chr_c, ml_c,
+             mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status) = st
+
+            t_key_c, t_cnt_c, c1, exact, ok, stuck = select(
+                sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c)
+
+            has_floor = fl_cnt > NEG / 2
+            # floor guard: the winner must beat the best excluded-at-
+            # refresh record, whose count can only have decreased
+            c1s = jnp.maximum(c1, 0)
+            beats_floor = _tuple_less(
+                exact, t_len_c[c1s], t_chr_c[c1s], t_key_c[c1s],
+                fl_cnt, fl_len, fl_chr, fl_key, Lp)
+            need_refresh = stuck | (~ok & has_floor) | \
+                (ok & has_floor & ~beats_floor)
+            no_pairs = ~ok & ~has_floor
+
+            # dup piece string: the reference pops it, erases the symbol
+            # WITH its positions, and applies nothing (train/bpe.py:341)
+            wlen0 = t_len_c[c1s]
+            wchr0 = t_chr_c[c1s]
+            slot = jnp.arange(e_len_c.shape[0], dtype=jnp.int32)
+            isdup = ok & ~need_refresh & jnp.any(
+                (e_len_c == wlen0) & (slot < k_c)
+                & jnp.all(e_chr_c == wchr0[None, :], axis=1))
+            apply_it = ok & ~need_refresh & ~isdup
+
+            wkey = jnp.where(ok, t_key_c[c1s], -1)
+            bl = jnp.where(apply_it, wkey // U, 0)
+            br = jnp.where(apply_it, wkey % U, 0)
+
+            # ---- apply at the tracked occurrences ----------------------
+            key, alive = _lane_keys(sym_c, U)
+            if True:
+                # dup: forget the pair's tracked positions, drop the entry
+                tracked_c = jnp.where(isdup,
+                                      tracked_c & ~(key == wkey), tracked_c)
+                t_key_c = jnp.where(isdup, t_key_c.at[c1s].set(KEY_EMPTY),
+                                    t_key_c)
+                t_cnt_c = jnp.where(isdup, t_cnt_c.at[c1s].set(0.0),
+                                    t_cnt_c)
+            hit = apply_it & tracked_c & (key == wkey)
+            absorbed = alive & _prefix_last_alive(hit, alive, False)
+            sym_n = jnp.where(hit, nid, sym_c)
+            sym_n = jnp.where(absorbed, -1, sym_n)
+            # tracked-mask update: a lane's tracking dies when its
+            # symbol or partner changes; only merged-symbol pairs are
+            # re-added (_add_new_pair), chain-deduped at creation
+            next_kept = _suffix_first_alive(hit, alive, False)
+            newly = (hit | (alive & ~absorbed & next_kept))
+            key_n, alive_n = _lane_keys(sym_n, U)
+            newly = newly & (key_n >= 0)
+            keep_new = _chain_parity_keep(newly, key_n, alive_n)
+            tracked_n = ((tracked_c & ~hit & ~absorbed & ~next_kept)
+                         | keep_new)
+            tracked_n = jnp.where(apply_it, tracked_n, tracked_c)
+            sym_n = jnp.where(apply_it, sym_n, sym_c)
+
+            # ---- attribute + emit updates ------------------------------
+            nids = nid
+            s_len_n = s_len_c.at[nids].set(
+                jnp.where(apply_it, s_len_c[bl] + s_len_c[br], 0))
+            s_wsp_n = s_wsp_c.at[nids].set(
+                jnp.where(apply_it, s_wsp_c[bl], False))
+            s_wsi_n = s_wsi_c.at[nids].set(
+                jnp.where(apply_it,
+                          s_wsi_c[bl] | s_wsp_c[br] | s_wsi_c[br], False))
+            new_scr = jnp.where(
+                s_scr_c[bl] == SCRIPT_ANY, s_scr_c[br],
+                jnp.where(s_scr_c[br] == SCRIPT_ANY, s_scr_c[bl],
+                          jnp.where(s_scr_c[bl] == s_scr_c[br],
+                                    s_scr_c[bl], SCRIPT_MIXED)))
+            s_scr_n = s_scr_c.at[nids].set(jnp.where(apply_it, new_scr, 0))
+            s_val_n = s_val_c.at[nids].set(apply_it)
+            wchr = t_chr_c[c1s]
+            wlen = t_len_c[c1s]
+            jpos = jnp.arange(Lp, dtype=jnp.int32)
+            mchr = jnp.where(jpos < wlen, wchr, 0)  # s_chr pads with 0
+            s_chr_n = s_chr_c.at[nids].set(jnp.where(apply_it, mchr, 0))
+            ks = jnp.maximum(k_c, 0)
+            ml_n = ml_c.at[ks].set(jnp.where(apply_it, bl, ml_c[ks]))
+            mr_n = mr_c.at[ks].set(jnp.where(apply_it, br, mr_c[ks]))
+            mf_n = mf_c.at[ks].set(jnp.where(apply_it, exact, mf_c[ks]))
+            e_len_n = e_len_c.at[ks].set(
+                jnp.where(apply_it, wlen, e_len_c[ks]))
+            e_chr_n = e_chr_c.at[ks].set(
+                jnp.where(apply_it, wchr, e_chr_c[ks]))
+            # consume the winner
+            t_key_c = jnp.where(apply_it, t_key_c.at[c1s].set(KEY_EMPTY),
+                                t_key_c)
+            t_cnt_c = jnp.where(apply_it, t_cnt_c.at[c1s].set(0.0), t_cnt_c)
+
+            # ---- new-pair discovery (exact counts at creation) ---------
+            isnew = apply_it & (sym_n == nid)
+            row_has = jnp.any(isnew, axis=1)
+            n_rows = jnp.sum(row_has, dtype=jnp.int32)
+            sr = min(site_rows, W)
+            ridx = jnp.argsort(~row_has)[:sr]
+            sub_frq = freqs[ridx]
+            # the freshly-tracked lanes carry exactly the reference's
+            # _add_new_pair position inserts; sum them per distinct key
+            touch = keep_new[ridx] & apply_it
+            skey = key_n[ridx]
+            flatk = jnp.where(touch, skey, SENT).reshape(-1)
+            flatw = jnp.where(touch, sub_frq[:, None], 0.0).reshape(-1)
+            kss, wss = jax.lax.sort((flatk, flatw), num_keys=1)
+            start, totals = _segment_totals(kss, wss, SENT)
+            rrank = jnp.cumsum(start) - 1
+            nk = jnp.full((new_cap + 1,), SENT, jnp.int32)
+            nc = jnp.zeros((new_cap + 1,), jnp.float32)
+            tgt = jnp.where(start, jnp.minimum(rrank, new_cap), new_cap)
+            nk = trie._scatter_set(nk[None, :], jnp.zeros_like(tgt), tgt,
+                                   kss)[0, :new_cap]
+            nc = trie._scatter_set(nc[None, :], jnp.zeros_like(tgt), tgt,
+                                   totals)[0, :new_cap]
+            row_ovf = n_rows > sr
+            dis_ovf = jnp.sum(start, dtype=jnp.int32) > new_cap
+            # merge shards' new pairs
+            gk = jax.lax.all_gather(nk, axis_name).reshape(-1)
+            gc = jax.lax.all_gather(nc, axis_name).reshape(-1)
+            ovf = jax.lax.psum((row_ovf | dis_ovf).astype(jnp.int32),
+                               axis_name) > 0
+            ks2, cs2 = jax.lax.sort((gk, gc), num_keys=1)
+            start2, tot2 = _segment_totals(ks2, cs2, SENT)
+            l2 = jnp.where(ks2 != SENT, ks2 // U, 0)
+            r2 = jnp.where(ks2 != SENT, ks2 % U, 0)
+            nvalid = start2 & (ks2 != SENT) & apply_it & ~ovf
+            nvalid &= _pair_valid(l2, r2, s_len_n, s_wsp_n, s_wsi_n,
+                                  s_scr_n, s_val_n, Lp)
+            chr2, len2 = _merged_chars(s_chr_n, s_len_n, l2, r2, Lp)
+            n_new = jnp.sum(nvalid, dtype=jnp.int32)
+            # append into free table slots
+            free = t_key_c < 0
+            n_free = jnp.sum(free, dtype=jnp.int32)
+            slot_order = jnp.argsort(~free).astype(jnp.int32)  # free first
+            nrank = jnp.cumsum(nvalid) - 1
+            can = nvalid & (nrank < n_free)
+            slots = trie._gather(slot_order,
+                                 jnp.where(can, jnp.minimum(nrank, K - 1),
+                                           0))
+            slots = jnp.where(can, slots, K)  # drop lane
+
+            # scatter with [K+1] guard row
+            def app(vec, vals, fill_row):
+                v = jnp.concatenate([vec, fill_row])
+                v = trie._scatter_set(v[None, :], jnp.zeros_like(slots),
+                                      slots, vals)[0]
+                return v[:K]
+            t_key_c = app(t_key_c, jnp.where(can, ks2, 0),
+                          jnp.zeros((1,), t_key_c.dtype))
+            t_cnt_c = app(t_cnt_c, jnp.where(can, tot2, 0.0),
+                          jnp.zeros((1,), t_cnt_c.dtype))
+            t_len_c = app(t_len_c, jnp.where(can, len2, 0),
+                          jnp.zeros((1,), t_len_c.dtype))
+            # chars: one guarded row scatter
+            slots_b = jax.lax.optimization_barrier(slots)
+            tc = jnp.concatenate(
+                [t_chr_c, jnp.zeros((1, Lp), jnp.int32)], axis=0)
+            tc = tc.at[slots_b].set(
+                jnp.where(can[:, None], chr2, 0), mode="drop")
+            t_chr_c = jax.lax.optimization_barrier(tc)[:K]
+            append_ovf = apply_it & ((n_new > n_free) | ovf)
+
+            k_n = k_c + jnp.where(apply_it, 1, 0)
+            nid_n = nid + jnp.where(apply_it, 1, 0)
+            status_n = jnp.where(
+                no_pairs, ST_NO_PAIRS,
+                jnp.where(k_n >= n_merges, ST_DONE,
+                          jnp.where(need_refresh | append_ovf,
+                                    ST_REFRESH, -1))).astype(jnp.int32)
+            return (sym_n, tracked_n, t_key_c, t_cnt_c, t_len_c, t_chr_c,
+                    s_len_n, s_wsp_n, s_wsi_n, s_scr_n, s_val_n, s_chr_n,
+                    ml_n, mr_n, mf_n, e_len_n, e_chr_n, nid_n, k_n,
+                    status_n)
+
+        st0 = (sym, tracked, t_key, t_cnt, t_len, t_chr, s_len, s_wsp,
+               s_wsi, s_scr, s_val, s_chr, ml, mr, mf, e_len, e_chr,
+               next_id, k_done, jnp.int32(-1))
+        out = jax.lax.while_loop(step_cond, step_body, st0)
+        return out
+
+    shard = P(axis_name)
+    rep = P()
+    refresh = jax.jit(shard_map(
+        refresh_impl, mesh=mesh,
+        in_specs=(shard, shard, shard) + (rep,) * 6,
+        out_specs=(rep,) * 9, check_vma=False))
+    epoch = jax.jit(shard_map(
+        epoch_impl, mesh=mesh,
+        in_specs=(shard, shard, shard) + (rep,) * 21,
+        out_specs=(shard, shard) + (rep,) * 18, check_vma=False))
+    return refresh, epoch
+
+
+def init_tracked(sym_np: np.ndarray) -> np.ndarray:
+    """Load-time tracked-position mask (host): every pair occurrence of
+    the initial corpus, chain-parity deduped — what the reference's
+    corpus scan + first ComputeFreq keeps. Mirrors _pair_lanes; rows are
+    dense at load (no holes), so the lanes are simply positions.
+
+    Vectorized: a run of n+1 equal symbols contributes pair lanes whose
+    in-run offsets alternate kept/skipped."""
+    W, L = sym_np.shape
+    alive = sym_np >= 0
+    nxt = np.concatenate([sym_np[:, 1:],
+                          np.full((W, 1), -1, sym_np.dtype)], axis=1)
+    valid = alive & (nxt >= 0)
+    same = np.concatenate([np.zeros((W, 1), bool),
+                           sym_np[:, 1:] == sym_np[:, :-1]], axis=1)
+    in_run = valid & (sym_np == nxt)
+    pos = np.arange(L)[None, :]
+    starts = np.where(same, -1, pos)
+    run_start = np.maximum.accumulate(starts, axis=1)
+    parity_keep = ((pos - run_start) % 2) == 0
+    return valid & np.where(in_run, parity_keep, True)
+
+
+def train_device_bpe_sparse(trainer, n_merges: int,
+                            table_k: int = 8192,
+                            site_rows: int = 2048,
+                            new_cap: int = 1024):
+    """Host driver for the sparse active-table engine. Returns merged
+    piece strings in merge order, or None when the config cannot run on
+    device (universe too large for int32 pair keys)."""
+    from ..train.interface import UNK_CHAR
+    from ..utils import unicode_script
+    from .. import distributed as dist
+
+    words = trainer.sentences
+    ts = trainer.trainer_spec
+    chars = sorted({c for w, _ in words for c in w})
+    char_id = {c: i for i, c in enumerate(chars)}
+    A = len(chars)
+    U = A + n_merges
+    if U >= 46341:  # l*U + r must fit int32
+        return None
+
+    W = len(words)
+    L = max((len(w) for w, _ in words), default=1)
+    mesh = dist.data_mesh("dp")
+    Wp = dist.pad_rows(W, mesh)
+    lo, hi = dist.local_row_range(Wp, mesh)
+    sym = np.full((hi - lo, L), -1, np.int32)
+    freqs = np.zeros(hi - lo, np.float32)
+    for i, (w, f) in enumerate(words[lo:min(hi, W)]):
+        sym[i, :len(w)] = [char_id[c] for c in w]
+        freqs[i] = f
+
+    han = unicode_script.script_id("Han")
+    hira = unicode_script.script_id("Hiragana")
+    kata = unicode_script.script_id("Katakana")
+    Lp = ts.max_sentencepiece_length
+    s_chr = np.zeros((U, Lp), np.int32)
+    s_len = np.zeros(U, np.int32)
+    s_wsp = np.zeros(U, bool)
+    s_wsi = np.zeros(U, bool)
+    s_scr = np.zeros(U, np.int32)
+    s_val = np.zeros(U, bool)
+    for c, i in char_id.items():
+        cp = ord(c)
+        s_len[i] = 1
+        s_chr[i, 0] = cp
+        s_wsp[i] = cp == 0x2581
+        s_val[i] = cp not in (UNK_CHAR, 0, 9, 0x20)
+        if cp == 0x2581:
+            scr = SCRIPT_ANY
+        else:
+            scr = unicode_script.get_script(cp)
+            if scr in (hira, kata) or cp == 0x30FC:
+                scr = han
+            if not ts.split_by_number and 0x30 <= cp <= 0x39:
+                scr = SCRIPT_ANY
+            if not ts.split_by_unicode_script:
+                scr = SCRIPT_ANY
+        s_scr[i] = scr
+
+    lanes = (hi - lo) * L
+    dist_cap = 1 << max(10, min(21, int(np.ceil(np.log2(max(lanes, 2))))))
+    K = int(min(table_k, dist_cap // 2))  # keep K < ndev*dist_cap
+
+    refresh, epoch = make_programs(
+        universe=U, n_merges=n_merges, max_piece_len=Lp, table_k=K,
+        site_rows=site_rows, new_cap=new_cap, dist_cap=dist_cap,
+        axis_name="dp", mesh=mesh)
+
+    sym_d = dist.put_sharded(sym, mesh)
+    tracked_d = dist.put_sharded(init_tracked(sym), mesh)
+    freqs_d = dist.put_sharded(freqs, mesh)
+    rep = lambda x: dist.put_replicated(x, mesh)
+    s_len_d, s_wsp_d, s_wsi_d = rep(s_len), rep(s_wsp), rep(s_wsi)
+    s_scr_d, s_val_d, s_chr_d = rep(s_scr), rep(s_val), rep(s_chr)
+    ml = rep(np.full(n_merges, -1, np.int32))
+    mr = rep(np.full(n_merges, -1, np.int32))
+    mf = rep(np.zeros(n_merges, np.float32))
+    e_len = rep(np.zeros(n_merges, np.int32))
+    e_chr = rep(np.full((n_merges, Lp), 0x7FFFFFFF, np.int32))
+    next_id = rep(np.int32(A))
+    k_done = rep(np.int32(0))
+
+    prev_k, stalls = -1, 0
+    for _ in range(n_merges + 16):
+        (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr, fl_key,
+         overflow) = refresh(sym_d, tracked_d, freqs_d, s_len_d, s_wsp_d,
+                             s_wsi_d, s_scr_d, s_val_d, s_chr_d)
+        if bool(np.asarray(overflow)):
+            return None  # distinct pairs exceed the shard cap
+        out = epoch(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len, t_chr,
+                    fl_cnt, fl_len, fl_chr, fl_key,
+                    s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d, s_chr_d,
+                    ml, mr, mf, e_len, e_chr, next_id, k_done)
+        (sym_d, tracked_d, _tk, _tc, _tl, _tch, s_len_d, s_wsp_d,
+         s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf, e_len, e_chr,
+         next_id, k_done, status) = out
+        stat = int(np.asarray(status))
+        if stat in (ST_DONE, ST_NO_PAIRS):
+            break
+        k_now = int(np.asarray(k_done))
+        stalls = stalls + 1 if k_now == prev_k else 0
+        prev_k = k_now
+        if stalls >= 2:  # no merge applied for 2 epochs: give up cleanly
+            break
+    ml_h = np.asarray(ml)
+    mr_h = np.asarray(mr)
+    strings = list(chars) + [None] * n_merges
+    out_strings = []
+    for k in range(n_merges):
+        if ml_h[k] < 0:
+            break
+        s = strings[ml_h[k]] + strings[mr_h[k]]
+        strings[A + k] = s
+        out_strings.append(s)
+    return out_strings

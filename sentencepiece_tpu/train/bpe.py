@@ -295,10 +295,20 @@ class Trainer(TrainerInterface):
         assert not self.final_pieces
 
         if self.engine == "device":
-            from ..tpu import bpe_train
+            import os
 
-            merged = bpe_train.train_device_bpe(
-                self, n_merges=vocab_size + 64)
+            from ..tpu import bpe_train, bpe_train_sparse
+
+            force_sparse = os.environ.get("SPM_BPE_TRAIN_KERNEL") == "sparse"
+            merged = None
+            if not force_sparse:
+                merged = bpe_train.train_device_bpe(
+                    self, n_merges=vocab_size + 64)
+            if merged is None:
+                # sparse active-table engine: no dense-histogram universe
+                # bound — reference-scale vocabs (32k+) run on the mesh
+                merged = bpe_train_sparse.train_device_bpe_sparse(
+                    self, n_merges=vocab_size + 64)
             if merged is not None:
                 for s in merged:
                     if s in dup:

@@ -40,6 +40,44 @@ def test_bpe_device_engine_byte_exact(tmp_path, corpus, vocab):
     assert ids and sp.decode_ids(ids) == text
 
 
+@pytest.mark.parametrize("corpus,vocab", [("sub.txt", 300),
+                                          ("subja.txt", 900)])
+def test_bpe_sparse_engine_byte_exact(tmp_path, corpus, vocab, monkeypatch):
+    """The sparse active-table engine (tpu/bpe_train_sparse.py — the
+    scale path past the dense kernel's ~4k universe bound) reproduces
+    the exact host engine byte-for-byte on the virtual mesh. Its
+    tracked-position frequency semantics equal the reference's
+    ComputeFreq position sets (overlap-forgetting included), validated
+    at 8k on botchan against a full-active-set host oracle
+    (scripts/oracle_bpe_active_set.py, docs/conformance.md)."""
+    from sentencepiece_tpu.train import facade
+
+    monkeypatch.setenv("SPM_BPE_TRAIN_KERNEL", "sparse")
+    flags = (f"--input={FIX / corpus} --model_type=bpe "
+             f"--vocab_size={vocab} --hard_vocab_limit=false "
+             "--minloglevel=2")
+    facade.train(f"{flags} --model_prefix={tmp_path}/sp", engine="device")
+    monkeypatch.delenv("SPM_BPE_TRAIN_KERNEL")
+    facade.train(f"{flags} --model_prefix={tmp_path}/ex", engine="exact")
+    assert (tmp_path / "sp.vocab").read_bytes() == \
+        (tmp_path / "ex.vocab").read_bytes()
+
+
+def test_bpe_sparse_engine_mesh_size_invariant(tmp_path, monkeypatch):
+    """Sparse-engine merge sequence is independent of the mesh size
+    (integer pair counts, order-exact psum)."""
+    from sentencepiece_tpu.train import facade
+
+    monkeypatch.setenv("SPM_BPE_TRAIN_KERNEL", "sparse")
+    flags = (f"--input={FIX / 'sub.txt'} --model_type=bpe --vocab_size=300 "
+             "--hard_vocab_limit=false --minloglevel=2")
+    facade.train(f"{flags} --model_prefix={tmp_path}/d8", engine="device")
+    monkeypatch.setenv("SPM_DATA_MESH_DEVICES", "1")
+    facade.train(f"{flags} --model_prefix={tmp_path}/d1", engine="device")
+    assert (tmp_path / "d8.vocab").read_bytes() == \
+        (tmp_path / "d1.vocab").read_bytes()
+
+
 def test_bpe_device_engine_mesh_size_invariant(tmp_path):
     """Integer pair counts make the merge sequence independent of the
     device count (stronger than the reference, whose result depends on
