@@ -3,21 +3,30 @@
 #
 # Licensed under the Apache License, Version 2.0 (the "License");
 # you may not use this file except in compliance with the License.
-"""Multi-device / multi-HOST scaling harness for the unigram EM train step.
+"""Multi-device / multi-HOST scaling of the REAL unigram EM train step.
+
+The measured program is the trainer's own sharded E-step
+(train/unigram.py::_DeviceEM -> tpu/em.py): word lattices built against
+the real seed vocabulary of a real multilingual corpus (botchan EN +
+wagahai JA + generated Latin/CJK mix, scripts/make_multilingual.py),
+corpus rows data-parallel over the mesh, expected-count vector reduced
+with one psum per step — exactly what `SentencePieceTrainer.Train(...,
+engine="device")` dispatches on round 1 (the heaviest round: every seed
+piece alive). No synthetic lattices anywhere.
 
 Two modes:
 
-* default: runs the sharded E-step (tpu/em.py: word lattices
-  data-parallel, expected counts reduced over the mesh) at mesh sizes
-  1..N within one process and reports weak-scaling efficiency.
+* default: mesh sizes 1..N within one process; STRONG-scaling
+  efficiency over the fixed corpus.
 * SPM_SCALING_PROCESSES=P: additionally spawns P REAL processes joined
   via jax.distributed (each owning n/P virtual CPU devices — the same
-  code path as a TPU pod with P hosts) and reports 1-process -> P-process
-  weak-scaling efficiency at a fixed global device count.
+  code path as a TPU pod with P hosts), each building + uploading ONLY
+  its own corpus shard, and reports 1-process -> P-process efficiency
+  at a fixed global device count.
 
-On this rig only one TPU chip is attached, so by default the harness uses
-virtual CPU devices; on a real pod slice set SPM_SCALING_REAL=1 and it
-runs unmodified over ICI/DCN.
+On this rig only one TPU chip is attached, so by default the harness
+uses virtual CPU devices; on a real pod slice set SPM_SCALING_REAL=1
+and it runs unmodified over ICI/DCN.
 
 Prints one JSON line.
 """
@@ -28,52 +37,67 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-SEED_PIECES = 2048
-# words per device (weak scaling). The default matches real training
-# shapes: a 14 MB corpus distills to ~100k distinct words, ~12k/device
-# on an 8-device mesh — per-step collective latency (one psum of the
-# expected-count vector) must amortize against that much E-step work,
-# not a toy batch.
-W_PER_DEV = int(os.environ.get("SPM_SCALING_WORDS_PER_DEV", "12288"))
-P_LEN, K = 16, 8
-
-
-def _make_batch(rng, n_words):
-    import numpy as np
-    lat = rng.randint(-1, SEED_PIECES, (n_words, P_LEN, K)).astype(np.int32)
-    lens = rng.randint(3, P_LEN + 1, n_words).astype(np.int32)
-    freqs = rng.randint(1, 50, n_words).astype(np.float32)
-    return lat, lens, freqs
+CORPUS = os.environ.get("SPM_SCALING_CORPUS", "/tmp/spm_multilingual.txt")
+# max_sentence_length (bytes) bounds the lattice position extent; 512 is
+# a real production flag value (the default 4192 admits 1400-char JA
+# lines that pad every row's lattice to that width)
+MAX_SENT = int(os.environ.get("SPM_SCALING_MAX_SENT", "512"))
+SEED_CAP = int(os.environ.get("SPM_SCALING_SEED_CAP", "1000000"))
+REPS = int(os.environ.get("SPM_SCALING_REPS", "3"))
 
 
-def _time_estep(mesh, lat, lens, freqs, scores, alive, reps=5):
-    import functools
+def _build_workload():
+    """(trainer, seed_pieces): the real trainer state up to the point
+    round 1's E-step would dispatch. Deterministic — every process
+    reconstructs identical state (distributed.py's replicated-host-phase
+    design)."""
+    from make_multilingual import build
+    from sentencepiece_tpu.proto.spec import TrainerSpec, ModelType
+    from sentencepiece_tpu.train import facade
+    from sentencepiece_tpu.train import unigram as uni
+
+    build(CORPUS)
+    ts = TrainerSpec()
+    ts.input = [CORPUS]
+    ts.model_type = ModelType.UNIGRAM
+    ts.vocab_size = 32000
+    ts.hard_vocab_limit = False
+    ts.max_sentence_length = MAX_SENT
+    ts.seed_sentencepiece_size = SEED_CAP
+    ns = facade.get_normalizer_spec("nmt_nfkc")
+    facade.populate_normalizer_spec(ns)
+    tr = uni.Trainer(ts, ns, engine="device")
+    tr.load_sentences()
+    pieces = tr.make_seed_sentence_pieces()
+    if ts.split_by_whitespace:
+        tr.split_sentences_by_whitespace()
+    return tr, pieces
+
+
+def _time_estep(dev, pieces, reps=REPS):
+    """Per-step seconds of the real first-round E-step (all seeds
+    alive), via the trainer's own jitted shard_map program."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-    from jax import shard_map
-    from sentencepiece_tpu.tpu import em
-    from sentencepiece_tpu import distributed as dist
+    import numpy as np
 
-    @jax.jit
-    @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
-                       out_specs=(P(), P(), P()), check_vma=False)
-    def estep(l, ln, f, sc, al):
-        return em.estep(l, ln, f, sc, al, num_seed=SEED_PIECES,
-                        axis_name="dp")
-
-    args = (dist.put_sharded(lat, mesh), dist.put_sharded(lens, mesh),
-            dist.put_sharded(freqs, mesh),
-            dist.put_replicated(scores, mesh),
-            dist.put_replicated(alive, mesh))
-    r = estep(*args)
+    scores = np.full(dev.num_seed, dev.em.NEG_INF, np.float32)
+    alive = np.zeros(dev.num_seed, bool)
+    for w, sc in pieces:
+        si = dev.seed_index.get(w)
+        if si is not None:
+            scores[si] = sc
+            alive[si] = True
+    sc_d = dev.dist.put_replicated(scores, dev.mesh)
+    al_d = dev.dist.put_replicated(alive, dev.mesh)
+    r = dev._estep_fn(dev.lat, dev.lens, dev.freqs, sc_d, al_d)
     jax.block_until_ready(r)
     t0 = time.time()
     for _ in range(reps):
-        r = estep(*args)
+        r = dev._estep_fn(dev.lat, dev.lens, dev.freqs, sc_d, al_d)
     jax.block_until_ready(r)
     return (time.time() - t0) / reps
 
@@ -86,26 +110,20 @@ def worker_main() -> None:
     import jax
     if os.environ.get("SPM_SCALING_REAL", "") != "1":
         jax.config.update("jax_platforms", "cpu")
-    import numpy as np
     from sentencepiece_tpu import distributed as dist
+    from sentencepiece_tpu.train.unigram import _DeviceEM
 
     if nproc > 1:
         dist.initialize(coordinator_address=f"localhost:{port}",
                         num_processes=nproc, process_id=rank)
-    ndev = len(jax.devices())
-    mesh = dist.data_mesh("dp")
-    Wp = W_PER_DEV * ndev
-    lo, hi = dist.local_row_range(Wp, mesh)
-    # every rank generates the full deterministic batch, uploads its rows
-    rng = np.random.RandomState(0)
-    lat, lens, freqs = _make_batch(rng, Wp)
-    scores = np.log(np.full(SEED_PIECES, 1.0 / SEED_PIECES, np.float32))
-    alive = np.ones(SEED_PIECES, bool)
-    dt = _time_estep(mesh, lat[lo:hi], lens[lo:hi], freqs[lo:hi],
-                     scores, alive)
+    tr, pieces = _build_workload()
+    dev = _DeviceEM(tr, pieces)
+    dt = _time_estep(dev, pieces)
     if rank == 0:
-        print(json.dumps({"ndev": ndev, "nproc": nproc,
-                          "words_per_sec": Wp / dt,
+        W = len(tr.sentences)
+        print(json.dumps({"ndev": len(jax.devices()), "nproc": nproc,
+                          "words": W, "seeds": dev.num_seed,
+                          "words_per_sec": W / dt,
                           "ms_per_step": dt * 1000}))
 
 
@@ -128,7 +146,7 @@ def _spawn_multiprocess(nproc: int, n_dev_total: int, port: int):
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env))
     out0 = None
     for rank, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=1800)
         if p.returncode != 0:
             raise RuntimeError(f"scaling worker rank {rank} failed")
         if rank == 0:
@@ -148,35 +166,42 @@ def main() -> None:
     import jax
     import numpy as np
     from jax.sharding import Mesh
+    from sentencepiece_tpu.train.unigram import _DeviceEM
 
-    rng = np.random.RandomState(0)
-    scores = np.log(np.full(SEED_PIECES, 1.0 / SEED_PIECES, np.float32))
-    alive = np.ones(SEED_PIECES, bool)
+    tr, pieces = _build_workload()
+    W = len(tr.sentences)
     results = {}
     devices = jax.devices()
     sizes = [n for n in [1, 2, 4, 8, 16, 32] if n <= len(devices)]
     for n in sizes:
-        mesh = Mesh(np.array(devices[:n]), axis_names=("dp",))
-        lat, lens, freqs = _make_batch(rng, W_PER_DEV * n)
-        dt = _time_estep(mesh, lat, lens, freqs, scores, alive)
-        results[n] = (W_PER_DEV * n) / dt
+        os.environ["SPM_DATA_MESH_DEVICES"] = str(n)
+        try:
+            dev = _DeviceEM(tr, pieces)
+            dt = _time_estep(dev, pieces)
+        finally:
+            del os.environ["SPM_DATA_MESH_DEVICES"]
+        results[n] = W / dt
         print(f"mesh={n}: {dt*1000:.1f} ms/step, "
               f"{results[n]:.0f} words/s", file=sys.stderr)
 
-    base = results[sizes[0]] / sizes[0]
+    base = results[sizes[0]]
     eff = {n: results[n] / (n * base) for n in sizes}
     out = {
-        "metric": "unigram EM E-step weak-scaling efficiency",
+        "metric": ("unigram EM E-step strong-scaling efficiency "
+                   "(real corpus, real seed vocab)"),
         "backend": jax.devices()[0].platform,
+        "corpus": CORPUS,
+        "words": W,
+        "seed_pieces": len(pieces),
         "words_per_sec": {str(n): round(v, 1) for n, v in results.items()},
         "efficiency": {str(n): round(v, 3) for n, v in eff.items()},
         "value": round(eff[sizes[-1]], 3),
         "note": ("virtual CPU devices share physical cores, so cpu-backend "
                  "efficiency reflects host contention, not the collective: "
                  "the only cross-device traffic is one all_gather+sum of "
-                 "the expected-count vector per step, negligible over ICI. "
-                 "Set SPM_SCALING_REAL=1 on a pod slice to measure the "
-                 "real thing."),
+                 "the expected-count vector per step. Set "
+                 "SPM_SCALING_REAL=1 on a pod slice to measure over "
+                 "ICI/DCN."),
     }
     if n_procs > 1:
         # multi-HOST analog: same global device count, 1 vs n_procs
@@ -191,6 +216,7 @@ def main() -> None:
         mp_eff = multi["words_per_sec"] / one["words_per_sec"]
         out["multiprocess"] = {
             "global_devices": n_target,
+            "seed_pieces": multi["seeds"],
             "words_per_sec_1proc": round(one["words_per_sec"], 1),
             f"words_per_sec_{n_procs}proc": round(
                 multi["words_per_sec"], 1),

@@ -1,0 +1,94 @@
+# Copyright 2026 The sentencepiece-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+"""BASELINE config 5, run for real: 32k unigram + 32k BPE trained to
+completion on the sharded multilingual corpus (botchan EN + wagahai JA
++ generated Latin/CJK mix), device engines on the mesh.
+
+Emits one JSON object (commit as CONFIG5.json) with wall time and the
+trainer's per-phase breakdown for each model, plus sanity stats
+(piece counts, encode round-trips on samples from each language).
+
+Backend: runs on whatever jax backend is attached (the real chip under
+axon; force CPU with SPM_CONFIG5_CPU=1 — the CPU-mesh run of the BPE
+side takes hours and exists only for debugging at smaller vocabs via
+SPM_CONFIG5_VOCAB).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+VOCAB = int(os.environ.get("SPM_CONFIG5_VOCAB", "32000"))
+MAX_SENT = int(os.environ.get("SPM_CONFIG5_MAX_SENT", "512"))
+CORPUS = os.environ.get("SPM_CONFIG5_CORPUS", "/tmp/spm_multilingual.txt")
+OUT = os.environ.get("SPM_CONFIG5_OUT", os.path.join(REPO, "CONFIG5.json"))
+
+
+def main() -> None:
+    if os.environ.get("SPM_CONFIG5_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from make_multilingual import build
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.train import facade
+    from sentencepiece_tpu.utils import profiling
+
+    build(CORPUS)
+    result = {"corpus": CORPUS,
+              "corpus_bytes": os.path.getsize(CORPUS),
+              "vocab_size": VOCAB, "max_sentence_length": MAX_SENT}
+
+    samples = ["I have a pen and a book.", "吾輩は猫である。名前はまだ無い。",
+               "mixed latin と 漢字 words"]
+
+    for model_type in ("bpe", "unigram"):
+        prefix = f"/tmp/config5_{model_type}_{VOCAB}"
+        flags = (f"--input={CORPUS} --model_type={model_type} "
+                 f"--vocab_size={VOCAB} --hard_vocab_limit=false "
+                 f"--max_sentence_length={MAX_SENT} --minloglevel=1 "
+                 f"--model_prefix={prefix}")
+        if model_type == "bpe":
+            os.environ["SPM_BPE_TRAIN_KERNEL"] = "sparse"
+        profiling._totals.clear()
+        t0 = time.time()
+        try:
+            facade.train(flags, engine="device")
+            wall = time.time() - t0
+            sp = SentencePieceProcessor(prefix + ".model")
+            n_pieces = len(sp)
+            roundtrip = all(
+                sp.decode_ids(sp.encode_as_ids(s)) == s for s in samples)
+            entry = {
+                "wall_s": round(wall, 1),
+                "pieces": n_pieces,
+                "roundtrip_ok": roundtrip,
+                "phases_s": {k: round(v, 2)
+                             for k, v in sorted(profiling._totals.items())},
+            }
+        except Exception as e:  # noqa: BLE001 - record, keep going
+            entry = {"error": f"{type(e).__name__}: {e}",
+                     "wall_s": round(time.time() - t0, 1)}
+        finally:
+            os.environ.pop("SPM_BPE_TRAIN_KERNEL", None)
+        result[model_type] = entry
+        print(json.dumps({model_type: entry}), file=sys.stderr, flush=True)
+
+    import jax
+
+    result["backend"] = jax.devices()[0].platform
+    result["n_devices"] = len(jax.devices())
+    with open(OUT, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -239,6 +239,10 @@ class NativeNormalizer:
                 out.ctypes.data_as(ctypes.c_void_p), cap,
                 n2o.ctypes.data_as(ctypes.c_void_p))
             if olen >= 0:
+                if olen == 0 and n2o[0] < 0:
+                    # reference early return (empty input / all-space
+                    # heading skip): alignment stays EMPTY
+                    return b"", np.zeros(0, np.int64)
                 return out[:olen].tobytes(), n2o[:olen + 1].copy()
             if olen != -2:
                 return None

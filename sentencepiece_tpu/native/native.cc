@@ -346,8 +346,11 @@ int64_t spm_normalize(const uint32_t *units, int64_t n_units,
                       uint8_t *out, int64_t out_cap, int64_t *n2o) {
   static const uint8_t kSpaceSym[3] = {0xE2, 0x96, 0x81};
   static const uint8_t kFFFD[3] = {0xEF, 0xBF, 0xBD};
+  // empty input and the all-whitespace heading skip are EARLY RETURNS
+  // in the reference (normalizer.cc:94,115): the alignment stays EMPTY
+  // (no final consumed entry). n2o[0] = -1 signals that to the caller.
   if (n == 0) {
-    n2o[0] = 0;
+    n2o[0] = -1;
     return 0;
   }
   const uint8_t *ws = escape_whitespaces ? kSpaceSym : (const uint8_t *)" ";
@@ -403,7 +406,7 @@ int64_t spm_normalize(const uint32_t *units, int64_t n_units,
       consumed += cons;
     }
     if (pos >= n) {
-      n2o[0] = consumed;
+      n2o[0] = -1;
       return 0;
     }
   }

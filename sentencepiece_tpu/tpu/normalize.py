@@ -28,8 +28,15 @@ normalizes a whole padded batch:
   6. dummy prefix prepended before the scan (prefix mode) or appended
      after the trim (suffix mode, normalizer.cc:153,204).
 
-The device path produces normalized bytes + lengths only; byte-alignment
-(norm_to_orig) stays on the host path, which the SentencePieceText API uses.
+With ``with_alignment=True`` the same pass also emits the norm_to_orig
+byte-alignment array (normalizer.cc:88-211, invariant :208): every
+output byte maps to the INPUT offset of the chunk that emitted it — the
+chunk scan already carries each chunk's input start, so alignment is
+one more row-local MXU read off the which-chunk map, plus the
+reference's edge rules (heading-space skip advances the dummy prefix's
+mapping :103-112,153; the trailing trim's final entry takes the first
+trimmed byte's mapping :191-206; suffix-mode ws maps like the final
+entry :204).
 """
 
 from __future__ import annotations
@@ -241,15 +248,19 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
     static_argnames=("max_rule_len", "root_state", "n_out", "ws_len",
                      "max_rep_len", "add_dummy_prefix",
                      "remove_extra_whitespaces", "escape_whitespaces",
-                     "suffix"))
+                     "suffix", "with_alignment"))
 def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                     batch, lengths, *,
                     max_rule_len: int, root_state: int, n_out: int,
                     ws_len: int, max_rep_len: int,
                     add_dummy_prefix: bool, remove_extra_whitespaces: bool,
-                    escape_whitespaces: bool, suffix: bool, arcs=None):
+                    escape_whitespaces: bool, suffix: bool, arcs=None,
+                    with_alignment: bool = False):
     """Normalize padded rows of raw bytes. Returns (out uint8[B, n_out],
-    out_len int32[B])."""
+    out_len int32[B]) — plus norm_to_orig int32[B, n_out + 1] when
+    ``with_alignment`` (rows with out_len L use entries [0, L]; empty
+    input rows have no meaningful entries, like the reference's empty
+    early-return)."""
     B, N = batch.shape
 
     # rule values are offsets into the raw pool, which the escaped pool
@@ -360,8 +371,14 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                   | (trail0 << (2 * be_ + 4 + bc_)))
             mask_e = (1 << be_) - 1
 
+        # chunk normalized form == " " exactly (the heading-skip-loop
+        # condition, normalizer.cc:106): a raw space byte, or a rule
+        # whose replacement is the single space
+        exact_pos = jnp.where(matched, (a_all > 0) & (a_esc_len == wsl),
+                              valid_utf8 & is_sp_byte)
+
         def chunk_body(s):
-            i, p, prev_sp, b_em, b_kd, b_src, b_tr = s
+            i, p, prev_sp, b_em, b_kd, b_src, b_tr, b_cs, b_xw = s
             active = p < lengths
             psafe = jnp.minimum(p, N - 1)
             if packable:
@@ -404,17 +421,24 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
             b_kd = put(b_kd, c_kind)
             b_src = put(b_src, c_src)
             b_tr = put(b_tr, jnp.where(active, c_trail, 0))
-            return i + 1, new_p, new_prev, b_em, b_kd, b_src, b_tr
+            b_cs = put(b_cs, psafe)  # chunk input start (norm_to_orig)
+            # 0 = unvisited, 1 = normalizes to exactly " ", 2 = other
+            b_xw = put(b_xw, jnp.where(
+                active, jnp.where(exact_pos[rows, psafe], 1, 2), 0))
+            return i + 1, new_p, new_prev, b_em, b_kd, b_src, b_tr, \
+                b_cs, b_xw
 
         def chunk_cond(s):
-            i, p, _, _, _, _, _ = s
+            i, p = s[0], s[1]
             return (i < N) & jnp.any(p < lengths)
 
         z = jnp.zeros((N, B), jnp.int32)
-        _, _, _, emits, kinds, srcs, trails = jax.lax.while_loop(
-            chunk_cond, chunk_body,
-            (jnp.int32(0), jnp.zeros(B, jnp.int32), prev0, z, z, z, z))
-        return emits.T, kinds.T, srcs.T, trails.T
+        _, _, _, emits, kinds, srcs, trails, cstarts, exws = \
+            jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (jnp.int32(0), jnp.zeros(B, jnp.int32), prev0,
+                 z, z, z, z, z, z))
+        return (emits.T, kinds.T, srcs.T, trails.T, cstarts.T, exws.T)
 
     def fast_branch(_):
         is_chunk = in_range & ~is_cont
@@ -432,10 +456,12 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
         trail = jnp.where(is_sp_byte, 1 - k,
                           jnp.where(raw_is_ws, 1, 0)).astype(jnp.int32)
         trail = jnp.where(is_chunk, trail, 0)
-        return (emit.astype(jnp.int32), kind,
-                jnp.broadcast_to(pos, (B, N)).astype(jnp.int32), trail)
+        posb = jnp.broadcast_to(pos, (B, N)).astype(jnp.int32)
+        exw = jnp.where(is_chunk,
+                        jnp.where(is_sp_byte, 1, 2), 0).astype(jnp.int32)
+        return (emit.astype(jnp.int32), kind, posb, trail, posb, exw)
 
-    emits, kinds, srcs, trails = jax.lax.cond(
+    emits, kinds, srcs, trails, cstarts, exws = jax.lax.cond(
         any_complex, scan_branch, fast_branch, None)
 
     # -- assembly (output-centric) -------------------------------------------
@@ -519,6 +545,28 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
         out = jnp.where(pre, ws_pad[jnp.minimum(ocols, wsl)], out)
     # rows with zero input are empty regardless of dummy prefix
     total = jnp.where(lengths > 0, total, 0)
+    untrimmed = total
+
+    if with_alignment:
+        # norm_to_orig before trim handling: every output byte maps to
+        # the INPUT start of its covering chunk (normalizer.cc:166-177);
+        # dummy-prefix bytes (cid -1) map to the heading-skip consumed
+        # offset = input start of the first chunk whose normalized form
+        # is not exactly " " (:103-112,153) — 0 without
+        # remove_extra_whitespaces
+        cs_o = trie.taa_mxu(cstarts, cidc,
+                            value_bits=max(8, (N - 1).bit_length()))
+        if remove_extra_whitespaces:
+            first_nx = jnp.argmax(exws == 2, axis=1).astype(jnp.int32)
+            prefix_consumed = jnp.take_along_axis(
+                cstarts, first_nx[:, None], axis=1)[:, 0]
+            # the reference's all-whitespace early return (:114-117):
+            # empty output AND empty alignment
+            early_empty = (lengths > 0) & ~jnp.any(exws == 2, axis=1)
+        else:
+            prefix_consumed = jnp.zeros((B,), jnp.int32)
+            early_empty = jnp.zeros((B,), bool)
+        n2o_full = jnp.where(cid >= 0, cs_o, prefix_consumed[:, None])
 
     # -- trailing whitespace trim (remove_extra_whitespaces) ------------------
     if remove_extra_whitespaces:
@@ -545,6 +593,8 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
         stripped = jnp.where(stripped <= dummy, 0, stripped)
         total = jnp.where(lengths > 0, stripped, total)
 
+    stripped = total  # post-trim, pre-suffix output length
+
     if suffix and add_dummy_prefix:
         # all-space rows under remove_extra_whitespaces stay empty (the
         # reference's leading-space pre-loop returns early,
@@ -557,6 +607,21 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                                          n_out)].set(ws_arr[j], mode="drop")
         total = jnp.where(put, total + wsl, total)
 
+    if with_alignment:
+        # the trim sets consumed to the first TRIMMED byte's mapping
+        # (normalizer.cc:197); untouched rows end at the full consumed
+        # input length. Suffix-mode ws bytes and the final entry both
+        # carry that value (:204-206).
+        strip_safe = jnp.minimum(stripped, n_out)
+        at_strip = jnp.take_along_axis(
+            n2o_full, strip_safe[:, None], axis=1)[:, 0]
+        consumed_final = jnp.where(stripped < untrimmed, at_strip,
+                                   lengths.astype(jnp.int32))
+        o2 = jnp.arange(n_out + 1, dtype=jnp.int32)[None, :]
+        n2o = jnp.where(o2 < stripped[:, None], n2o_full,  # [B, n_out+1]
+                        consumed_final[:, None])
+        return out[:, :n_out], total, n2o, early_empty
+
     return out[:, :n_out], total
 
 
@@ -566,8 +631,11 @@ class BatchNormalizer:
     def __init__(self, spec, treat_whitespace_as_suffix: bool = False):
         self.t = NormalizerTables(spec, treat_whitespace_as_suffix)
 
-    def normalize(self, batch: np.ndarray, lengths: np.ndarray):
-        """batch uint8[B, N] raw bytes -> (out uint8[B, n_out], len[B])."""
+    def normalize(self, batch: np.ndarray, lengths: np.ndarray,
+                  with_alignment: bool = False):
+        """batch uint8[B, N] raw bytes -> (out uint8[B, n_out], len[B])
+        (+ norm_to_orig int32[B, n_out + 1] and the all-whitespace
+        early-return mask bool[B] when with_alignment)."""
         t = self.t
         n_out = t.out_width(batch.shape[1])
         return normalize_batch(
@@ -578,4 +646,4 @@ class BatchNormalizer:
             add_dummy_prefix=t.add_dummy_prefix,
             remove_extra_whitespaces=t.remove_extra_whitespaces,
             escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
-            arcs=t.arcs)
+            arcs=t.arcs, with_alignment=with_alignment)

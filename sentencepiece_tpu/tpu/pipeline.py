@@ -369,6 +369,43 @@ class TpuTokenizer:
         ids, n_ids, overflow = fn(a, l)
         return ids, n_ids, overflow
 
+    def normalize_with_offsets(self, texts: Sequence
+                               ) -> List[Tuple[str, List[int]]]:
+        """Device-side normalization WITH byte alignment: per text,
+        (normalized string, norm_to_orig) exactly as the reference
+        Normalizer::Normalize emits them (normalizer.cc:88-211; empty
+        output => empty alignment) — the offsets/surface-bearing
+        SentencePieceText APIs consume this mapping. One jitted pass
+        produces bytes, lengths, and the alignment (tpu/normalize.py
+        with_alignment)."""
+        t = self.norm
+        raw = [s.encode("utf-8", "surrogateescape") if isinstance(s, str)
+               else bytes(s) for s in texts]
+        width = max(8, max((len(b) for b in raw), default=8))
+        arr, lens = pack_lines(raw, width)
+        n_out = t.out_width(width)
+        out, total, n2o, early = tpu_normalize.normalize_batch(
+            t.units, t.esc_pool, t.v_attr, t.ws_arr, t.fffd_arr,
+            jnp.asarray(arr), jnp.asarray(lens),
+            max_rule_len=t.max_rule_len, root_state=t.root_state,
+            n_out=n_out, ws_len=t.ws_len, max_rep_len=t.max_rep_len,
+            add_dummy_prefix=t.add_dummy_prefix,
+            remove_extra_whitespaces=t.remove_extra_whitespaces,
+            escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
+            arcs=t.arcs, with_alignment=True)
+        out, total, n2o, early = (np.asarray(out), np.asarray(total),
+                                  np.asarray(n2o), np.asarray(early))
+        res = []
+        for i, b in enumerate(raw):
+            n = int(total[i])
+            s = bytes(out[i, :n]).decode("utf-8", "surrogateescape")
+            # empty input and the all-whitespace early return carry an
+            # EMPTY alignment; an input normalized away by deletion
+            # rules carries the size-1 alignment (normalizer.cc:94,115)
+            align = [] if (not b or early[i]) else n2o[i, :n + 1].tolist()
+            res.append((s, align))
+        return res
+
     def encode(self, texts: Sequence) -> List[List[int]]:
         """Ragged ids per input text; inputs bucketed by raw byte length.
 

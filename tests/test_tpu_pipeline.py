@@ -30,12 +30,18 @@ def _norm_case(spec, suffix, lines):
     for i, b in enumerate(raw):
         arr[i, :len(b)] = np.frombuffer(b, np.uint8)
         lens[i] = len(b)
-    out, total = dev.normalize(arr, lens)
-    out, total = np.asarray(out), np.asarray(total)
+    out, total, n2o, early = dev.normalize(arr, lens, with_alignment=True)
+    out, total, n2o, early = map(np.asarray, (out, total, n2o, early))
     for i, b in enumerate(raw):
-        want = host.normalize(b)[0]
+        want, want_n2o = host.normalize(b)
         got = out[i, :total[i]].tobytes()
         assert want == got, (lines[i], want, got)
+        # norm_to_orig byte alignment, same pass (normalizer.cc:88-211;
+        # empty alignment on the empty-input / all-space early returns)
+        got_n2o = ([] if (not b or early[i])
+                   else n2o[i, :total[i] + 1].tolist())
+        assert got_n2o == list(want_n2o), (lines[i], got_n2o,
+                                           list(want_n2o))
 
 
 @pytest.mark.parametrize("mutate", ["none", "suffix", "no_remove",
@@ -57,6 +63,29 @@ def test_device_normalizer_matches_host(mutate):
         elif mutate == "no_dummy":
             spec.add_dummy_prefix = False
     _norm_case(spec, suffix, EDGE)
+
+
+def test_normalize_with_offsets_corpus(botchan_path):
+    """TpuTokenizer.normalize_with_offsets serves (normalized,
+    norm_to_orig) device-side, equal to the host normalizer on a real
+    corpus slice (EN + JA lines mixed)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        str(__import__("pathlib").Path(__file__).parent / "fixtures"
+            / "bpe_en_300.model"))
+    tok = TpuTokenizer(sp)
+    en = open(botchan_path, "rb").read().split(b"\n")[:160]
+    ja = open("/root/reference/data/wagahaiwa_nekodearu.txt",
+              "rb").read().split(b"\n")[:80]
+    lines = [b.decode("utf-8", "surrogateescape")
+             for b in en + ja if len(b) <= 256]
+    res = tok.normalize_with_offsets(lines)
+    for t, (s, align) in zip(lines, res):
+        hb, hn = sp.normalizer.normalize(t)
+        assert s == hb.decode("utf-8", "surrogateescape"), t
+        assert align == list(hn), t
 
 
 def test_device_normalizer_fast_path_per_row():
