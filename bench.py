@@ -56,9 +56,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 UNIGRAM_MODEL = "/root/reference/python/test/test_model.model"
 BPE_MODEL = os.path.join(REPO, "tests/fixtures/bpe_en_300.model")
+WORD_MODEL = os.path.join(REPO, "tests/fixtures/word_en_300.model")
+CHAR_MODEL = os.path.join(REPO, "tests/fixtures/char_en_300.model")
 CORPUS = "/root/reference/data/botchan.txt"
 GOLD_UNIGRAM = os.path.join(REPO, "tests/fixtures/unigram_en.ids.txt")
 GOLD_BPE = os.path.join(REPO, "tests/fixtures/bpe_en.ids.txt")
+GOLD_WORD = os.path.join(REPO, "tests/fixtures/word_en.ids.txt")
+GOLD_CHAR = os.path.join(REPO, "tests/fixtures/char_en.ids.txt")
 BASELINE_BYTES_PER_S = 50_000 * 64.0  # reference ~50k sent/s, 64 B avg line
 WIDTH = 128
 
@@ -217,18 +221,31 @@ def child_main() -> None:
                                     f"lines mismatch reference ids"))
         return entry
 
-    # BPE first, headline unigram LAST (a single-line parser records
-    # the final line)
+    # BPE first, then word/char (VERDICT r2 item 8: all four model
+    # types carry a driver-visible device throughput), headline unigram
+    # LAST (a single-line parser records the final line)
     bpe_entry = run_model(
         "bpe", BPE_MODEL, GOLD_BPE,
         "encode bytes/s/chip (normalize+bpe merge scan, botchan, "
         "bit-exact)")
     print(json.dumps(bpe_entry), flush=True)
+    word_entry = run_model(
+        "word", WORD_MODEL, GOLD_WORD,
+        "encode bytes/s/chip (normalize+word span encode, botchan, "
+        "bit-exact)")
+    print(json.dumps(word_entry), flush=True)
+    char_entry = run_model(
+        "char", CHAR_MODEL, GOLD_CHAR,
+        "encode bytes/s/chip (normalize+char span encode, botchan, "
+        "bit-exact)")
+    print(json.dumps(char_entry), flush=True)
     uni_entry = run_model(
         "unigram", UNIGRAM_MODEL, GOLD_UNIGRAM,
         "encode bytes/s/chip (normalize+unigram viterbi, botchan, "
         "bit-exact)")
     uni_entry["bpe_bytes_per_s"] = bpe_entry["value"]
+    uni_entry["word_bytes_per_s"] = word_entry["value"]
+    uni_entry["char_bytes_per_s"] = char_entry["value"]
     print(json.dumps(uni_entry), flush=True)
 
 
@@ -316,7 +333,10 @@ def _emit(lines: list) -> None:
     ceilings = _roofline()
     for i, ln in enumerate(lines):
         d = json.loads(ln)
-        which = "bpe" if "bpe" in d["metric"] else "unigram"
+        which = ("bpe" if "bpe" in d["metric"]
+                 else "word" if "word span" in d["metric"]
+                 else "char" if "char span" in d["metric"]
+                 else "unigram")
         if ceilings.get(which):
             d["modeled_ceiling_bytes_per_s"] = ceilings[which]
             d["achieved_pct"] = round(
