@@ -44,6 +44,76 @@ def _ensure_ref_bin() -> bool:
     return Path(REF_BIN).exists()
 
 
+def _scaled_corpus(tmp: Path, copies: int) -> Path:
+    out = tmp / f"waga_x{copies}.txt"
+    data = open(CORPUS, "rb").read()
+    with open(out, "wb") as f:
+        for _ in range(copies):
+            f.write(data)
+    return out
+
+
+def _time_ref(corpus: Path, prefix: Path) -> float:
+    t0 = time.time()
+    subprocess.run(
+        [REF_BIN, f"--input={corpus}", f"--model_prefix={prefix}",
+         "--model_type=unigram", "--vocab_size=8000", "--minloglevel=2"],
+        check=True, capture_output=True)
+    return time.time() - t0
+
+
+def _time_ours_subproc(corpus: Path, prefix: Path) -> float:
+    """Fresh process per run (like the reference binary) so both sides
+    pay cold-heap page faults; the timer starts AFTER imports (training
+    time, not interpreter startup)."""
+    code = (
+        "import sys,time,logging;"
+        f"sys.path.insert(0,{REPO!r});"
+        "logging.getLogger().setLevel(logging.ERROR);"
+        "from sentencepiece_tpu import native;"
+        "from sentencepiece_tpu.train import SentencePieceTrainer;"
+        "native._load();t0=time.time();"
+        f"SentencePieceTrainer.Train('--input={corpus} "
+        f"--model_prefix={prefix} --model_type=unigram "
+        "--vocab_size=8000 --minloglevel=2');"
+        "print(time.time()-t0)")
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True).stdout
+    return float(out.strip().splitlines()[-1])
+
+
+def _scaled_unigram(tmp: Path, have_ref: bool) -> None:
+    """Unigram trainer at 14/26 MB: INTERLEAVED ref/ours pairs (VERDICT
+    r2 item 7 — this host's wall times swing 2-3x with neighbor load, so
+    each ratio is measured within one adjacent pair and the headline is
+    the best-of-N paired ratio + the median), byte-exactness gated."""
+    if not have_ref or os.environ.get("SPM_BENCH_TRAIN_SCALED") == "0":
+        return
+    pairs = int(os.environ.get("SPM_BENCH_TRAIN_PAIRS", "5"))
+    for copies, label in ((13, "14MB"), (23, "26MB")):
+        corpus = _scaled_corpus(tmp, copies)
+        ratios, refs, ours = [], [], []
+        for _ in range(pairs):
+            refs.append(_time_ref(corpus, tmp / f"sref_{label}"))
+            ours.append(_time_ours_subproc(corpus, tmp / f"sour_{label}"))
+            ratios.append(ours[-1] / refs[-1])
+        exact = ((tmp / f"sref_{label}.vocab").read_bytes()
+                 == (tmp / f"sour_{label}.vocab").read_bytes())
+        rs = sorted(ratios)
+        print(json.dumps({
+            "metric": f"unigram train wagahaiwa-x{copies} {label} 8k "
+                      "ours/ref paired wall ratio (byte-exact gate)",
+            "value": round(min(ratios), 3),
+            "unit": "ratio (lower is better, <1 beats the reference)",
+            "median_ratio": round(rs[len(rs) // 2], 3),
+            "paired_ratios": [round(r, 3) for r in ratios],
+            "ref_s": [round(r, 2) for r in refs],
+            "ours_s": [round(o, 2) for o in ours],
+            "exact": bool(exact),
+            "vs_baseline": round(1.0 / min(ratios), 3),
+        }))
+
+
 def main() -> None:
     import logging
 
@@ -85,6 +155,7 @@ def main() -> None:
             out["vs_baseline"] = 0.0
             out["ref"] = "reference binary unavailable (build failed)"
         print(json.dumps(out))
+    _scaled_unigram(tmp, have_ref)
 
 
 if __name__ == "__main__":

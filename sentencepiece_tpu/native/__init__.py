@@ -979,6 +979,37 @@ def prune_losses(freq, F_occ, vsum, always_keep, alt_ids, alt_off):
     return flags, losses
 
 
+def prune_freqs(path_ids, path_off, ws, m: int, nthreads: int):
+    """Viterbi path stats for the prune phase: replays the reference's
+    per-thread strided float32 accumulation (unigram_model_trainer.cc:
+    389-424) in C. Returns (freq f32[m], F_occ f32[m], vsum) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_pfreq_ready", False):
+        lib.spm_prune_freqs.restype = ctypes.c_int
+        lib.spm_prune_freqs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib._pfreq_ready = True
+    pi = np.ascontiguousarray(path_ids, np.int32)
+    po = np.ascontiguousarray(path_off, np.int64)
+    w = np.ascontiguousarray(ws, np.float32)
+    n_s = len(po) - 1
+    freq = np.empty(m, np.float32)
+    F_occ = np.empty(m, np.float32)
+    vsum = np.zeros(1, np.float32)
+    lib.spm_prune_freqs(
+        pi.ctypes.data_as(ctypes.c_void_p),
+        po.ctypes.data_as(ctypes.c_void_p),
+        w.ctypes.data_as(ctypes.c_void_p), n_s, m, nthreads,
+        freq.ctypes.data_as(ctypes.c_void_p),
+        F_occ.ctypes.data_as(ctypes.c_void_p),
+        vsum.ctypes.data_as(ctypes.c_void_p))
+    return freq, F_occ, vsum[0]
+
+
 def seed_filter(arr, sa, nodes_lrd, spec, num_threads: int = 1):
     """Seed node filtering (validity + boundary + score) in C++, threaded
     over disjoint node ranges (output independent of thread count).

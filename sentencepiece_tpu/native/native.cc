@@ -1596,7 +1596,25 @@ struct Ctx {
   int64_t n_scr;
   int32_t common_id, han_id, hira_id, kata_id;
 
+  // direct-mapped BMP script table (the script DB is ~2k ranges; a
+  // binary search per character dominated the seed node filter at
+  // corpus scale) — built lazily by ensure_bmp(), 256 KB, L2-resident
+  mutable std::vector<int32_t> bmp;
+
+  void ensure_bmp() const {
+    if (!bmp.empty()) return;
+    bmp.assign(0x10000, common_id);
+    for (int64_t i = 0; i < n_scr; ++i) {
+      const uint32_t lo = static_cast<uint32_t>(scr_lo[i]);
+      if (lo >= 0x10000) continue;
+      const uint32_t hi = std::min<uint32_t>(
+          static_cast<uint32_t>(scr_hi[i]), 0xFFFF);
+      for (uint32_t c = lo; c <= hi; ++c) bmp[c] = scr_id[i];
+    }
+  }
+
   int32_t script_of(uint32_t cp) const {
+    if (cp < 0x10000 && !bmp.empty()) return bmp[cp];
     int64_t lo = 0, hi = n_scr;
     while (lo < hi) {  // upper_bound on scr_lo
       int64_t mid = (lo + hi) / 2;
@@ -1611,12 +1629,17 @@ struct Ctx {
   // trainer_interface.cc:178-267 (= train/interface.py
   // is_valid_sentencepiece)
   bool valid(const std::u32string& cps) const {
-    const int64_t n = static_cast<int64_t>(cps.size());
+    return valid_span(
+        reinterpret_cast<const int32_t*>(cps.data()),
+        static_cast<int64_t>(cps.size()));
+  }
+
+  bool valid_span(const int32_t* p, int64_t n) const {
     if (n == 0 || n > max_len) return false;
     const int32_t ANY = -1;
     int32_t prev = ANY;
     for (int64_t pos = 0; pos < n; ++pos) {
-      const uint32_t c = cps[pos];
+      const uint32_t c = static_cast<uint32_t>(p[pos]);
       if (c == 0x2585 || c == 0x0000 || c == 0x0009 || c == 0x0020)
         return false;
       if (!(c < 0xD800 || (c >= 0xE000 && c <= 0x10FFFF))) return false;
@@ -1665,6 +1688,7 @@ extern "C" int64_t spm_bpe_train(
   Ctx ctx{max_piece_len, ws_suffix != 0, split_ws != 0, split_num != 0,
           split_script != 0, scr_lo, scr_hi, scr_id, n_scr,
           common_id, han_id, hira_id, kata_id};
+  ctx.ensure_bmp();
 
   std::unordered_map<uint32_t, int64_t> required;
   required.reserve(n_req * 2);
@@ -1931,6 +1955,42 @@ extern "C" int spm_prune_losses(
   return 0;
 }
 
+// Prune-phase Viterbi path statistics (unigram_model_trainer.cc:389-424):
+// replays the reference's per-thread strided float32 accumulation — per
+// thread, sentences si = tid, tid+nt, ... in order, each path occurrence
+// adding the sentence freq into the thread-local vector; thread vectors
+// then merge in tid order. out_F accumulates the occurrence stream
+// (freq(vocab[i]) via the inverted index) in the same tid-major order.
+// Sequential by definition (every add order is a conformance contract).
+extern "C" int spm_prune_freqs(
+    const int32_t* path_ids, const int64_t* path_off,
+    const float* ws, int64_t n_s, int64_t m, int32_t nthreads,
+    float* out_freq, float* out_F, float* out_vsum) {
+  std::vector<float> ft(m);
+  std::fill(out_freq, out_freq + m, 0.0f);
+  std::fill(out_F, out_F + m, 0.0f);
+  float vsum = 0.0f;
+  for (int32_t tid = 0; tid < nthreads; ++tid) {
+    float vb = 0.0f;
+    std::fill(ft.begin(), ft.end(), 0.0f);
+    for (int64_t si = tid; si < n_s; si += nthreads) {
+      const float w = ws[si];
+      vb += w;
+      for (int64_t k = path_off[si]; k < path_off[si + 1]; ++k) {
+        const int32_t id = path_ids[k];
+        if (id >= 0) {
+          ft[id] += w;
+          out_F[id] += w;
+        }
+      }
+    }
+    vsum += vb;
+    for (int64_t i = 0; i < m; ++i) out_freq[i] += ft[i];
+  }
+  *out_vsum = vsum;
+  return 0;
+}
+
 // Batched normalizer: CSR lines in -> CSR normalized bytes out (the
 // trainer normalizes whole corpora line by line; one call amortizes the
 // FFI). Returns total out bytes, -1 error, -2 cap exceeded.
@@ -2013,6 +2073,7 @@ extern "C" int64_t spm_seed_filter(
   Ctx ctx{max_piece_len, ws_suffix != 0, split_ws != 0, split_num != 0,
           split_script != 0, scr_lo, scr_hi, scr_id, n_scr,
           common_id, han_id, hira_id, kata_id};
+  ctx.ensure_bmp();  // before the threads: read-only afterwards
   // Nodes are independent; threads filter disjoint ranges into local
   // buffers merged in node order, so output is identical at any thread
   // count (the seed phase is order-sensitive downstream: node index is
@@ -2022,7 +2083,6 @@ extern "C" int64_t spm_seed_filter(
   std::vector<std::vector<int32_t>> idx_t(T);
   std::vector<std::vector<int64_t>> score_t(T);
   auto work = [&](int t) {
-    std::u32string buf;
     auto& oi = idx_t[t];
     auto& os = score_t[t];
     const int64_t lo = n_nodes * t / T, hi = n_nodes * (t + 1) / T;
@@ -2030,19 +2090,18 @@ extern "C" int64_t spm_seed_filter(
       const int32_t L = nodes_lrd[3 * i];
       const int32_t R = nodes_lrd[3 * i + 1];
       const int32_t D = nodes_lrd[3 * i + 2];
-      if (D <= 1) continue;
+      // D > max_len can be deep (repetitive corpora): reject before
+      // touching the corpus array at all
+      if (D <= 1 || D > ctx.max_len) continue;
       const int64_t offset = sa[L];
       bool boundary = false;
-      buf.clear();
       for (int32_t k = 0; k < D; ++k) {
-        const int32_t c = arr[offset + k];
-        if (c == 0) {
+        if (arr[offset + k] == 0) {
           boundary = true;
           break;
         }
-        buf.push_back(static_cast<char32_t>(c));
       }
-      if (boundary || !ctx.valid(buf)) continue;
+      if (boundary || !ctx.valid_span(arr + offset, D)) continue;
       oi.push_back(static_cast<int32_t>(i));
       os.push_back(static_cast<int64_t>(R - L) * D);
     }

@@ -216,8 +216,14 @@ class Message:
     # -- serialization ------------------------------------------------------
     def serialize(self) -> bytes:
         out = bytearray()
-        # Ascending field number, matching protobuf C++ output order.
-        for f in sorted(self.FIELDS, key=lambda f: f.number):
+        # Ascending field number, matching protobuf C++ output order
+        # (sorted once per message class; ModelProto serializes one
+        # message per piece, so per-call sorts are O(vocab) overhead).
+        fields_sorted = type(self).__dict__.get("_FIELDS_SORTED")
+        if fields_sorted is None:
+            fields_sorted = sorted(self.FIELDS, key=lambda f: f.number)
+            type(self)._FIELDS_SORTED = fields_sorted
+        for f in fields_sorted:
             if f.name not in self._values:
                 continue
             v = self._values[f.name]

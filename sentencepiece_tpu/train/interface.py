@@ -464,9 +464,9 @@ class TrainerInterface:
                                         num_threads=ts.num_threads)
         if batch is not None:
             out, off = batch
-            # the native output buffer is over-allocated; valid bytes
-            # end at off[-1]
-            blob = out.tobytes()[:int(off[len(self.sentences)])]
+            # the native output buffer is over-allocated (4x corpus);
+            # slice BEFORE tobytes so only the valid bytes copy
+            blob = out[:int(off[len(self.sentences)])].tobytes()
             rep = UPP_BOUNDARY_STR.encode()
             # meta surfaces almost never occur in a corpus: when none
             # does, global_replace is the identity on every line, so the
@@ -593,19 +593,26 @@ class TrainerInterface:
         # and not required need translating, so str.translate does the
         # whole corpus at C speed
         req = self.required_chars
-        bad = {int(u): UNK_STR for u in uniq if int(u) not in req}
+        bad = [int(u) for u in uniq if int(u) not in req]
         if bad:
             # rare chars are rare: locate the affected sentences via the
-            # corpus codepoint array instead of translating every line
+            # corpus codepoint array, then rewrite each from its codepoint
+            # slice (UNK_STR is one char, so the rewrite preserves length —
+            # a str.translate with a large dict pays a hash probe per char,
+            # ~0.2 s/train on a 14 MB JA corpus)
             flag = np.zeros(0x110000, bool)
-            flag[np.fromiter(bad.keys(), np.int64, len(bad))] = True
+            flag[np.asarray(bad, np.int64)] = True
             pos_bad = np.nonzero(flag[arr])[0]
             if len(pos_bad):
                 ends = np.cumsum(s_lens_np)
+                starts = ends - s_lens_np
                 for si in np.unique(np.searchsorted(
                         ends, pos_bad, side="right")).tolist():
-                    s, freq = self.sentences[si]
-                    self.sentences[si] = (s.translate(bad), freq)
+                    seg = arr[starts[si]:ends[si]].copy()
+                    seg[flag[seg]] = UNK_CHAR
+                    s_new = seg.view(np.uint32).tobytes().decode(
+                        "utf-32-le", errors="surrogatepass")
+                    self.sentences[si] = (s_new, self.sentences[si][1])
 
         if ts.model_type not in (ModelType.WORD, ModelType.CHAR):
             if (len(self.required_chars) + len(self.meta_pieces)

@@ -547,7 +547,9 @@ class Trainer(TrainerInterface):
                         num_threads=self.trainer_spec.num_threads)
                     if r is not None:
                         ak, alt_ids, alt_off = r
-                        always_keep = ak.astype(bool).tolist()
+                        # bool list built lazily (only the non-native loss
+                        # fallback reads it per piece)
+                        always_keep = None
                         alternatives = None  # CSR below, sliced lazily
                         native_done = True
         except Exception:
@@ -583,45 +585,50 @@ class Trainer(TrainerInterface):
         F_arr = None
         inverted: Optional[List[List[int]]] = None
         if flat is not None:
-            # Vectorized replay of the reference's per-thread strided
-            # accumulation (unigram_model_trainer.cc:389-424): np.add.at
-            # applies the float32 adds sequentially in index order, so each
-            # per-thread chain and the occurrence-stream chain behind
-            # ``freq(vocab[i])`` (the inverted index) round identically to
-            # the scalar loops.
+            # Replay of the reference's per-thread strided accumulation
+            # (unigram_model_trainer.cc:389-424) — per-thread float32
+            # chains + tid-order merge, and the occurrence-stream chain
+            # behind ``freq(vocab[i])`` (the inverted index) — run in C
+            # (native.cc spm_prune_freqs; a vectorized np.add.at replay
+            # of the same order lives in git history, ~0.25 s/train at
+            # 14 MB in ragged-gather glue).
             out_ids, out_off = flat
             ws_arr = np.fromiter((f for _, f in self.sentences), np.float32,
                                  n_s)
-            lens_all = out_off[1:] - out_off[:-1]
-            starts_all = out_off[:-1]
-            vbuf = np.zeros(1, F32)
-            occ_ids_parts, occ_w_parts = [], []
-            for tid in range(nthreads):
-                sel = np.arange(tid, n_s, nthreads)
-                # per-thread vsum: sequential float32 adds over its stride
-                vb = np.zeros(1, F32)
-                np.add.at(vb, np.zeros(len(sel), np.intp), ws_arr[sel])
-                np.add.at(vbuf, np.zeros(1, np.intp), vb)
-                # ragged gather of this thread's paths, sentence order
-                L = lens_all[sel]
-                tot = int(L.sum())
-                base = np.repeat(starts_all[sel], L)
-                cum = np.cumsum(L) - L
-                idx = base + (np.arange(tot, dtype=np.int64)
-                              - np.repeat(cum, L))
-                ids_t = out_ids[idx]
-                w_t = np.repeat(ws_arr[sel], L)
-                keep = ids_t >= 0
-                ids_t, w_t = ids_t[keep], w_t[keep]
-                ft = np.zeros(m, F32)
-                np.add.at(ft, ids_t, w_t)
-                freq = (freq + ft).astype(F32)
-                occ_ids_parts.append(ids_t)
-                occ_w_parts.append(w_t)
-            vsum = vbuf[0]
-            F_arr = np.zeros(m, F32)
-            np.add.at(F_arr, np.concatenate(occ_ids_parts),
-                      np.concatenate(occ_w_parts))
+            pf = native.prune_freqs(out_ids, out_off, ws_arr, m, nthreads)
+            if pf is not None:
+                freq, F_arr, vsum = pf
+            else:
+                lens_all = out_off[1:] - out_off[:-1]
+                starts_all = out_off[:-1]
+                vbuf = np.zeros(1, F32)
+                occ_ids_parts, occ_w_parts = [], []
+                for tid in range(nthreads):
+                    sel = np.arange(tid, n_s, nthreads)
+                    # per-thread vsum: sequential float32 adds over stride
+                    vb = np.zeros(1, F32)
+                    np.add.at(vb, np.zeros(len(sel), np.intp), ws_arr[sel])
+                    np.add.at(vbuf, np.zeros(1, np.intp), vb)
+                    # ragged gather of this thread's paths, sentence order
+                    L = lens_all[sel]
+                    tot = int(L.sum())
+                    base = np.repeat(starts_all[sel], L)
+                    cum = np.cumsum(L) - L
+                    idx = base + (np.arange(tot, dtype=np.int64)
+                                  - np.repeat(cum, L))
+                    ids_t = out_ids[idx]
+                    w_t = np.repeat(ws_arr[sel], L)
+                    keep = ids_t >= 0
+                    ids_t, w_t = ids_t[keep], w_t[keep]
+                    ft = np.zeros(m, F32)
+                    np.add.at(ft, ids_t, w_t)
+                    freq = (freq + ft).astype(F32)
+                    occ_ids_parts.append(ids_t)
+                    occ_w_parts.append(w_t)
+                vsum = vbuf[0]
+                F_arr = np.zeros(m, F32)
+                np.add.at(F_arr, np.concatenate(occ_ids_parts),
+                          np.concatenate(occ_w_parts))
         else:
             vsums = [F32(0.0)] * nthreads
             freqs = [np.zeros(m, F32) for _ in range(nthreads)]
@@ -660,8 +667,10 @@ class Trainer(TrainerInterface):
                 sel = np.nonzero(flags == 1)[0].tolist()
                 new_pieces = [pieces[i] for i in sel]
                 cand_idx = np.nonzero(flags == 2)[0]
-                candidates = [(int(i), float(np.float32(losses[i])))
-                              for i in cand_idx]
+                # tolist() narrows float32 -> python float elementwise, the
+                # same chain as float(np.float32(x)) without scalar boxing
+                candidates = list(zip(cand_idx.tolist(),
+                                      losses[cand_idx].tolist()))
                 pruned_size = max(self.desired_vocab_size,
                                   int(ts.shrinking_factor * m))
                 for i, _loss in sorted(candidates,
@@ -671,6 +680,8 @@ class Trainer(TrainerInterface):
                     new_pieces.append(pieces[i])
                     sel.append(i)
                 return new_pieces, sel
+        if always_keep is None:
+            always_keep = ak.astype(bool).tolist()
         sum_f = F32(np.sum(freq.astype(np.float64)))
         logsum = _f32(math.log(float(sum_f)))
         candidates: List[Tuple[int, float]] = []
