@@ -93,11 +93,11 @@ def _time_estep(dev, pieces, reps=REPS):
             alive[si] = True
     sc_d = dev.dist.put_replicated(scores, dev.mesh)
     al_d = dev.dist.put_replicated(alive, dev.mesh)
-    r = dev._estep_fn(dev.lat, dev.lens, dev.freqs, sc_d, al_d)
+    r = dev.estep_all(sc_d, al_d)
     jax.block_until_ready(r)
     t0 = time.time()
     for _ in range(reps):
-        r = dev._estep_fn(dev.lat, dev.lens, dev.freqs, sc_d, al_d)
+        r = dev.estep_all(sc_d, al_d)
     jax.block_until_ready(r)
     return (time.time() - t0) / reps
 

@@ -49,7 +49,9 @@ def main() -> None:
     samples = ["I have a pen and a book.", "吾輩は猫である。名前はまだ無い。",
                "mixed latin と 漢字 words"]
 
-    for model_type in ("bpe", "unigram"):
+    models = tuple(os.environ.get("SPM_CONFIG5_MODELS",
+                                  "bpe,unigram").split(","))
+    for model_type in models:
         prefix = f"/tmp/config5_{model_type}_{VOCAB}"
         flags = (f"--input={CORPUS} --model_type={model_type} "
                  f"--vocab_size={VOCAB} --hard_vocab_limit=false "

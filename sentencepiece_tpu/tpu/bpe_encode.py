@@ -95,11 +95,16 @@ def build_pair_tables(model):
     new_sym = np.array([entries[k][0] for k in skeys], np.int32)
     pair_score = np.array([entries[k][1] for k in skeys], np.float32)
 
-    cp_to_sym = np.full(0x110000, -1, np.int32)
-    for s, u in uni.items():
-        dec = s.decode("utf-8", "surrogateescape")
-        if len(dec) == 1:
-            cp_to_sym[ord(dec)] = u
+    alph = sorted((ord(dec), u) for s, u in uni.items()
+                  if len(dec := s.decode("utf-8", "surrogateescape")) == 1)
+    if len(alph) <= 2500:
+        # packed (codepoint, sym) rows: _cp_lookup runs the one-hot
+        # compare-reduce instead of a full-lane serial gather (rule 7)
+        cp_to_sym = np.array(alph, np.int32).reshape(-1, 2)
+    else:
+        cp_to_sym = np.full(0x110000, -1, np.int32)
+        for cp, u in alph:
+            cp_to_sym[cp] = u
     return keys, new_sym, pair_score, cp_to_sym, sym_id, U
 
 
@@ -139,6 +144,45 @@ def bpe_dropout_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
 
 
 _DENSE_MAX_PAIRS = 4096
+
+
+def _cp_lookup(cp_to_sym, cps):
+    """codepoint -> symbol id (-1 = not in the alphabet).
+
+    Packed [A, 2] (codepoint, sym) alphabet (build_pair_tables packs when
+    A <= 2500): one-hot compare-reduce at VPU rate — a full-lane serial
+    gather over the 0x110000 dense table costs ~7 ns/lane (rule 7), ~7.5 ms
+    per 8192x128 batch, where the one-hot form is ~0.2 ms at EN alphabet
+    sizes. Dense [0x110000] table (big alphabets): the serial gather.
+    Exact either way: packed misses sum to 0 -> -1, like the dense -1
+    fill."""
+    if cp_to_sym.ndim == 2:
+        keys, vals = cp_to_sym[:, 0], cp_to_sym[:, 1]
+        A = int(keys.shape[0])
+        trie.count_vpu(cps.size, A)
+        flat = cps.reshape(-1)
+        block = 512
+        Ap = ((A + block - 1) // block) * block
+        kpad = jnp.concatenate(
+            [keys, jnp.full((Ap - A,), -1, keys.dtype)]).reshape(-1, block)
+        vpad = jnp.concatenate(
+            [vals + 1, jnp.zeros((Ap - A,), vals.dtype)]).reshape(-1, block)
+        acc = jnp.zeros(flat.shape, jnp.int32)
+        for b in range(Ap // block):
+            oh = flat[:, None] == kpad[b][None, :]
+            acc = acc + jnp.sum(jnp.where(oh, vpad[b][None, :],
+                                          jnp.zeros((), jnp.int32)), axis=1)
+        return (acc - 1).reshape(cps.shape)
+    return trie._gather(cp_to_sym, jnp.clip(cps, 0, 0x10FFFF))
+
+
+def _sym_to_id(sym_to_id, idx):
+    """symbol -> piece id: one-hot compare-reduce for small universes
+    (every serial-gather lane costs ~7 ns — rule 7), serial gather past
+    the measured crossover."""
+    if int(sym_to_id.shape[0]) <= 2500:
+        return trie.gather_small(sym_to_id, idx)
+    return trie._gather(sym_to_id, idx)
 
 
 def _pair_lookup_bsearch(pair_keys, pair_score, pair_new, key, valid):
@@ -278,8 +322,7 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
 
-    sym = trie._gather(cp_to_sym,
-                       jnp.clip(cps, 0, 0x10FFFF))
+    sym = _cp_lookup(cp_to_sym, jnp.clip(cps, 0, 0x10FFFF))
     sym = jnp.where(in_range, sym, -1)
     nxt = jnp.broadcast_to(pos + 1, (B, L)).astype(jnp.int32)
     prv = jnp.broadcast_to(pos - 1, (B, L)).astype(jnp.int32)
@@ -384,7 +427,7 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
     alive = in_range & ((pos == 0) | (nxt_of_prv == pos))
 
     usafe = jnp.maximum(sym, 0)
-    out_id = jnp.where(sym >= 0, trie._gather(sym_to_id, usafe), -1)
+    out_id = jnp.where(sym >= 0, _sym_to_id(sym_to_id, usafe), -1)
     out_id = jnp.where(out_id >= 0, out_id, unk_id)
 
     # compact + adjacent-UNK merge + extra options
@@ -627,7 +670,7 @@ def _emit_ids(sym, alive, sym_to_id, lengths, *, unk_id, add_bos, add_eos,
     B, L = sym.shape
     rows = jnp.arange(B)
     out_id = jnp.where(alive & (sym >= 0),
-                       trie._gather(sym_to_id, jnp.maximum(sym, 0)), -1)
+                       _sym_to_id(sym_to_id, jnp.maximum(sym, 0)), -1)
     out_id = jnp.where(alive, jnp.where(out_id >= 0, out_id, unk_id), -1)
 
     t_idx = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
@@ -710,7 +753,7 @@ def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
 
-    sym0 = trie._gather(cp_to_sym, jnp.clip(cps, 0, 0x10FFFF))
+    sym0 = _cp_lookup(cp_to_sym, cps)
     sym0 = jnp.where(in_range, sym0, -1)
     alive0 = in_range
 
@@ -812,7 +855,7 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
 
-    sym0 = trie._gather(cp_to_sym, jnp.clip(cps, 0, 0x10FFFF))
+    sym0 = _cp_lookup(cp_to_sym, cps)
     sym0 = jnp.where(in_range, sym0, -1)
     nxt0 = jnp.broadcast_to(pos + 1, (B, L)).astype(jnp.int32)
     alive0 = in_range
@@ -928,7 +971,7 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
     sym, alive = f_sym, f_alive
 
     out_id = jnp.where(alive & (sym >= 0),
-                       trie._gather(sym_to_id, jnp.maximum(sym, 0)), -1)
+                       _sym_to_id(sym_to_id, jnp.maximum(sym, 0)), -1)
     out_id = jnp.where(alive, jnp.where(out_id >= 0, out_id, unk_id), -1)
 
     # compact + adjacent-UNK merge + extra options (same tail as the

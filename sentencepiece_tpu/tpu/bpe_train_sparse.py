@@ -71,6 +71,8 @@ integer-valued f32 (exact psum below 2^24).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -576,6 +578,9 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     from ..utils import unicode_script
     from .. import distributed as dist
 
+    table_k = int(os.environ.get("SPM_BPE_SPARSE_TABLE_K", table_k))
+    site_rows = int(os.environ.get("SPM_BPE_SPARSE_SITE_ROWS", site_rows))
+    new_cap = int(os.environ.get("SPM_BPE_SPARSE_NEW_CAP", new_cap))
     words = trainer.sentences
     ts = trainer.trainer_spec
     chars = sorted({c for w, _ in words for c in w})
@@ -647,28 +652,48 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     next_id = rep(np.int32(A))
     k_done = rep(np.int32(0))
 
+    # Dispatch WAVES of refresh+epoch pairs between host readbacks: on
+    # the tunneled rig the first device->host readback permanently
+    # degrades later dispatch latency (~1.2 s each, design.md rule 5),
+    # so reading status/overflow after every epoch made the wall time
+    # sync-bound (botchan 8k: 31 min). Overflow and done/stall checks
+    # are only LATENESS-sensitive (a late overflow wastes device time
+    # but stays correct; the epoch program self-stops once done), so
+    # one readback per wave preserves the exact merge sequence.
+    wave = max(1, int(os.environ.get("SPM_BPE_SPARSE_WAVE", "8")))
     prev_k, stalls = -1, 0
-    for _ in range(n_merges + 16):
-        (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr, fl_key,
-         overflow) = refresh(sym_d, tracked_d, freqs_d, s_len_d, s_wsp_d,
-                             s_wsi_d, s_scr_d, s_val_d, s_chr_d)
-        if bool(np.asarray(overflow)):
-            return None  # distinct pairs exceed the shard cap
-        out = epoch(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len, t_chr,
-                    fl_cnt, fl_len, fl_chr, fl_key,
-                    s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d, s_chr_d,
-                    ml, mr, mf, e_len, e_chr, next_id, k_done)
-        (sym_d, tracked_d, _tk, _tc, _tl, _tch, s_len_d, s_wsp_d,
-         s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf, e_len, e_chr,
-         next_id, k_done, status) = out
-        stat = int(np.asarray(status))
-        if stat in (ST_DONE, ST_NO_PAIRS):
-            break
-        k_now = int(np.asarray(k_done))
-        stalls = stalls + 1 if k_now == prev_k else 0
-        prev_k = k_now
-        if stalls >= 2:  # no merge applied for 2 epochs: give up cleanly
-            break
+    done = False
+    it = 0
+    while not done and it < n_merges + 16:
+        stats = []
+        for _ in range(min(wave, n_merges + 16 - it)):
+            it += 1
+            (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr, fl_key,
+             overflow) = refresh(sym_d, tracked_d, freqs_d, s_len_d,
+                                 s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
+                                 s_chr_d)
+            out = epoch(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len,
+                        t_chr, fl_cnt, fl_len, fl_chr, fl_key,
+                        s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
+                        s_chr_d, ml, mr, mf, e_len, e_chr, next_id, k_done)
+            (sym_d, tracked_d, _tk, _tc, _tl, _tch, s_len_d, s_wsp_d,
+             s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf, e_len, e_chr,
+             next_id, k_done, status) = out
+            stats.append((overflow, status, k_done))
+        # one sync for the whole wave
+        for overflow, status, k_d in stats:
+            if bool(np.asarray(overflow)):
+                return None  # distinct pairs exceed the shard cap
+            stat = int(np.asarray(status))
+            k_now = int(np.asarray(k_d))
+            if stat in (ST_DONE, ST_NO_PAIRS):
+                done = True
+                break
+            stalls = stalls + 1 if k_now == prev_k else 0
+            prev_k = k_now
+            if stalls >= 2:  # no merge for 2 epochs: give up cleanly
+                done = True
+                break
     ml_h = np.asarray(ml)
     mr_h = np.asarray(mr)
     strings = list(chars) + [None] * n_merges

@@ -1029,24 +1029,59 @@ class _DeviceEM:
         self.seed_pieces = seed_pieces
         self.seed_index = {w: i for i, (w, _) in enumerate(seed_pieces)}
         words = trainer.sentences
-        W = len(words)
         max_len = trainer.trainer_spec.max_sentencepiece_length
         # Per-process corpus sharding (SURVEY.md §2.9): each process builds
-        # + uploads only its own contiguous row slice of the padded word
-        # table; shapes are pinned by the GLOBAL max word length so every
-        # shard compiles the same program.
+        # + uploads only its own contiguous row slice of each padded word
+        # table. Words are LENGTH-BUCKETED (powers of two from 16) so the
+        # dense (W, P, K) lattice of each bucket pads to its own bound
+        # rather than the global max word length: whitespace-free scripts
+        # make whole sentences single "words" (JA: 170+ chars), and one
+        # such word would otherwise size every row — at BASELINE config 5
+        # the single-table form wanted a 19.7 GB HBM allocation
+        # (s32[218805,175,16], the 16-lane minor tiling to 128). Bucket
+        # membership is computed from GLOBAL word order, so every process
+        # layout builds the same buckets and fixed_order_psum keeps the
+        # artifact byte-identical across layouts.
         self.mesh = dist.data_mesh("dp")
-        Wp = dist.pad_rows(W, self.mesh)
-        lo, hi = dist.local_row_range(Wp, self.mesh)
-        max_word = max((len(w) for w, _ in words), default=1)
-        lat, lens, freqs = em.build_word_lattices(
-            words[lo:min(hi, W)], self.seed_index, max_len,
-            pad_words_to=hi - lo, max_word_len=max_word)
+        gmax = max((len(w) for w, _ in words), default=1)
+        bounds = []
+        b = 16
+        while b < gmax:
+            bounds.append(b)
+            b *= 2
+        bounds.append(b)
         self.all_freq = float(sum(f for _, f in words))
         self.num_seed = len(seed_pieces)
-        self.lat = dist.put_sharded(lat, self.mesh)
-        self.lens = dist.put_sharded(lens, self.mesh)
-        self.freqs = dist.put_sharded(freqs, self.mesh)
+        # Rows per dispatch are also bounded: an E-step over (C, P, K)
+        # holds ~15 live f32[C, P, K] temporaries whose 16-lane minor
+        # tiles to 128 on TPU, so unbounded C exhausts HBM (config 5's
+        # 217k-word small bucket wanted 28.8 GB). Chunks pad to powers
+        # of two so the per-(rows, width) compile count stays bounded;
+        # estep_all sums chunk partials in fixed order.
+        import os as _os
+        max_rows = int(_os.environ.get("SPM_DEVICE_EM_MAX_ROWS", "16384"))
+        max_rows = dist.pad_rows(max_rows, self.mesh)
+        self.buckets = []
+        prev = 0
+        for ub in bounds:
+            idxs = [wi for wi, (w, _) in enumerate(words)
+                    if prev < len(w) <= ub or (prev == 0 and len(w) == 0)]
+            prev = ub
+            for c0 in range(0, len(idxs), max_rows):
+                chunk = idxs[c0:c0 + max_rows]
+                n = len(chunk)
+                npad = 1
+                while npad < n:
+                    npad *= 2
+                Wp = dist.pad_rows(min(npad, max_rows), self.mesh)
+                lo, hi = dist.local_row_range(Wp, self.mesh)
+                sel = [words[j] for j in chunk[lo:min(hi, n)]]
+                lat, lens, freqs = em.build_word_lattices(
+                    sel, self.seed_index, max_len,
+                    pad_words_to=hi - lo, max_word_len=min(ub, gmax))
+                self.buckets.append((dist.put_sharded(lat, self.mesh),
+                                     dist.put_sharded(lens, self.mesh),
+                                     dist.put_sharded(freqs, self.mesh)))
         num_seed = self.num_seed
 
         import functools as ft
@@ -1061,6 +1096,18 @@ class _DeviceEM:
                             num_seed=num_seed, axis_name="dp")
 
         self._estep_fn = _estep
+
+    def estep_all(self, sc_d, al_d):
+        """One E-step over every length bucket: per-bucket programs (one
+        compile per bucket width), partials combined in fixed bucket
+        order — part of the device engine's determinism contract."""
+        exp = obj = ntok = None
+        for lat, lens, freqs in self.buckets:
+            e, o, t = self._estep_fn(lat, lens, freqs, sc_d, al_d)
+            exp = e if exp is None else exp + e
+            obj = o if obj is None else obj + o
+            ntok = t if ntok is None else ntok + t
+        return exp, obj, ntok
 
     def em_step(self, pieces):
         new_pieces, stats = self.em_rounds(pieces, 1)
@@ -1085,8 +1132,7 @@ class _DeviceEM:
         al_d = self.dist.put_replicated(alive, self.mesh)
         stats_d = []
         for _ in range(n_iters):
-            expected, obj, ntok = self._estep_fn(
-                self.lat, self.lens, self.freqs, sc_d, al_d)
+            expected, obj, ntok = self.estep_all(sc_d, al_d)
             sc_d, al_d = self.em.mstep(expected, al_d)
             stats_d.append((obj, ntok))
         new_scores = np.asarray(sc_d)
