@@ -225,7 +225,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
         key, _ = _lane_keys(sym, U)
         SENT = jnp.int32(2**31 - 1)
         flatk = jnp.where(tracked, key, SENT).reshape(-1)
-        flatw = jnp.where(tracked, freqs[:, None],
+        flatw = jnp.where(tracked, freqs,
                           jnp.zeros((), jnp.float32)).reshape(-1)
         ks, ws = jax.lax.sort((flatk, flatw), num_keys=1)
         start, totals = _segment_totals(ks, ws, SENT)
@@ -292,7 +292,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             the device ComputeFreq (bpe_model_trainer.cc:85-116)."""
             key, _ = _lane_keys(sym_c, U)
             s = jnp.sum(jnp.where(tracked_c & (key == wkey),
-                                  freqs[:, None], 0.0))
+                                  freqs, 0.0))
             return jax.lax.psum(s, axis_name)
 
         def table_argmin(t_key_c, t_cnt_c, t_len_c, t_chr_c):
@@ -454,7 +454,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             touch = keep_new[ridx] & apply_it
             skey = key_n[ridx]
             flatk = jnp.where(touch, skey, SENT).reshape(-1)
-            flatw = jnp.where(touch, sub_frq[:, None], 0.0).reshape(-1)
+            flatw = jnp.where(touch, sub_frq, 0.0).reshape(-1)
             kss, wss = jax.lax.sort((flatk, flatw), num_keys=1)
             start, totals = _segment_totals(kss, wss, SENT)
             rrank = jnp.cumsum(start) - 1
@@ -587,30 +587,61 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     char_id = {c: i for i, c in enumerate(chars)}
     A = len(chars)
     U = A + n_merges
-    if U >= 46341:  # l*U + r must fit int32
+    SEP = U  # permanent word separator: s_val False => never pairs
+    if U + 1 >= 46341:  # l*(U+1) + r must fit int32
         return None
 
-    W = len(words)
-    L = max((len(w) for w, _ in words), default=1)
+    # Pack words into rows of width C with SEP symbols between words
+    # (freqs become per-LANE). One word per row wastes ~90% of the lanes
+    # on real corpora (the row width is pinned by the longest
+    # whitespace-free "word" — a whole JA sentence), and every refresh
+    # sorts all lanes: the config-5 corpus went from 38M to ~3.7M lanes
+    # with packing, which is also what lets the refresh program compile
+    # on a v5e. SEP is alive (so no hole bridging across words) but all
+    # its pairs are invalid, exactly like a row edge.
+    maxw = max((len(w) for w, _ in words), default=1)
+    C = -(-max(128, maxw + 1) // 128) * 128
+    rows_syms, rows_freqs = [], []
+    cur_s: list = []
+    cur_f: list = []
+    for w, f in words:
+        ids = [char_id[c] for c in w]
+        if cur_s and len(cur_s) + 1 + len(ids) > C:
+            rows_syms.append(cur_s)
+            rows_freqs.append(cur_f)
+            cur_s, cur_f = [], []
+        if cur_s:
+            cur_s.append(SEP)
+            cur_f.append(0.0)
+        cur_s.extend(ids)
+        cur_f.extend([float(f)] * len(ids))
+    if cur_s:
+        rows_syms.append(cur_s)
+        rows_freqs.append(cur_f)
+    R = len(rows_syms)
     mesh = dist.data_mesh("dp")
-    Wp = dist.pad_rows(W, mesh)
-    lo, hi = dist.local_row_range(Wp, mesh)
-    sym = np.full((hi - lo, L), -1, np.int32)
-    freqs = np.zeros(hi - lo, np.float32)
-    for i, (w, f) in enumerate(words[lo:min(hi, W)]):
-        sym[i, :len(w)] = [char_id[c] for c in w]
-        freqs[i] = f
+    Rp = dist.pad_rows(R, mesh)
+    lo, hi = dist.local_row_range(Rp, mesh)
+    L = C
+    sym = np.full((hi - lo, C), -1, np.int32)
+    freqs = np.zeros((hi - lo, C), np.float32)
+    for i, ridx in enumerate(range(lo, min(hi, R))):
+        s = rows_syms[ridx]
+        sym[i, :len(s)] = s
+        freqs[i, :len(s)] = rows_freqs[ridx]
 
     han = unicode_script.script_id("Han")
     hira = unicode_script.script_id("Hiragana")
     kata = unicode_script.script_id("Katakana")
     Lp = ts.max_sentencepiece_length
-    s_chr = np.zeros((U, Lp), np.int32)
-    s_len = np.zeros(U, np.int32)
-    s_wsp = np.zeros(U, bool)
-    s_wsi = np.zeros(U, bool)
-    s_scr = np.zeros(U, np.int32)
-    s_val = np.zeros(U, bool)
+    # arrays sized U+1: the last slot is SEP (all-zero attrs, s_val
+    # False => every pair with SEP is invalid)
+    s_chr = np.zeros((U + 1, Lp), np.int32)
+    s_len = np.zeros(U + 1, np.int32)
+    s_wsp = np.zeros(U + 1, bool)
+    s_wsi = np.zeros(U + 1, bool)
+    s_scr = np.zeros(U + 1, np.int32)
+    s_val = np.zeros(U + 1, bool)
     for c, i in char_id.items():
         cp = ord(c)
         s_len[i] = 1
@@ -631,10 +662,11 @@ def train_device_bpe_sparse(trainer, n_merges: int,
 
     lanes = (hi - lo) * L
     dist_cap = 1 << max(10, min(21, int(np.ceil(np.log2(max(lanes, 2))))))
+    dist_cap = int(os.environ.get("SPM_BPE_SPARSE_DIST_CAP", dist_cap))
     K = int(min(table_k, dist_cap // 2))  # keep K < ndev*dist_cap
 
     refresh, epoch = make_programs(
-        universe=U, n_merges=n_merges, max_piece_len=Lp, table_k=K,
+        universe=U + 1, n_merges=n_merges, max_piece_len=Lp, table_k=K,
         site_rows=site_rows, new_cap=new_cap, dist_cap=dist_cap,
         axis_name="dp", mesh=mesh)
 

@@ -132,11 +132,35 @@ class NormalizerTables:
         # (esc_off, esc_len, lead_sp, all_sp, ends_sp, trail_ws) — a
         # W-wide row gather costs ~1.4x a scalar gather (probe_gather),
         # vs 5-6 separate serial gathers.
-        self.v_attr = jnp.asarray(np.stack(
+        v_attr_np = np.stack(
             [self._v_esc_off, self._v_esc_len, self._v_lead_sp,
              self._v_all_sp.astype(np.int32),
              self._v_ends_sp.astype(np.int32), self._v_trail_ws],
-            axis=1))
+            axis=1)
+        if blob:
+            # Appended rows P..P+255: the attr row of byte b's 1-BYTE rule
+            # (never selected for bytes without one — a matched lane with
+            # mlen==1 implies the rule exists). The kernel slices these
+            # statically and serves 1-byte-rule lanes with a 256-key
+            # one-hot instead of a full-lane v_attr row gather; multi-byte
+            # matches are rare and go through a compacted gather
+            # (_matched_attrs).
+            u = np.asarray(da.units, np.uint32)
+            offs = (u >> np.uint32(10)) << ((u & np.uint32(1 << 9))
+                                            >> np.uint32(6))
+            c = np.arange(256, dtype=np.uint32)
+            n1 = np.minimum(np.uint32(self.root_state) ^ c,
+                            np.uint32(len(u) - 1))
+            u1 = u[n1]
+            ok = (u1 & np.uint32((1 << 31) | 0xFF)) == c
+            has_leaf = (u1 & np.uint32(1 << 8)) != 0
+            leaf = (u[np.minimum(n1 ^ offs[n1], np.uint32(len(u) - 1))]
+                    & np.uint32(0x7FFFFFFF)).astype(np.int64)
+            b1 = np.where(ok & has_leaf, leaf, 0)
+            byte_rows = v_attr_np[np.minimum(b1, len(v_attr_np) - 1)]
+            byte_rows[~(ok & has_leaf)] = 0
+            v_attr_np = np.concatenate([v_attr_np, byte_rows], axis=0)
+        self.v_attr = jnp.asarray(v_attr_np)
         self.ws_arr = jnp.asarray(np.frombuffer(self.ws, np.uint8))
         self.fffd_arr = jnp.asarray(np.frombuffer(FFFD, np.uint8))
         # worst-case output bytes per input byte
@@ -238,9 +262,128 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
         mval = jnp.where(has_leaf, row[..., 1].astype(jnp.int32), mval)
         return d + 1, state, ok, mlen, mval
 
-    _, _, _, mlen, mval = jax.lax.while_loop(
-        w_cond, w_body, (jnp.int32(d0), state, alive, mlen, mval))
+    # Depth >= d0 steps run on COMPACTED alive lanes when few survive
+    # the peeled steps (EN text: only lanes whose 2-byte prefix opens a
+    # longer rule — a handful per batch; each full-lane step would cost
+    # a ~10 ns/lane row gather, the normalizer's residual dominant
+    # cost). Dense fallback when more than CAPW lanes stay alive (CJK
+    # batches, where most positions continue 3-byte rules).
+    CAPW = int(min(8192, max(1024, (B * N) // 64)))
+    N2 = int(bp.shape[1])
+    bp_flat = bp.reshape(-1)
+
+    def dense_walk(op):
+        state, alive, mlen, mval = op
+        _, _, _, ml, mv = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(d0), state, alive, mlen, mval))
+        return ml, mv
+
+    def compact_walk(op):
+        state, alive, mlen, mval = op
+        fi = jnp.nonzero(alive.reshape(-1), size=CAPW,
+                         fill_value=-1)[0].astype(jnp.int32)
+        ok0 = fi >= 0
+        fs = jnp.maximum(fi, 0)
+        row = fs // N
+        col = fs % N
+        st_c = state.reshape(-1)[fs]
+        ln_c = lengths[row]
+
+        def c_cond(s):
+            d = s[0]
+            return (d < D) & jnp.any(s[2])
+
+        def c_body(s):
+            d, st, al, ml, mv = s
+            c = trie._gather(bp_flat, row * N2 + col + d).astype(
+                jnp.uint32)
+            live = al & ((col + d) < ln_c)
+            node = st ^ c
+            safe = jnp.where(live, node, jnp.uint32(0))
+            r = trie._gather(units, safe)
+            unit = r[..., 0]
+            okk = live & ((unit & label_mask) == c)
+            st = jnp.where(okk, node ^ trie.offsets(unit), st)
+            hl = okk & ((unit & leaf_bit) != 0)
+            ml = jnp.where(hl, d + 1, ml)
+            mv = jnp.where(hl, r[..., 1].astype(jnp.int32), mv)
+            return d + 1, st, okk, ml, mv
+
+        mlc0 = jnp.zeros((CAPW,), jnp.int32)
+        mvc0 = jnp.full((CAPW,), -1, jnp.int32)
+        _, _, _, mlc, mvc = jax.lax.while_loop(
+            c_cond, c_body, (jnp.int32(d0), st_c, ok0, mlc0, mvc0))
+        # scatter improvements back as deltas: fill lanes (fs pinned to
+        # 0) add 0, so duplicate-index updates stay deterministic
+        base_ml = mlen.reshape(-1)[fs]
+        base_mv = mval.reshape(-1)[fs]
+        upd = ok0 & (mvc >= 0)
+        d_ml = jnp.where(upd, mlc - base_ml, 0)
+        d_mv = jnp.where(upd, mvc - base_mv, 0)
+        ml = mlen.reshape(-1).at[fs].add(d_ml).reshape(B, N)
+        mv = mval.reshape(-1).at[fs].add(d_mv).reshape(B, N)
+        return ml, mv
+
+    n_alive = jnp.sum(alive, dtype=jnp.int32)
+    mlen, mval = jax.lax.cond(
+        n_alive <= CAPW, compact_walk, dense_walk,
+        (state, alive, mlen, mval))
     return mlen, mval
+
+
+def _matched_attrs(v_attr, batch, mval, mlen, matched, in_range):
+    """Six per-lane attr fields (esc_off, esc_len, lead, all, ends,
+    trail), meaningful at MATCHED lanes only, without the full-lane
+    v_attr row gather (~10 ns/lane — rule 7, the scan branch's dominant
+    cost):
+
+      * mlen==1 lanes (the common match on real corpora — e.g. the \\r
+        delete rule hits every line of a CRLF corpus): the rule value
+        is a function of the byte, so the attrs come from the 256
+        byte-rule rows appended to v_attr — two 256-key one-hots over
+        packed words;
+      * mlen>1 lanes are rare: compact up to CAP of them (jnp.nonzero
+        with static size), row-gather just those attr rows, scatter the
+        packed words back (CAP-element scatter); a lax.cond falls back
+        to the full row gather when the batch has more than CAP.
+
+    Field packing needs max_rep_len < 256 (caller guards)."""
+    B, N = batch.shape
+    P_rows = int(v_attr.shape[0])
+
+    def pack(rows):
+        w = (rows[:, 1] | (rows[:, 2] << 8) | (rows[:, 3] << 16)
+             | (rows[:, 4] << 17) | (rows[:, 5] << 18))
+        return w, rows[:, 0]
+
+    m1 = matched & (mlen == 1) & in_range
+    mm = matched & (mlen > 1) & in_range
+    bw, be = pack(v_attr[P_rows - 256:])
+    c = batch.astype(jnp.int32)
+    w1 = trie.gather_small(bw, c)
+    e1 = trie.gather_small(be, c)
+    CAP = 256
+    flat = mm.reshape(-1)
+    cnt = jnp.sum(flat, dtype=jnp.int32)
+    cidx = jnp.nonzero(flat, size=CAP, fill_value=-1)[0].astype(jnp.int32)
+    csafe = jnp.maximum(cidx, 0)
+    cval = jnp.maximum(mval.reshape(-1)[csafe], 0)
+    cattr = trie._gather(v_attr, cval)
+    cw, ce = pack(cattr)
+    okc = (cidx >= 0).astype(jnp.int32)
+    wm = jnp.zeros((B * N,), jnp.int32).at[csafe].add(cw * okc).reshape(B, N)
+    em = jnp.zeros((B * N,), jnp.int32).at[csafe].add(ce * okc).reshape(B, N)
+    w = jnp.where(m1, w1, 0) | jnp.where(mm, wm, 0)
+    e = jnp.where(m1, e1, 0) | jnp.where(mm, em, 0)
+
+    def full(_):
+        attr = trie._gather(v_attr, jnp.maximum(mval, 0))
+        fw, fe = pack(attr.reshape(-1, 6))
+        return fw.reshape(B, N), fe.reshape(B, N)
+
+    w, e = jax.lax.cond(cnt > CAP, full, lambda __: (w, e), None)
+    return (e, w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 1,
+            (w >> 17) & 1, w >> 18)
 
 
 @functools.partial(
@@ -318,18 +461,29 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
 
     prev0 = jnp.full((B,), bool(remove_extra_whitespaces))
 
+    # byte-rule split needs the 256 appended v_attr rows and the packed
+    # field budget; custom charsmaps with giant replacements fall back
+    # to the full row gather
+    attr_split = (int(v_attr.shape[0]) >= 257 and 0 < max_rep_len < 256)
+
     def scan_branch(_):
         vsafe = jnp.maximum(mval, 0)
         kind = jnp.where(
             matched, KIND_POOL,
             jnp.where(valid_utf8 & is_sp_byte, KIND_WS,
                       jnp.where(valid_utf8, KIND_RAW, KIND_FFFD)))
-        # all six per-value attributes in ONE row gather (a W-wide row
-        # costs ~1.4x a scalar gather; five separate serial gathers 5x)
-        attr = trie._gather(v_attr, vsafe)   # [B, N, 6]
-        a_esc_off, a_esc_len = attr[..., 0], attr[..., 1]
-        a_lead, a_all, a_ends, a_trail = (attr[..., 2], attr[..., 3],
-                                          attr[..., 4], attr[..., 5])
+        if attr_split:
+            (a_esc_off, a_esc_len, a_lead, a_all, a_ends,
+             a_trail) = _matched_attrs(v_attr, batch, mval, mlen, matched,
+                                       in_range)
+        else:
+            # all six per-value attributes in ONE row gather (a W-wide
+            # row costs ~1.4x a scalar gather; six separate serial
+            # gathers 6x)
+            attr = trie._gather(v_attr, vsafe)   # [B, N, 6]
+            a_esc_off, a_esc_len = attr[..., 0], attr[..., 1]
+            a_lead, a_all, a_ends, a_trail = (attr[..., 2], attr[..., 3],
+                                              attr[..., 4], attr[..., 5])
         # emission length (escaped), before leading-space strip
         emit0 = jnp.where(
             matched, a_esc_len,
