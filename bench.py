@@ -279,12 +279,13 @@ def _extra_targets() -> dict:
                     extras["unigram_train_ref_over_ours"] = d["vs_baseline"]
     except Exception as e:  # noqa: BLE001 - never risk the headline line
         _note(f"extra target bench_train failed: {e}")
+    got_scaling = False
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench_scaling.py")],
             env={**os.environ, "SPM_BENCH_CHILD": "",
                  "SPM_SCALING_PROCESSES": "2"},
-            capture_output=True, text=True, timeout=900).stdout
+            capture_output=True, text=True, timeout=1500).stdout
         for ln in out.splitlines():
             try:
                 d = json.loads(ln)
@@ -296,8 +297,24 @@ def _extra_targets() -> dict:
                 extras["em_scaling_note"] = (
                     "virtual-CPU-device harness; cross-device traffic is "
                     "one psum of the expected-count vector per step")
+                got_scaling = True
     except Exception as e:  # noqa: BLE001
         _note(f"extra target bench_scaling failed: {e}")
+    if not got_scaling:
+        # live run timed out or crashed (virtual CPU devices share cores
+        # with whatever else the host runs; the XLA CPU collective
+        # rendezvous aborts at 40 s of skew): report the committed
+        # measurement instead, marked as such
+        try:
+            d = json.load(open(os.path.join(REPO, "SCALING_r03.json")))
+            extras["em_scaling_2proc_efficiency"] = (
+                d["multiprocess"]["efficiency_vs_1proc"])
+            extras["em_scaling_note"] = (
+                "from committed SCALING_r03.json (live rerun unavailable "
+                "in this bench window); real-corpus E-step, 2 real "
+                "jax.distributed processes")
+        except Exception as e:  # noqa: BLE001
+            _note(f"scaling fallback failed: {e}")
     return extras
 
 
