@@ -1100,10 +1100,24 @@ class _DeviceEM:
     def estep_all(self, sc_d, al_d):
         """One E-step over every length bucket: per-bucket programs (one
         compile per bucket width), partials combined in fixed bucket
-        order — part of the device engine's determinism contract."""
+        order — part of the device engine's determinism contract.
+
+        On the multi-device CPU backend the dispatches are serialized
+        with block_until_ready: XLA's threaded CPU runtime interleaves
+        concurrently-dispatched programs across the virtual devices, and
+        two in-flight programs that both carry collectives deadlock the
+        rendezvous (observed as 40 s all_gather termination timeouts).
+        TPU executes one program at a time per core, so the async
+        pipeline stays there."""
+        import jax
+
+        serialize = (len(self.buckets) > 1 and self.mesh.size > 1
+                     and jax.devices()[0].platform == "cpu")
         exp = obj = ntok = None
         for lat, lens, freqs in self.buckets:
             e, o, t = self._estep_fn(lat, lens, freqs, sc_d, al_d)
+            if serialize:
+                jax.block_until_ready(e)
             exp = e if exp is None else exp + e
             obj = o if obj is None else obj + o
             ntok = t if ntok is None else ntok + t
