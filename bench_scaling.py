@@ -10,19 +10,27 @@ The measured program is the trainer's own sharded E-step
 the real seed vocabulary of a real multilingual corpus (botchan EN +
 wagahai JA + generated Latin/CJK mix, scripts/make_multilingual.py),
 corpus rows data-parallel over the mesh, expected-count vector reduced
-with one psum per step — exactly what `SentencePieceTrainer.Train(...,
-engine="device")` dispatches on round 1 (the heaviest round: every seed
-piece alive). No synthetic lattices anywhere.
+with one fixed-order all_gather+sum per step — exactly what
+`SentencePieceTrainer.Train(..., engine="device")` dispatches on round 1
+(the heaviest round: every seed piece alive). No synthetic lattices.
 
-Two modes:
+Modes:
 
 * default: mesh sizes 1..N within one process; STRONG-scaling
   efficiency over the fixed corpus.
-* SPM_SCALING_PROCESSES=P: additionally spawns P REAL processes joined
-  via jax.distributed (each owning n/P virtual CPU devices — the same
-  code path as a TPU pod with P hosts), each building + uploading ONLY
-  its own corpus shard, and reports 1-process -> P-process efficiency
-  at a fixed global device count.
+* SPM_SCALING_PROCESSES=P (single value or comma list, e.g. "2,4"):
+  additionally runs P REAL processes joined via jax.distributed (each
+  owning its own virtual CPU device(s) — the same code path as a TPU
+  pod with P hosts), each building + uploading ONLY its own corpus
+  shard. CORE-FAIR pinning: this host has few cores, so every
+  configuration is pinned to the same cores-per-device budget
+  (sched_setaffinity); otherwise the 1-process baseline gets all cores
+  per device and the measurement reads as collective cost when it is
+  actually host contention.
+* every multi-process point also measures a LOCAL variant of the same
+  program (axis_name=None: shard-local expected partials, no
+  all_gather) — the full-minus-local delta isolates the COLLECTIVE
+  cost per step from compute.
 
 On this rig only one TPU chip is attached, so by default the harness
 uses virtual CPU devices; on a real pod slice set SPM_SCALING_REAL=1
@@ -78,10 +86,7 @@ def _build_workload():
     return tr, pieces
 
 
-def _time_estep(dev, pieces, reps=REPS):
-    """Per-step seconds of the real first-round E-step (all seeds
-    alive), via the trainer's own jitted shard_map program."""
-    import jax
+def _seed_state(dev, pieces):
     import numpy as np
 
     scores = np.full(dev.num_seed, dev.em.NEG_INF, np.float32)
@@ -91,15 +96,52 @@ def _time_estep(dev, pieces, reps=REPS):
         if si is not None:
             scores[si] = sc
             alive[si] = True
-    sc_d = dev.dist.put_replicated(scores, dev.mesh)
-    al_d = dev.dist.put_replicated(alive, dev.mesh)
-    r = dev.estep_all(sc_d, al_d)
+    return (dev.dist.put_replicated(scores, dev.mesh),
+            dev.dist.put_replicated(alive, dev.mesh))
+
+
+def _time_fn(fn, sc_d, al_d, reps=REPS):
+    import jax
+
+    r = fn(sc_d, al_d)
     jax.block_until_ready(r)
     t0 = time.time()
     for _ in range(reps):
-        r = dev.estep_all(sc_d, al_d)
+        r = fn(sc_d, al_d)
     jax.block_until_ready(r)
     return (time.time() - t0) / reps
+
+
+def _local_estep_all(dev):
+    """The SAME per-bucket E-step programs with the collective removed
+    (axis_name=None): each process computes its shard-local expected
+    partials and nothing crosses processes. full - local isolates the
+    collective's per-step cost."""
+    import functools as ft
+
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    em = dev.em
+    num_seed = dev.num_seed
+
+    @jax.jit
+    @ft.partial(shard_map, mesh=dev.mesh,
+                in_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
+                out_specs=(P("dp"), P("dp"), P("dp")), check_vma=False)
+    def _estep_local(lat_s, lens_s, freqs_s, score_table, alive_mask):
+        e, o, n = em.estep(lat_s, lens_s, freqs_s, score_table, alive_mask,
+                           num_seed=num_seed, axis_name=None)
+        return e[None], o[None], n[None]
+
+    def run(sc_d, al_d):
+        outs = []
+        for lat, lens, freqs in dev.buckets:
+            outs.append(_estep_local(lat, lens, freqs, sc_d, al_d))
+        return outs
+
+    return run
 
 
 def worker_main() -> None:
@@ -107,6 +149,9 @@ def worker_main() -> None:
     rank = int(os.environ["SPM_SCALING_RANK"])
     nproc = int(os.environ["SPM_SCALING_NPROC"])
     port = os.environ["SPM_SCALING_PORT"]
+    cpus = os.environ.get("SPM_SCALING_CPUS", "")
+    if cpus:
+        os.sched_setaffinity(0, {int(c) for c in cpus.split("+")})
     import jax
     if os.environ.get("SPM_SCALING_REAL", "") != "1":
         jax.config.update("jax_platforms", "cpu")
@@ -118,29 +163,39 @@ def worker_main() -> None:
                         num_processes=nproc, process_id=rank)
     tr, pieces = _build_workload()
     dev = _DeviceEM(tr, pieces)
-    dt = _time_estep(dev, pieces)
+    sc_d, al_d = _seed_state(dev, pieces)
+    dt = _time_fn(dev.estep_all, sc_d, al_d)
+    dt_local = _time_fn(_local_estep_all(dev), sc_d, al_d)
     if rank == 0:
         W = len(tr.sentences)
         print(json.dumps({"ndev": len(jax.devices()), "nproc": nproc,
                           "words": W, "seeds": dev.num_seed,
                           "words_per_sec": W / dt,
-                          "ms_per_step": dt * 1000}))
+                          "ms_per_step": dt * 1000,
+                          "ms_per_step_local": dt_local * 1000,
+                          "ms_collective": (dt - dt_local) * 1000}))
 
 
-def _spawn_multiprocess(nproc: int, n_dev_total: int, port: int):
-    """Run nproc ranks, each with n_dev_total/nproc devices; returns the
-    rank-0 JSON result."""
+def _spawn_multiprocess(nproc: int, n_dev_total: int, port: int,
+                        cores_per_dev: float):
+    """Run nproc ranks, each with n_dev_total/nproc devices, pinned to
+    disjoint equal core sets; returns the rank-0 JSON result."""
     assert n_dev_total % nproc == 0
+    ncores = len(os.sched_getaffinity(0))
+    dev_per_rank = n_dev_total // nproc
+    cores_per_rank = max(1, int(cores_per_dev * dev_per_rank))
     procs = []
     for rank in range(nproc):
         env = dict(os.environ)
         env["SPM_SCALING_RANK"] = str(rank)
         env["SPM_SCALING_NPROC"] = str(nproc)
         env["SPM_SCALING_PORT"] = str(port)
+        lo = (rank * cores_per_rank) % ncores
+        cores = [(lo + i) % ncores for i in range(cores_per_rank)]
+        env["SPM_SCALING_CPUS"] = "+".join(map(str, sorted(set(cores))))
         if env.get("SPM_SCALING_REAL", "") != "1":
             env["XLA_FLAGS"] = (
-                f"--xla_force_host_platform_device_count="
-                f"{n_dev_total // nproc}")
+                f"--xla_force_host_platform_device_count={dev_per_rank}")
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env))
@@ -156,7 +211,9 @@ def _spawn_multiprocess(nproc: int, n_dev_total: int, port: int):
 
 def main() -> None:
     n_target = int(os.environ.get("SPM_SCALING_DEVICES", "8"))
-    n_procs = int(os.environ.get("SPM_SCALING_PROCESSES", "0"))
+    proc_list = [int(p) for p in
+                 os.environ.get("SPM_SCALING_PROCESSES", "0").split(",")
+                 if int(p or 0) > 1]
     if os.environ.get("SPM_SCALING_REAL", "") != "1":
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -164,8 +221,6 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
-    import numpy as np
-    from jax.sharding import Mesh
     from sentencepiece_tpu.train.unigram import _DeviceEM
 
     tr, pieces = _build_workload()
@@ -177,7 +232,8 @@ def main() -> None:
         os.environ["SPM_DATA_MESH_DEVICES"] = str(n)
         try:
             dev = _DeviceEM(tr, pieces)
-            dt = _time_estep(dev, pieces)
+            sc_d, al_d = _seed_state(dev, pieces)
+            dt = _time_fn(dev.estep_all, sc_d, al_d)
         finally:
             del os.environ["SPM_DATA_MESH_DEVICES"]
         results[n] = W / dt
@@ -186,6 +242,7 @@ def main() -> None:
 
     base = results[sizes[0]]
     eff = {n: results[n] / (n * base) for n in sizes}
+    ncores = len(os.sched_getaffinity(0))
     out = {
         "metric": ("unigram EM E-step strong-scaling efficiency "
                    "(real corpus, real seed vocab)"),
@@ -193,6 +250,7 @@ def main() -> None:
         "corpus": CORPUS,
         "words": W,
         "seed_pieces": len(pieces),
+        "host_cores": ncores,
         "words_per_sec": {str(n): round(v, 1) for n, v in results.items()},
         "efficiency": {str(n): round(v, 3) for n, v in eff.items()},
         "value": round(eff[sizes[-1]], 3),
@@ -203,29 +261,43 @@ def main() -> None:
                  "SPM_SCALING_REAL=1 on a pod slice to measure over "
                  "ICI/DCN."),
     }
-    if n_procs > 1:
-        # multi-HOST analog: same global device count, 1 vs n_procs
-        # processes (jax.distributed + gloo on CPU; ICI/DCN on a pod)
+    for n_procs in proc_list:
+        # multi-HOST analog at CORE-FAIR resources: P processes x 1
+        # device each vs 1 process x P devices, every configuration
+        # pinned to the same cores per device, so the efficiency delta
+        # is process/collective overhead rather than core contention.
         import socket
         s = socket.socket()
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
         s.close()
-        one = _spawn_multiprocess(1, n_target, port)
-        multi = _spawn_multiprocess(n_procs, n_target, port)
+        gdev = n_procs
+        cpd = max(1, ncores // gdev)
+        one = _spawn_multiprocess(1, gdev, port, cpd)
+        multi = _spawn_multiprocess(n_procs, gdev, port + 1, cpd)
         mp_eff = multi["words_per_sec"] / one["words_per_sec"]
-        out["multiprocess"] = {
-            "global_devices": n_target,
+        out.setdefault("multiprocess_points", {})[str(n_procs)] = {
+            "global_devices": gdev,
+            "cores_per_device": cpd,
             "seed_pieces": multi["seeds"],
             "words_per_sec_1proc": round(one["words_per_sec"], 1),
-            f"words_per_sec_{n_procs}proc": round(
-                multi["words_per_sec"], 1),
+            "words_per_sec_nproc": round(multi["words_per_sec"], 1),
             "efficiency_vs_1proc": round(mp_eff, 3),
+            "ms_per_step_1proc": round(one["ms_per_step"], 1),
+            "ms_per_step_nproc": round(multi["ms_per_step"], 1),
+            "ms_collective_1proc": round(one["ms_collective"], 1),
+            "ms_collective_nproc": round(multi["ms_collective"], 1),
+            "ms_compute_nproc": round(multi["ms_per_step_local"], 1),
         }
-        print(f"multiprocess {n_procs}x{n_target // n_procs}dev: "
-              f"{multi['words_per_sec']:.0f} words/s vs 1x{n_target}dev "
-              f"{one['words_per_sec']:.0f} ({mp_eff:.2f}x)",
-              file=sys.stderr)
+        print(f"multiprocess {n_procs}x{gdev // n_procs}dev: "
+              f"{multi['words_per_sec']:.0f} words/s vs 1x{gdev}dev "
+              f"{one['words_per_sec']:.0f} ({mp_eff:.2f}x); collective "
+              f"{multi['ms_collective']:.0f} ms of "
+              f"{multi['ms_per_step']:.0f} ms/step", file=sys.stderr)
+    if proc_list:
+        # headline point (bench.py folds this into the driver line):
+        # the LARGEST process count measured
+        out["multiprocess"] = out["multiprocess_points"][str(proc_list[-1])]
     print(json.dumps(out))
 
 

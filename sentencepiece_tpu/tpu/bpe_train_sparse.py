@@ -670,6 +670,61 @@ def train_device_bpe_sparse(trainer, n_merges: int,
         site_rows=site_rows, new_cap=new_cap, dist_cap=dist_cap,
         axis_name="dp", mesh=mesh)
 
+    if os.environ.get("SPM_BPE_SPARSE_COMPILE_ONLY"):
+        # Diagnostic / cache-prewarm mode: AOT-compile the two programs
+        # (in the order the training loop would dispatch them) and stop.
+        import sys
+        import time as _time
+
+        def _sd(a):
+            return jax.ShapeDtypeStruct(a.shape, a.dtype)
+        W = hi - lo
+        print(f"[sparse-bpe] W={W} C={C} lanes={W * C} U={U} "
+              f"dist_cap={dist_cap} K={K} Lp={Lp} new_cap={new_cap} "
+              f"site_rows={site_rows}", file=sys.stderr, flush=True)
+        trk_s = jax.ShapeDtypeStruct((W, C), np.bool_)
+        args_r = (_sd(sym), trk_s, _sd(freqs), _sd(s_len), _sd(s_wsp),
+                  _sd(s_wsi), _sd(s_scr), _sd(s_val), _sd(s_chr))
+        only = os.environ.get("SPM_BPE_SPARSE_COMPILE_ONLY")
+        if only in ("1", "refresh"):
+            t0 = _time.time()
+            lowered = refresh.lower(*args_r)
+            print(f"[sparse-bpe] refresh lowered in {_time.time()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            lowered.compile()
+            print(f"[sparse-bpe] refresh compiled in {_time.time()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        if only == "refresh":
+            return None
+        t_key_s = jax.ShapeDtypeStruct((K,), np.int32)
+        t_cnt_s = jax.ShapeDtypeStruct((K,), np.float32)
+        t_len_s = jax.ShapeDtypeStruct((K,), np.int32)
+        t_chr_s = jax.ShapeDtypeStruct((K, Lp), np.int32)
+        fl_s = (jax.ShapeDtypeStruct((), np.float32),
+                jax.ShapeDtypeStruct((), np.int32),
+                jax.ShapeDtypeStruct((Lp,), np.int32),
+                jax.ShapeDtypeStruct((), np.int32))
+        args_e = ((_sd(sym), trk_s, _sd(freqs),
+                   t_key_s, t_cnt_s, t_len_s, t_chr_s)
+                  + fl_s
+                  + (_sd(s_len), _sd(s_wsp), _sd(s_wsi), _sd(s_scr),
+                     _sd(s_val), _sd(s_chr),
+                     jax.ShapeDtypeStruct((n_merges,), np.int32),
+                     jax.ShapeDtypeStruct((n_merges,), np.int32),
+                     jax.ShapeDtypeStruct((n_merges,), np.float32),
+                     jax.ShapeDtypeStruct((n_merges,), np.int32),
+                     jax.ShapeDtypeStruct((n_merges, Lp), np.int32),
+                     jax.ShapeDtypeStruct((), np.int32),
+                     jax.ShapeDtypeStruct((), np.int32)))
+        t0 = _time.time()
+        lowered = epoch.lower(*args_e)
+        print(f"[sparse-bpe] epoch lowered in {_time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        lowered.compile()
+        print(f"[sparse-bpe] epoch compiled in {_time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return None
+
     sym_d = dist.put_sharded(sym, mesh)
     tracked_d = dist.put_sharded(init_tracked(sym), mesh)
     freqs_d = dist.put_sharded(freqs, mesh)

@@ -216,6 +216,17 @@ def unigram_encode_batch(units: jnp.ndarray,
 
     # -- Viterbi scan ----------------------------------------------------------
     if use_pallas:
+        # Honor the Mosaic VMEM budget: the kernel's scoped footprint is
+        # ~2x (outputs [N+1, Bpad] f32+i32 + one [N, D, 128] block); past
+        # ~110 MB (pallas_kernels._compiler_params cap) Mosaic cannot
+        # place it, so wide-batch x wide-width dispatches take the XLA
+        # scan instead (same recurrence, same tie-break).
+        pad8 = lambda n: -(-n // 8) * 8
+        Bpad = -(-B // 128) * 128
+        vmem_need = 2 * (2 * pad8(N + 1) * Bpad * 4
+                         + pad8(N) * D * 128 * 4) + (4 << 20)
+        use_pallas = vmem_need <= (110 << 20)
+    if use_pallas:
         # Mosaic lattice-scan kernel (A/B alternative; same recurrence +
         # longest-piece tie-break — see pallas_kernels.viterbi_bp_pallas).
         from .pallas_kernels import viterbi_bp_pallas

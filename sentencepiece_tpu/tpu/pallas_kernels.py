@@ -35,6 +35,21 @@ NEG_INF = -1e30
 LANES = 128
 
 
+def _compiler_params(P: int, K: int, Wp: int, n_out: int):
+    """Mosaic params with an explicit VMEM budget. The default 16 MB
+    scoped limit rejects wide batches: when the pallas_call sits inside
+    a fori_loop program, XLA keeps the whole [P+1, Wp] outputs scoped in
+    VMEM (double-buffered), which at JA widths (P=544, Wp=2048) is
+    ~18 MB. A v5e core has 128 MB of VMEM; budget what the kernel
+    actually touches, with 2x double-buffering headroom."""
+    pad8 = lambda n: -(-n // 8) * 8
+    block_in = pad8(P) * K * LANES * 4
+    outs = n_out * pad8(P + 1) * Wp * 4
+    need = 2 * (block_in + outs) + (4 << 20)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(110 << 20, max(32 << 20, need)))
+
+
 def _scan_kernel(sc_ref, out_ref, *, K: int, P: int, mode: str):
     """sc_ref: [P, K, 128] scores (sc[p, k, w] = piece of len k+1 ending at
     position p+1 of word w); out_ref: [P + 1, 128] alpha."""
@@ -130,6 +145,7 @@ def viterbi_bp_pallas(sc_end: jnp.ndarray, max_p: jnp.ndarray | None = None,
         out_shape=(jax.ShapeDtypeStruct((P + 1, Wp), jnp.float32),
                    jax.ShapeDtypeStruct((P + 1, Wp), jnp.int32)),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(P, K, Wp, 2),
     )(jnp.reshape(max_p.astype(jnp.int32), (1,)), sc_t)
     return alpha.T[:W], bp.T[:W]
 
@@ -157,5 +173,6 @@ def lattice_scan_pallas(sc_end: jnp.ndarray, mode: str = "viterbi",
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P + 1, Wp), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(P, K, Wp, 1),
     )(sc_t)
     return out.T[:W]

@@ -172,3 +172,49 @@ def test_device_bpe_dropout_distribution(fixtures_dir):
         sig = (max(ph * (1 - ph), 1e-4) / S) ** 0.5
         assert abs(ph - pd) < 5 * sig + 2 / S, (k, ph, pd)
         assert sp.decode_ids(list(k)) == text
+
+
+def test_sample_golden_host(fixtures_dir):
+    """The documented PRNG contract, enforced: a fixed-seed numpy PCG64
+    Generator must reproduce the committed id sequences exactly, across
+    numpy versions and platforms (scripts/gen_sampling_golden.py). A
+    mismatch means the contract was broken — a breaking API event."""
+    import json
+
+    from sentencepiece_tpu import SentencePieceProcessor
+
+    g = json.load(open(fixtures_dir / "sampling_golden.json"))
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    rng = np.random.default_rng(g["seed"])
+    for case in g["host"]:
+        ids = sp.sample_encode_as_ids(case["text"], case["nbest"],
+                                      case["alpha"], rng=rng)
+        assert ids == case["ids"], case
+
+
+def test_sample_golden_device(fixtures_dir):
+    """Device sampling golden (CPU backend, which is what CI runs): the
+    jax threefry stream keyed from the same fixed-seed Generator must
+    reproduce the committed draws exactly."""
+    import json
+
+    import jax
+
+    if jax.default_backend() != "cpu":  # fixture is backend-pinned
+        import pytest
+
+        pytest.skip("device sampling golden is pinned to the CPU backend")
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    g = json.load(open(fixtures_dir / "sampling_golden.json"))
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    texts = [c["text"] for c in g["host"][::4]]
+    rng = np.random.default_rng(g["seed"])
+    for case in g["device"]:
+        res = tok.sample_encode(texts, case["nbest"], case["alpha"],
+                                rng=rng)
+        assert [list(r) for r in res] == case["ids"], case
