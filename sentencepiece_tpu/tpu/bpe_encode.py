@@ -23,9 +23,13 @@ densely:
     score cache is updated with O(1) lookups per row; the loop runs a
     static L-1 steps with converged rows masking to no-ops.
 
-Models with USER_DEFINED or UNUSED pieces use the exact host path instead
-(PrefixMatcher freezing and rev_merge resegmentation, bpe_model.cc:84-131,
-171-189); the wrapper detects and falls back.
+Models with USER_DEFINED pieces run on device too: the split stage marks
+matched user spans as FROZEN single symbols (user_frz_batch — the
+reference's PrefixMatcher split + freeze flag, bpe_model.cc:96-99,
+120-131), appended to the universe with no pair entries so they never
+merge. Models with UNUSED pieces use the exact host path (rev_merge
+resegmentation is runtime push-order state, bpe_model.cc:171-189), as do
+user pieces the device normalizer cannot carry (normalize.py gate).
 """
 
 from __future__ import annotations
@@ -41,8 +45,17 @@ from . import trie
 from .encode import NEG_INF, bucketed
 
 
-def build_pair_tables(model):
-    """Host precompute. Returns None when the model needs the host path."""
+def build_pair_tables(model, user_pieces=None):
+    """Host precompute. Returns None when the model needs the host path.
+
+    ``user_pieces``: USER_DEFINED piece byte strings. They become extra
+    symbols APPENDED to the universe (ids U..U+n_user-1) that the split
+    stage assigns to frozen matched spans. No pair entry involves them,
+    which is exact: the reference's split matcher freezes every
+    occurrence of a user piece (bpe_model.cc:120-131), so no unfrozen
+    adjacent symbols can ever concatenate to one (any such occurrence
+    would itself have been frozen at split time), and frozen symbols
+    never enter MaybeAddNewSymbolPair (:96-99)."""
     from ..proto.spec import PieceType
 
     pieces = model._piece_bytes
@@ -64,13 +77,18 @@ def build_pair_tables(model):
     for p in list(vocab_strs):
         for ch in p.decode("utf-8", "surrogateescape"):
             intern(ch.encode("utf-8", "surrogateescape"))
-    U = len(uni)
+    U0 = len(uni)
+    user_pieces = list(user_pieces or [])
+    U = U0 + len(user_pieces)
     if U >= 46341:  # key = l*U + r must fit int32
         return None
 
     sym_id = np.full(U, -1, np.int32)
     for s, u in uni.items():
         sym_id[u] = vocab_strs.get(s, -1)
+    piece_ids = {p: i for i, p in enumerate(pieces)}
+    for j, p in enumerate(user_pieces):
+        sym_id[U0 + j] = piece_ids.get(bytes(p), -1)
     scores = model.scores
 
     entries = {}
@@ -487,8 +505,11 @@ def merge_kernel():
 class BpeBatchEncoder:
     """Host wrapper: normalize (host), codepoint-split, device merge loop.
 
-    Exact host-path fallback for models with user-defined or unused pieces
-    (PrefixMatcher freezing / rev_merge resegmentation)."""
+    Exact host-path fallback for models with unused pieces (rev_merge
+    resegmentation) — and, on THIS wrapper's host-normalized path, for
+    user-defined pieces too (the device split has no user matcher here;
+    the TpuTokenizer pipeline path carries one and runs them on
+    device)."""
 
     BUCKETS = (128, 512, 2048)
     MAX_BATCH = 4096
@@ -501,11 +522,26 @@ class BpeBatchEncoder:
         self.processor = processor
         self.model = model
         types = model.types
-        self.host_only = bool(((types == PieceType.USER_DEFINED)
-                               | (types == PieceType.UNUSED)).any())
-        tables = None if self.host_only else build_pair_tables(model)
+        # UNUSED pieces need rev_merge resegmentation whose expansion
+        # pair is runtime push-order state (bpe_model.cc:171-189) —
+        # exact host path. USER_DEFINED pieces freeze (never merge) and
+        # run on device: the pipeline's split stage assigns their
+        # matched spans the appended universe symbols (user_frz below);
+        # this wrapper's own host-normalize encode() path stays host for
+        # them (the device normalizer carries the user trie, the host
+        # pre-split here does not).
+        has_user = bool((types == PieceType.USER_DEFINED).any())
+        self.host_only = bool((types == PieceType.UNUSED).any())
+        user_pieces = []
+        if has_user and not self.host_only:
+            user_pieces = [model._piece_bytes[int(i)] for i in
+                           np.nonzero(types == PieceType.USER_DEFINED)[0]]
+        self.user_pieces = user_pieces
+        tables = None if self.host_only else build_pair_tables(
+            model, user_pieces=user_pieces)
         if tables is None:
             self.host_only = True
+            self.split_host_only = True
         else:
             keys, new_sym, pair_score, cp_to_sym, sym_id, U = tables
             self.pair_keys = jnp.asarray(keys)
@@ -514,7 +550,15 @@ class BpeBatchEncoder:
             self.cp_to_sym = jnp.asarray(cp_to_sym)
             self.sym_to_id = jnp.asarray(sym_id)
             self.U = U
+            self.U0 = U - len(user_pieces)  # first user universe symbol
+            self.u_cp_len = jnp.asarray(np.array(
+                [len(p.decode("utf-8")) for p in user_pieces] or [0],
+                np.int32))
             self.pack_bits = pack_bits_for(pair_score, new_sym, U)
+            # this wrapper's own encode() host-normalizes and has no
+            # user matcher: keep it host-path for user models (the
+            # PIPELINE device path handles them)
+            self.split_host_only = has_user
         self.unk_id = model.unk_id
         self.add_bos = add_bos
         self.add_eos = add_eos
@@ -536,7 +580,7 @@ class BpeBatchEncoder:
     def encode(self, texts) -> List[List[int]]:
         from ..utils.unicode import utf8_to_unicode_text
 
-        if self.host_only:
+        if self.host_only or self.split_host_only:
             return [self.processor.encode_as_ids(t) for t in texts]
         norm = self.processor.normalizer
         cps_list = [utf8_to_unicode_text(norm.normalize(t)[0])
@@ -563,7 +607,7 @@ class BpeBatchEncoder:
             from ..utils.rng import get_generator
 
             rng = get_generator()
-        if self.host_only or dropout_p <= 0.0:
+        if self.host_only or self.split_host_only or dropout_p <= 0.0:
             return [self.processor.sample_encode_as_ids(t, -1, dropout_p,
                                                         rng=rng)
                     for t in texts]
@@ -632,6 +676,94 @@ def utf8_to_cp_batch(batch, lengths, out_w: Optional[int] = None):
         jnp.where(put, cp, 0), jnp.where(put, seg, W), W, fill=0,
         value_bits=21)
     return out, cp_lens
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w_cp", "u_max_len", "u_root_state", "U0"))
+def user_frz_batch(u_units, batch, lengths, *, w_cp: int, u_max_len: int,
+                   u_root_state: int, U0: int):
+    """Frozen user-defined spans over normalized bytes, in CP-lane form.
+
+    The reference's split loop (bpe_model.cc:120-131) walks the
+    normalized text with matcher_->PrefixMatch: a longest user-piece
+    match freezes its whole span as ONE symbol; other positions advance
+    one character. Returns frz int32[B, w_cp]: -2 = ordinary char lane,
+    >= 0 = span start carrying the user universe symbol (U0 + piece
+    index), -3 = span continuation (dead lane the merge kernel bridges).
+
+    Greedy left-to-right coverage is sequential only when candidate
+    matches OVERLAP (a match starting inside an earlier span must be
+    skipped). Real batches essentially never overlap, so the vectorized
+    accept-all form runs under a lax.cond; overlap flips the batch to
+    an exact pointer-walk while_loop (max-cp iterations of [B] work)."""
+    from .normalize import _charsmap_longest
+
+    B, N = batch.shape
+    rows = jnp.arange(B)
+    u_blen, u_val = _charsmap_longest(
+        u_units, batch, lengths, max_rule_len=u_max_len,
+        root_state=u_root_state, arcs=None)
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    in_range = pos < lengths[:, None]
+    is_lead = in_range & ((batch & 0xC0) != 0x80)
+    cand = (u_val >= 0) & is_lead
+    seg = jnp.cumsum(is_lead, axis=1, dtype=jnp.int32) - 1
+    cp_lens = jnp.sum(is_lead, axis=1, dtype=jnp.int32)
+    endb = jnp.clip(pos + u_blen - 1, 0, N - 1)
+    span = jnp.where(cand, trie._taa(seg, endb) - seg + 1, 0)
+    W = w_cp
+    starts = jnp.where(cand, jnp.minimum(seg, W), W)
+    sym_val = jnp.where(cand, U0 + u_val, -1)
+    # per-cp-lane candidate tables (last write wins is fine: one
+    # candidate per lane — matches start at distinct lead bytes)
+    val_cp = jnp.full((B, W), -1, jnp.int32).at[
+        rows[:, None], starts].max(sym_val, mode="drop")
+    span_cp = jnp.zeros((B, W), jnp.int32).at[
+        rows[:, None], starts].max(span, mode="drop")
+    ends = jnp.where(cand, jnp.minimum(seg + span, W), W)
+    cover = jnp.zeros((B, W + 1), jnp.int32)
+    cover = cover.at[rows[:, None], starts].add(
+        jnp.where(cand, 1, 0), mode="drop")
+    cover = cover.at[rows[:, None], ends].add(
+        jnp.where(cand, -1, 0), mode="drop")
+    run = jnp.cumsum(cover[:, :W], axis=1)
+    overlap = jnp.any(run >= 2)
+
+    def accept_all(_):
+        cov = run >= 1
+        return val_cp, cov
+
+    def seq_walk(_):
+        def cond(s):
+            p = s[0]
+            return jnp.any(p < cp_lens)
+
+        def body(s):
+            p, us, cd = s
+            psafe = jnp.minimum(p, W - 1)
+            v = val_cp[rows, psafe]
+            sp = span_cp[rows, psafe]
+            hit = (p < cp_lens) & (p < W) & (v >= 0)
+            us = us.at[rows, jnp.where(hit, psafe, W)].set(
+                jnp.maximum(v, 0), mode="drop")
+            cd = cd.at[rows, jnp.where(hit, psafe, W)].add(
+                1, mode="drop")
+            cd = cd.at[rows, jnp.where(
+                hit, jnp.minimum(psafe + sp, W), W)].add(-1, mode="drop")
+            p = jnp.where(p < cp_lens,
+                          p + jnp.where(hit, jnp.maximum(sp, 1), 1), p)
+            return p, us, cd
+
+        p0 = jnp.zeros((B,), jnp.int32)
+        us0 = jnp.full((B, W), -1, jnp.int32)
+        cd0 = jnp.zeros((B, W + 1), jnp.int32)
+        _, us, cd = jax.lax.while_loop(cond, body, (p0, us0, cd0))
+        cov = jnp.cumsum(cd[:, :W], axis=1) >= 1
+        return us, cov
+
+    us, cov = jax.lax.cond(overlap, seq_walk, accept_all, None)
+    return jnp.where(us >= 0, us,
+                     jnp.where(cov, jnp.int32(-3), jnp.int32(-2)))
 
 
 def _suffix_first_alive(val, mask, fill):
@@ -722,7 +854,7 @@ def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
                           add_bos: bool = False, add_eos: bool = False,
                           reverse: bool = False, bos_id: int = 1,
                           eos_id: int = 2, pad_id: int = 0,
-                          pack_bits: int = 0):
+                          pack_bits: int = 0, frz=None):
     """Batched-merge BPE encode on an (alive mask + propagate scan)
     representation — same round semantics as bpe_encode_batch_parallel
     (every occurrence of each row's best-scoring pair merges per round;
@@ -756,6 +888,15 @@ def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
     sym0 = _cp_lookup(cp_to_sym, cps)
     sym0 = jnp.where(in_range, sym0, -1)
     alive0 = in_range
+    if frz is not None:
+        # frozen user-defined spans (user_frz_batch): the start lane
+        # carries the user universe symbol (no pair-table key involves
+        # it, so it never merges — the reference's freeze flag,
+        # bpe_model.cc:96-99); continuation lanes are dead from the
+        # start and the propagate scans bridge them like merged holes
+        sym0 = jnp.where(frz >= 0, frz, sym0)
+        alive0 = in_range & (frz != -3)
+        sym0 = jnp.where(alive0, sym0, -1)
 
     def scores_full(sym, alive):
         nsym = _suffix_first_alive(sym, alive, jnp.int32(-1))

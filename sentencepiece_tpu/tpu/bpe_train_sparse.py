@@ -206,6 +206,31 @@ def _tuple_less(cnt_a, len_a, chr_a, key_a, cnt_b, len_b, chr_b, key_b, Lp):
     return lt | (eq & (key_a < key_b))
 
 
+def _tuple_argmin_rec(cnt, len2, chr2, key, mask, Lp):
+    """The tuple-minimum record (cnt desc, len asc, chars lex asc, key
+    asc) over masked records, via ~Lp elementwise reduction passes — no
+    sort. Returns (found, cnt, len, chr[Lp], key)."""
+    BIGI = jnp.int32(2**31 - 1)
+    found = jnp.any(mask)
+    m = mask
+    c = jnp.max(jnp.where(m, cnt, -1.0))
+    m = m & (cnt == c)
+    l = jnp.min(jnp.where(m, len2, BIGI))
+    m = m & (len2 == l)
+    chr2t = chr2.T  # [Lp, G]: dynamic row slice per depth
+
+    def body(j, mm):
+        col = jax.lax.dynamic_slice_in_dim(chr2t, j, 1, axis=0)[0]
+        ch = jnp.where(mm, col, BIGI)
+        return mm & (ch == jnp.min(ch))
+
+    m = jax.lax.fori_loop(0, Lp, body, m)
+    k = jnp.min(jnp.where(m, key, BIGI))
+    idx = jnp.argmax(m & (key == k)).astype(jnp.int32)
+    w_chr = jax.lax.dynamic_slice(chr2, (idx, jnp.int32(0)), (1, Lp))[0]
+    return found, c, l, w_chr, k
+
+
 def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                   table_k: int, site_rows: int, new_cap: int,
                   dist_cap: int, axis_name: str, mesh):
@@ -253,34 +278,65 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
         # drop already-emitted duplicate strings? NO — the reference
         # re-creates dup symbols fresh; they are skipped at pop time.
         cnt2 = jnp.where(valid, tot2, -1.0)
-        # full order in ONE variadic sort: count desc, len asc, chars
-        # asc, key asc (records with cnt <= 0 sink to the bottom)
-        ops = ((-cnt2, len2)
-               + tuple(jnp.where(valid, chr2[:, j], CHR_PAD)
-                       for j in range(Lp))
-               + (jnp.where(valid, ks2, SENT),))
-        sorted_ops = jax.lax.sort(ops, num_keys=len(ops))
-        scnt = -sorted_ops[0]
-        slen = sorted_ops[1]
-        schr = jnp.stack(sorted_ops[2:2 + Lp], axis=1)
-        skey = sorted_ops[2 + Lp]
-        t_key = jnp.where(scnt[:K] > 0, skey[:K], KEY_EMPTY)
-        t_cnt = jnp.where(scnt[:K] > 0, scnt[:K], 0.0)
-        t_len = jnp.where(scnt[:K] > 0, slen[:K], 0)
-        t_chr = jnp.where((scnt[:K] > 0)[:, None], schr[:K],
+        # Table cut: top-K by (count desc, len asc, KEY asc) — ONE
+        # 3-operand sort instead of the old (2+Lp+1)-operand full-tuple
+        # variadic sort, whose bitonic expansion at 2M records never
+        # finished TPU compilation (r03's config-5 compile-helper OOM;
+        # 2026-08-20 probe: >10 min and counting). The cut order drops
+        # the chars component, so within a (count, len) tie group that
+        # STRADDLES the cut the chosen members differ from the
+        # reference's string-lex order. Exactness is preserved by two
+        # elementwise tuple-argmin passes (no sort, chars included):
+        #   * the FLOOR becomes the true tuple-min of the EXCLUDED
+        #     records, so the epoch's pop guard (full _tuple_less) still
+        #     fires exactly when an excluded record could beat the
+        #     table's best;
+        #   * the refresh also returns the EXACT global-best record;
+        #     the epoch consumes it as its first pop, which guarantees
+        #     forward progress when the true best fell outside the cut
+        #     (the guard would otherwise refresh forever).
+        BIGI = jnp.int32(2**31 - 1)
+        posi = valid & (cnt2 > 0)          # zero-count records never pop
+        ic = cnt2.astype(jnp.int32)        # exact: integral f32 < 2^24
+        negk1 = jnp.where(posi, -((ic << 5) | (31 - len2)), BIGI)
+        keyo = jnp.where(posi, ks2, SENT)
+        G = int(ks2.shape[0])
+        iota = jnp.arange(G, dtype=jnp.int32)
+        sk1, skeys, sidx = jax.lax.sort((negk1, keyo, iota), num_keys=2)
+        top = sidx[:K]
+        tval = sk1[:K] != BIGI
+        t_key = jnp.where(tval, trie._gather(ks2, top), KEY_EMPTY)
+        t_cnt = jnp.where(tval, trie._gather(cnt2, top), 0.0)
+        t_len = jnp.where(tval, trie._gather(len2, top), 0)
+        t_chr = jnp.where(tval[:, None], trie._gather(chr2, top),
                           jnp.full((K, Lp), CHR_PAD, jnp.int32))
-        has_floor = (n2 > K) & (scnt[K] > 0)
-        fl_cnt = jnp.where(has_floor, scnt[K], NEG)
-        fl_len = jnp.where(has_floor, slen[K], 0)
-        fl_chr = jnp.where(has_floor, schr[K],
+        # excluded = records at sorted rank >= K, identified by
+        # lexicographic (negk1, key) >= the K-th sorted record
+        thr1 = sk1[K]
+        thrk = skeys[K]
+        excl = posi & ((negk1 > thr1)
+                       | ((negk1 == thr1) & (keyo >= thrk)))
+        has_floor, f_c, f_l, f_ch, f_k = _tuple_argmin_rec(
+            cnt2, len2, chr2, ks2, excl, Lp)
+        fl_cnt = jnp.where(has_floor, f_c, NEG)
+        fl_len = jnp.where(has_floor, f_l, 0)
+        fl_chr = jnp.where(has_floor, f_ch,
                            jnp.full((Lp,), CHR_PAD, jnp.int32))
-        fl_key = jnp.where(has_floor, skey[K], SENT)
+        fl_key = jnp.where(has_floor, f_k, SENT)
+        has_w, w_c, w_l, w_ch, w_k = _tuple_argmin_rec(
+            cnt2, len2, chr2, ks2, posi, Lp)
+        w_key = jnp.where(has_w, w_k, jnp.int32(-1))
+        w_cnt = jnp.where(has_w, w_c, 0.0)
+        w_len = jnp.where(has_w, w_l, 0)
+        w_chr = jnp.where(has_w, w_ch,
+                          jnp.full((Lp,), CHR_PAD, jnp.int32))
         return (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr,
-                fl_key, overflow)
+                fl_key, w_key, w_cnt, w_len, w_chr, overflow)
 
     # ---------------- epoch: merge steps until refresh/done ----------------
     def epoch_impl(sym, tracked, freqs, t_key, t_cnt, t_len, t_chr,
                    fl_cnt, fl_len, fl_chr, fl_key,
+                   w_key, w_cnt, w_len, w_chr,
                    s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
                    ml, mr, mf, e_len, e_chr, next_id, k_done):
         W, L = sym.shape
@@ -345,52 +401,64 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
         def step_cond(st):
             (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
              s_len_c, s_wsp_c, s_wsi_c, s_scr_c, s_val_c, s_chr_c, ml_c,
-             mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status) = st
+             mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status, use_w) = st
             return status < 0
 
         def step_body(st):
             (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
              s_len_c, s_wsp_c, s_wsi_c, s_scr_c, s_val_c, s_chr_c, ml_c,
-             mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status) = st
+             mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status, use_w) = st
 
             t_key_c, t_cnt_c, c1, exact, ok, stuck = select(
                 sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c)
+
+            # exact-winner override: the FIRST pop after a refresh
+            # consumes the refresh's tuple-argmin record directly. The
+            # table's (cnt, len, key) cut can exclude the true best
+            # inside a straddling tie group; the provided record is the
+            # exact global best, so no floor doubt and no livelock.
+            w_ok = w_key >= 0
+            ok = jnp.where(use_w, w_ok, ok)
+            stuck = jnp.where(use_w, False, stuck)
+            exact = jnp.where(use_w, w_cnt, exact)
 
             has_floor = fl_cnt > NEG / 2
             # floor guard: the winner must beat the best excluded-at-
             # refresh record, whose count can only have decreased
             c1s = jnp.maximum(c1, 0)
+            wlen0 = jnp.where(use_w, w_len, t_len_c[c1s])
+            wchr0 = jnp.where(use_w, w_chr, t_chr_c[c1s])
+            wkey0 = jnp.where(use_w, w_key, t_key_c[c1s])
             beats_floor = _tuple_less(
-                exact, t_len_c[c1s], t_chr_c[c1s], t_key_c[c1s],
+                exact, wlen0, wchr0, wkey0,
                 fl_cnt, fl_len, fl_chr, fl_key, Lp)
-            need_refresh = stuck | (~ok & has_floor) | \
-                (ok & has_floor & ~beats_floor)
+            need_refresh = ~use_w & (stuck | (~ok & has_floor)
+                                     | (ok & has_floor & ~beats_floor))
             no_pairs = ~ok & ~has_floor
 
             # dup piece string: the reference pops it, erases the symbol
             # WITH its positions, and applies nothing (train/bpe.py:341)
-            wlen0 = t_len_c[c1s]
-            wchr0 = t_chr_c[c1s]
             slot = jnp.arange(e_len_c.shape[0], dtype=jnp.int32)
             isdup = ok & ~need_refresh & jnp.any(
                 (e_len_c == wlen0) & (slot < k_c)
                 & jnp.all(e_chr_c == wchr0[None, :], axis=1))
             apply_it = ok & ~need_refresh & ~isdup
 
-            wkey = jnp.where(ok, t_key_c[c1s], -1)
+            wkey = jnp.where(ok, wkey0, -1)
             bl = jnp.where(apply_it, wkey // U, 0)
             br = jnp.where(apply_it, wkey % U, 0)
 
             # ---- apply at the tracked occurrences ----------------------
             key, alive = _lane_keys(sym_c, U)
             if True:
-                # dup: forget the pair's tracked positions, drop the entry
+                # dup: forget the pair's tracked positions; consumed
+                # winners (dup or applied) leave the table by KEY match
+                # (the exact-winner pop may sit in any slot, or none)
                 tracked_c = jnp.where(isdup,
                                       tracked_c & ~(key == wkey), tracked_c)
-                t_key_c = jnp.where(isdup, t_key_c.at[c1s].set(KEY_EMPTY),
-                                    t_key_c)
-                t_cnt_c = jnp.where(isdup, t_cnt_c.at[c1s].set(0.0),
-                                    t_cnt_c)
+                clr = (isdup | apply_it) & (t_key_c == wkey)
+                t_key_c = jnp.where(clr, KEY_EMPTY, t_key_c)
+                t_cnt_c = jnp.where(clr, 0.0, t_cnt_c)
             hit = apply_it & tracked_c & (key == wkey)
             absorbed = alive & _prefix_last_alive(hit, alive, False)
             sym_n = jnp.where(hit, nid, sym_c)
@@ -424,23 +492,17 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                                     s_scr_c[bl], SCRIPT_MIXED)))
             s_scr_n = s_scr_c.at[nids].set(jnp.where(apply_it, new_scr, 0))
             s_val_n = s_val_c.at[nids].set(apply_it)
-            wchr = t_chr_c[c1s]
-            wlen = t_len_c[c1s]
             jpos = jnp.arange(Lp, dtype=jnp.int32)
-            mchr = jnp.where(jpos < wlen, wchr, 0)  # s_chr pads with 0
+            mchr = jnp.where(jpos < wlen0, wchr0, 0)  # s_chr pads with 0
             s_chr_n = s_chr_c.at[nids].set(jnp.where(apply_it, mchr, 0))
             ks = jnp.maximum(k_c, 0)
             ml_n = ml_c.at[ks].set(jnp.where(apply_it, bl, ml_c[ks]))
             mr_n = mr_c.at[ks].set(jnp.where(apply_it, br, mr_c[ks]))
             mf_n = mf_c.at[ks].set(jnp.where(apply_it, exact, mf_c[ks]))
             e_len_n = e_len_c.at[ks].set(
-                jnp.where(apply_it, wlen, e_len_c[ks]))
+                jnp.where(apply_it, wlen0, e_len_c[ks]))
             e_chr_n = e_chr_c.at[ks].set(
-                jnp.where(apply_it, wchr, e_chr_c[ks]))
-            # consume the winner
-            t_key_c = jnp.where(apply_it, t_key_c.at[c1s].set(KEY_EMPTY),
-                                t_key_c)
-            t_cnt_c = jnp.where(apply_it, t_cnt_c.at[c1s].set(0.0), t_cnt_c)
+                jnp.where(apply_it, wchr0, e_chr_c[ks]))
 
             # ---- new-pair discovery (exact counts at creation) ---------
             isnew = apply_it & (sym_n == nid)
@@ -523,23 +585,23 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             return (sym_n, tracked_n, t_key_c, t_cnt_c, t_len_c, t_chr_c,
                     s_len_n, s_wsp_n, s_wsi_n, s_scr_n, s_val_n, s_chr_n,
                     ml_n, mr_n, mf_n, e_len_n, e_chr_n, nid_n, k_n,
-                    status_n)
+                    status_n, jnp.zeros((), jnp.bool_))
 
         st0 = (sym, tracked, t_key, t_cnt, t_len, t_chr, s_len, s_wsp,
                s_wsi, s_scr, s_val, s_chr, ml, mr, mf, e_len, e_chr,
-               next_id, k_done, jnp.int32(-1))
+               next_id, k_done, jnp.int32(-1), jnp.ones((), jnp.bool_))
         out = jax.lax.while_loop(step_cond, step_body, st0)
-        return out
+        return out[:-1]
 
     shard = P(axis_name)
     rep = P()
     refresh = jax.jit(shard_map(
         refresh_impl, mesh=mesh,
         in_specs=(shard, shard, shard) + (rep,) * 6,
-        out_specs=(rep,) * 9, check_vma=False))
+        out_specs=(rep,) * 13, check_vma=False))
     epoch = jax.jit(shard_map(
         epoch_impl, mesh=mesh,
-        in_specs=(shard, shard, shard) + (rep,) * 21,
+        in_specs=(shard, shard, shard) + (rep,) * 25,
         out_specs=(shard, shard) + (rep,) * 18, check_vma=False))
     return refresh, epoch
 
@@ -661,7 +723,25 @@ def train_device_bpe_sparse(trainer, n_merges: int,
         s_scr[i] = scr
 
     lanes = (hi - lo) * L
-    dist_cap = 1 << max(10, min(21, int(np.ceil(np.log2(max(lanes, 2))))))
+    lane_cap = 1 << max(10, min(21, int(np.ceil(np.log2(max(lanes, 2))))))
+    # Adaptive distinct-record budget: the refresh's buffers (and its
+    # 3-operand cut sort) scale with dist_cap, so size it from the
+    # corpus's MEASURED initial distinct-pair count (GLOBAL — identical
+    # in every process layout) with 4x headroom for merge-created pair
+    # types, instead of the lane worst case. config 5: 221k distinct ->
+    # 2^20 instead of 2^21. Device-side overflow detection still guards
+    # exactness (overflow -> engine declines, facade falls back).
+    pair_set = set()
+    for w, _ in words:
+        prev = -1
+        for c in w:
+            cur = char_id[c]
+            if prev >= 0:
+                pair_set.add(prev * (U + 1) + cur)
+            prev = cur
+    init_distinct = max(len(pair_set), 1)
+    auto_cap = 1 << max(17, (4 * init_distinct - 1).bit_length())
+    dist_cap = min(auto_cap, lane_cap)
     dist_cap = int(os.environ.get("SPM_BPE_SPARSE_DIST_CAP", dist_cap))
     K = int(min(table_k, dist_cap // 2))  # keep K < ndev*dist_cap
 
@@ -703,7 +783,11 @@ def train_device_bpe_sparse(trainer, n_merges: int,
         fl_s = (jax.ShapeDtypeStruct((), np.float32),
                 jax.ShapeDtypeStruct((), np.int32),
                 jax.ShapeDtypeStruct((Lp,), np.int32),
-                jax.ShapeDtypeStruct((), np.int32))
+                jax.ShapeDtypeStruct((), np.int32),
+                jax.ShapeDtypeStruct((), np.int32),   # w_key
+                jax.ShapeDtypeStruct((), np.float32),  # w_cnt
+                jax.ShapeDtypeStruct((), np.int32),   # w_len
+                jax.ShapeDtypeStruct((Lp,), np.int32))  # w_chr
         args_e = ((_sd(sym), trk_s, _sd(freqs),
                    t_key_s, t_cnt_s, t_len_s, t_chr_s)
                   + fl_s
@@ -723,7 +807,7 @@ def train_device_bpe_sparse(trainer, n_merges: int,
         lowered.compile()
         print(f"[sparse-bpe] epoch compiled in {_time.time()-t0:.1f}s",
               file=sys.stderr, flush=True)
-        return None
+        raise SystemExit(0)  # probe mode: never fall through to training
 
     sym_d = dist.put_sharded(sym, mesh)
     tracked_d = dist.put_sharded(init_tracked(sym), mesh)
@@ -756,11 +840,13 @@ def train_device_bpe_sparse(trainer, n_merges: int,
         for _ in range(min(wave, n_merges + 16 - it)):
             it += 1
             (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr, fl_key,
+             w_key, w_cnt, w_len, w_chr,
              overflow) = refresh(sym_d, tracked_d, freqs_d, s_len_d,
                                  s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
                                  s_chr_d)
             out = epoch(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len,
                         t_chr, fl_cnt, fl_len, fl_chr, fl_key,
+                        w_key, w_cnt, w_len, w_chr,
                         s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
                         s_chr_d, ml, mr, mf, e_len, e_chr, next_id, k_done)
             (sym_d, tracked_d, _tk, _tc, _tl, _tch, s_len_d, s_wsp_d,

@@ -54,11 +54,54 @@ SPACE_SYMBOL = b"\xe2\x96\x81"
 FFFD = b"\xef\xbf\xbd"
 
 
-class NormalizerTables:
-    """Host-precomputed device tables for one NormalizerSpec."""
+def _valid_utf8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
 
-    def __init__(self, spec, treat_whitespace_as_suffix: bool = False):
+
+class NormalizerTables:
+    """Host-precomputed device tables for one NormalizerSpec.
+
+    ``user_pieces`` (optional): the model's USER_DEFINED symbol byte
+    strings. The reference normalizer consults a PrefixMatcher over
+    them BEFORE the charsmap at every chunk start (normalizer.cc:
+    239-243): a matched span passes through normalization verbatim (it
+    is still subject to the per-byte space handling of the main loop,
+    :160-189). The device walk mirrors that with a second darts trie
+    whose longest match overrides the charsmap match. Pieces the device
+    identity-chunk path cannot express exactly (raw 0x20 bytes or
+    U+2581 — which interact with space escaping/trimming — NUL, or
+    invalid UTF-8) set ``user_host_only`` and callers keep the exact
+    host path."""
+
+    def __init__(self, spec, treat_whitespace_as_suffix: bool = False,
+                 user_pieces=None):
         from ..normalizer import charsmap as charsmap_lib
+
+        self.u_units = None
+        self.u_root_state = 0
+        self.u_max_len = 0
+        self.user_host_only = False
+        if user_pieces:
+            from ..utils import darts as darts_lib
+
+            ok = all(
+                p and b"\x00" not in p and b" " not in p
+                and SPACE_SYMBOL not in p and _valid_utf8(p)
+                for p in user_pieces)
+            if not ok:
+                self.user_host_only = True
+            else:
+                keys = sorted(set(bytes(p) for p in user_pieces))
+                da = darts_lib.build(keys, list(range(len(keys))))
+                self.u_units = jnp.asarray(trie.build_paired(da.units))
+                u0 = int(da.units[0])
+                self.u_root_state = int(
+                    (u0 >> 10) << (((u0 >> 9) & 1) << 3))
+                self.u_max_len = max(len(k) for k in keys)
 
         self.add_dummy_prefix = bool(spec.add_dummy_prefix)
         self.remove_extra_whitespaces = bool(spec.remove_extra_whitespaces)
@@ -391,19 +434,27 @@ def _matched_attrs(v_attr, batch, mval, mlen, matched, in_range):
     static_argnames=("max_rule_len", "root_state", "n_out", "ws_len",
                      "max_rep_len", "add_dummy_prefix",
                      "remove_extra_whitespaces", "escape_whitespaces",
-                     "suffix", "with_alignment"))
+                     "suffix", "with_alignment", "u_max_len",
+                     "u_root_state"))
 def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                     batch, lengths, *,
                     max_rule_len: int, root_state: int, n_out: int,
                     ws_len: int, max_rep_len: int,
                     add_dummy_prefix: bool, remove_extra_whitespaces: bool,
                     escape_whitespaces: bool, suffix: bool, arcs=None,
-                    with_alignment: bool = False):
+                    with_alignment: bool = False,
+                    u_units=None, u_max_len: int = 0, u_root_state: int = 0):
     """Normalize padded rows of raw bytes. Returns (out uint8[B, n_out],
     out_len int32[B]) — plus norm_to_orig int32[B, n_out + 1] when
     ``with_alignment`` (rows with out_len L use entries [0, L]; empty
     input rows have no meaningful entries, like the reference's empty
-    early-return)."""
+    early-return).
+
+    ``u_units`` (+ statics): optional user-defined-symbol trie. A
+    longest user match at a chunk start OVERRIDES the charsmap
+    (normalizer.cc:239-243) and emits its span as an identity chunk
+    (bytes verbatim; the NormalizerTables gate guarantees no spaces /
+    U+2581 / invalid UTF-8 inside, so the space machinery is inert)."""
     B, N = batch.shape
 
     # rule values are offsets into the raw pool, which the escaped pool
@@ -415,12 +466,26 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                                    value_bits=vbits)
     char_len, valid_utf8 = _utf8_class(batch, lengths)
 
+    if u_units is not None and u_max_len > 0:
+        u_len, u_val = _charsmap_longest(
+            u_units, batch, lengths, max_rule_len=u_max_len,
+            root_state=u_root_state, arcs=None, value_bits=32)
+        u_found = u_val >= 0
+        # user match takes absolute precedence at a chunk start
+        mlen = jnp.where(u_found, 0, mlen)
+        mval = jnp.where(u_found, -1, mval)
+    else:
+        u_len = jnp.zeros((B, N), jnp.int32)
+        u_found = jnp.zeros((B, N), bool)
+
     # per-position chunk tables
     matched = mlen > 0
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
-    cons = jnp.where(matched, mlen,
-                     jnp.where(valid_utf8, char_len, 1)).astype(jnp.int32)
+    cons = jnp.where(u_found, u_len,
+                     jnp.where(matched, mlen,
+                               jnp.where(valid_utf8, char_len, 1))
+                     ).astype(jnp.int32)
     is_sp_byte = batch == 0x20
     KIND_POOL, KIND_RAW, KIND_FFFD, KIND_WS = 0, 1, 2, 3
     wsl = ws_len if escape_whitespaces else 1
@@ -457,7 +522,7 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     covered = utf8_mod.covered_continuations(jnp, batch, valid_utf8,
                                              char_len)
     pos_ok = jnp.where(is_cont, covered, valid_utf8)
-    any_complex = jnp.any(in_range & (matched | ~pos_ok))
+    any_complex = jnp.any(in_range & (matched | u_found | ~pos_ok))
 
     prev0 = jnp.full((B,), bool(remove_extra_whitespaces))
 
@@ -484,11 +549,15 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
             a_esc_off, a_esc_len = attr[..., 0], attr[..., 1]
             a_lead, a_all, a_ends, a_trail = (attr[..., 2], attr[..., 3],
                                               attr[..., 4], attr[..., 5])
-        # emission length (escaped), before leading-space strip
+        # emission length (escaped), before leading-space strip;
+        # user-symbol spans emit their bytes verbatim (identity chunk —
+        # the tables gate guarantees no space/U+2581/invalid bytes, so
+        # every other attribute's non-matched default is already right)
         emit0 = jnp.where(
-            matched, a_esc_len,
-            jnp.where(valid_utf8,
-                      jnp.where(is_sp_byte, wsl, char_len), 3))
+            u_found, u_len,
+            jnp.where(matched, a_esc_len,
+                      jnp.where(valid_utf8,
+                                jnp.where(is_sp_byte, wsl, char_len), 3)))
         lead_sp = jnp.where(matched, a_lead,
                             jnp.where(valid_utf8 & is_sp_byte, 1, 0))
         all_sp = jnp.where(matched, a_all > 0, valid_utf8 & is_sp_byte)
@@ -513,8 +582,8 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
         # the one-word-per-attribute loop remains the fallback for
         # pathological custom charsmaps), so each step pays two [B]
         # gathers instead of seven.
-        be_ = max(max(max_rep_len, 4), wsl).bit_length()
-        bc_ = max(max_rule_len, 4).bit_length()
+        be_ = max(max(max_rep_len, 4), wsl, u_max_len).bit_length()
+        bc_ = max(max_rule_len, 4, u_max_len).bit_length()
         packable = (3 * be_ + bc_ + 4) <= 31
 
         if packable:
@@ -782,8 +851,10 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
 class BatchNormalizer:
     """Host wrapper around the jitted device normalizer."""
 
-    def __init__(self, spec, treat_whitespace_as_suffix: bool = False):
-        self.t = NormalizerTables(spec, treat_whitespace_as_suffix)
+    def __init__(self, spec, treat_whitespace_as_suffix: bool = False,
+                 user_pieces=None):
+        self.t = NormalizerTables(spec, treat_whitespace_as_suffix,
+                                  user_pieces=user_pieces)
 
     def normalize(self, batch: np.ndarray, lengths: np.ndarray,
                   with_alignment: bool = False):
@@ -800,4 +871,6 @@ class BatchNormalizer:
             add_dummy_prefix=t.add_dummy_prefix,
             remove_extra_whitespaces=t.remove_extra_whitespaces,
             escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
-            arcs=t.arcs, with_alignment=with_alignment)
+            arcs=t.arcs, with_alignment=with_alignment,
+            u_units=t.u_units, u_max_len=t.u_max_len,
+            u_root_state=t.u_root_state)

@@ -88,7 +88,7 @@ class TpuTokenizer:
         ``axis`` (pure data parallelism; XLA partitions the pipeline with
         no collectives, so it scales linearly over ICI)."""
         from .encode import UnigramBatchEncoder
-        from ..proto.spec import ModelType
+        from ..proto.spec import ModelType, PieceType
 
         self.mesh = mesh
         self.mesh_axis = axis
@@ -120,8 +120,19 @@ class TpuTokenizer:
                                           add_eos=add_eos, reverse=reverse,
                                           pad_id=pad_id)
         suffix = bool(ts.treat_whitespace_as_suffix) if ts else False
+        # user-defined symbols survive normalization as atomic spans
+        # (the reference's PrefixMatcher injection,
+        # sentencepiece_processor.cc:126-129, normalizer.cc:239-243);
+        # the device normalizer carries them as a second trie. Exotic
+        # pieces (spaces / U+2581 / invalid UTF-8) set user_host_only
+        # and encode() keeps the exact host path.
+        types = processor.model.types
+        user_idx = np.nonzero(types == PieceType.USER_DEFINED)[0]
+        user_pieces = [processor.model._piece_bytes[int(i)]
+                       for i in user_idx]
         self.norm = tpu_normalize.NormalizerTables(
-            processor.model_proto.normalizer_spec, suffix)
+            processor.model_proto.normalizer_spec, suffix,
+            user_pieces=user_pieces or None)
         self._fns = {}
 
     @staticmethod
@@ -191,9 +202,11 @@ class TpuTokenizer:
         if w_enc is None:
             w_enc = self.enc_width(n_in)
         n_arcs = tuple(t.arcs) if t.arcs is not None else ()
+        u_tbl = (t.u_units,) if t.u_units is not None else ()
         norm_tables = (t.units, t.esc_pool, t.v_attr, t.ws_arr,
-                       t.fffd_arr) + n_arcs
+                       t.fffd_arr) + n_arcs + u_tbl
         NT = len(norm_tables)
+        NA = len(n_arcs)
 
         def norm_stage(batch, lengths, *nt):
             norm_out, norm_len = tpu_normalize.normalize_batch(
@@ -203,7 +216,9 @@ class TpuTokenizer:
                 add_dummy_prefix=t.add_dummy_prefix,
                 remove_extra_whitespaces=t.remove_extra_whitespaces,
                 escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
-                arcs=nt[5:] if len(nt) > 5 else None)
+                arcs=nt[5:5 + NA] if NA else None,
+                u_units=nt[5 + NA] if u_tbl else None,
+                u_max_len=t.u_max_len, u_root_state=t.u_root_state)
             overflow = norm_len > w_enc
             enc_len = jnp.minimum(norm_len, w_enc)
             # fusion fence: when both stages compile as ONE program, XLA
@@ -215,9 +230,15 @@ class TpuTokenizer:
             return norm_out, enc_len, overflow
 
         if self._bpe is not None:
-            from .bpe_encode import utf8_to_cp_batch, merge_kernel
+            from .bpe_encode import (utf8_to_cp_batch, merge_kernel,
+                                     bpe_encode_batch_scan, user_frz_batch)
             bpe = self._bpe
-            bpe_merge = merge_kernel()
+            # user-defined symbols: frozen-span split on device (the
+            # scan kernel carries the frz lanes; the parallel kernel
+            # does not, so user models pin the scan kernel)
+            user_dev = bool(bpe.user_pieces) and bool(u_tbl)
+            bpe_merge = bpe_encode_batch_scan if user_dev \
+                else merge_kernel()
             tables = norm_tables + (bpe.pair_keys, bpe.pair_new,
                                     bpe.pair_score, bpe.cp_to_sym,
                                     bpe.sym_to_id)
@@ -237,13 +258,19 @@ class TpuTokenizer:
                                                out_w=w_cp)
                 overflow = overflow | (cp_len > w_cp)
                 cp_len = jnp.minimum(cp_len, w_cp)
+                kw = {}
+                if user_dev:
+                    kw["frz"] = user_frz_batch(
+                        nt[5 + NA], norm_out, enc_len, w_cp=w_cp,
+                        u_max_len=t.u_max_len,
+                        u_root_state=t.u_root_state, U0=bpe.U0)
                 ids, n_ids = bpe_merge(
                     bt[0], bt[1], bt[2], bt[3], bt[4], cps, cp_len,
                     universe=bpe.U, max_merges=w_cp - 1,
                     unk_id=bpe.unk_id, add_bos=bpe.add_bos,
                     add_eos=bpe.add_eos, reverse=bpe.reverse,
                     bos_id=bpe.bos_id, eos_id=bpe.eos_id,
-                    pad_id=bpe.pad_id, pack_bits=bpe.pack_bits)
+                    pad_id=bpe.pad_id, pack_bits=bpe.pack_bits, **kw)
                 return ids, n_ids, overflow
 
             return core_bpe, tables
@@ -379,6 +406,11 @@ class TpuTokenizer:
         produces bytes, lengths, and the alignment (tpu/normalize.py
         with_alignment)."""
         t = self.norm
+        if t.user_host_only:
+            return [self.processor.normalizer.normalize(
+                s if isinstance(s, str)
+                else bytes(s).decode("utf-8", "surrogateescape"))
+                for s in texts]
         raw = [s.encode("utf-8", "surrogateescape") if isinstance(s, str)
                else bytes(s) for s in texts]
         width = max(8, max((len(b) for b in raw), default=8))
@@ -392,7 +424,9 @@ class TpuTokenizer:
             add_dummy_prefix=t.add_dummy_prefix,
             remove_extra_whitespaces=t.remove_extra_whitespaces,
             escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
-            arcs=t.arcs, with_alignment=True)
+            arcs=t.arcs, with_alignment=True,
+            u_units=t.u_units, u_max_len=t.u_max_len,
+            u_root_state=t.u_root_state)
         out, total, n2o, early = (np.asarray(out), np.asarray(total),
                                   np.asarray(n2o), np.asarray(early))
         res = []
@@ -413,8 +447,15 @@ class TpuTokenizer:
         host<->device readbacks can stall subsequent dispatches on some
         interconnects, so the dispatch wave and the download wave are kept
         separate."""
+        if self.norm.user_host_only:
+            # user-defined symbols the device normalizer cannot carry
+            # (spaces / U+2581 / invalid UTF-8): exact host path
+            return [self.processor.encode_as_ids(
+                t if isinstance(t, str)
+                else bytes(t).decode("utf-8", "surrogateescape"))
+                for t in texts]
         if self._bpe is not None and self._bpe.host_only:
-            # user-defined / unused pieces: host normalize + exact host path
+            # unused pieces (rev_merge resegmentation): exact host path
             return self._bpe.encode(list(texts))
         if self._span is not None and self._span.host_only:
             # char model with user-defined symbols: multi-char spans via
@@ -510,6 +551,15 @@ class TpuTokenizer:
             from ..utils.rng import get_generator
 
             rng = get_generator()
+        if self.norm.user_host_only:
+            from .encode import _per_row as _pr
+
+            nbh = _pr(nbest_size, B).astype(np.int64)
+            alh = _pr(alpha, B)
+            return [self.processor.sample_encode_as_ids(
+                t, int(nbh[i]), float(alh[i]), rng=rng)
+                if nbh[i] not in (0, 1) else self.processor.encode_as_ids(t)
+                for i, t in enumerate(texts)]
         nb = _per_row(nbest_size, B).astype(np.int64)
         al = _per_row(alpha, B)
         results: List[Optional[List[int]]] = [None] * B
