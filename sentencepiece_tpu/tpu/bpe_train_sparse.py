@@ -241,6 +241,15 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
     U = universe
     Lp = max_piece_len
     K = table_k
+    # append headroom: refresh leaves these slots empty for the epoch's
+    # new-pair appends (see refresh_impl comment)
+    K_EFF = max(1, K - int(os.environ.get(
+        "SPM_BPE_SPARSE_APPEND_HEADROOM", str(K // 4))))
+    # per-DISPATCH merge cap: one epoch program must finish well under
+    # the rig's ~60 s device watchdog (an uncapped epoch at config-5
+    # scale ran minutes and got the TPU worker killed, 2026-08-20);
+    # the driver just dispatches another refresh+epoch pair
+    E_CAP = int(os.environ.get("SPM_BPE_SPARSE_EPOCH_CAP", "384"))
     ndev = mesh.size
 
     # ---------------- refresh: full recount + table rebuild ----------------
@@ -303,17 +312,25 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
         G = int(ks2.shape[0])
         iota = jnp.arange(G, dtype=jnp.int32)
         sk1, skeys, sidx = jax.lax.sort((negk1, keyo, iota), num_keys=2)
+        # Fill only K_eff = K - headroom slots: each applied merge
+        # APPENDS its new pairs into free slots, and a full table forces
+        # ST_REFRESH after every single merge (measured: 1 merge per
+        # 0.6 s refresh+epoch pair at config-5 scale — hours). The
+        # reserved slots let an epoch run hundreds of merges between
+        # refreshes; the floor moves up to the (K_eff+1)-th record,
+        # which only makes the guard (and the exact-winner fallback)
+        # fire sooner, never wrongly.
         top = sidx[:K]
-        tval = sk1[:K] != BIGI
+        tval = (sk1[:K] != BIGI) & (jnp.arange(K) < K_EFF)
         t_key = jnp.where(tval, trie._gather(ks2, top), KEY_EMPTY)
         t_cnt = jnp.where(tval, trie._gather(cnt2, top), 0.0)
         t_len = jnp.where(tval, trie._gather(len2, top), 0)
         t_chr = jnp.where(tval[:, None], trie._gather(chr2, top),
                           jnp.full((K, Lp), CHR_PAD, jnp.int32))
-        # excluded = records at sorted rank >= K, identified by
-        # lexicographic (negk1, key) >= the K-th sorted record
-        thr1 = sk1[K]
-        thrk = skeys[K]
+        # excluded = records at sorted rank >= K_eff, identified by
+        # lexicographic (negk1, key) >= the K_eff-th sorted record
+        thr1 = sk1[K_EFF]
+        thrk = skeys[K_EFF]
         excl = posi & ((negk1 > thr1)
                        | ((negk1 == thr1) & (keyo >= thrk)))
         has_floor, f_c, f_l, f_ch, f_k = _tuple_argmin_rec(
@@ -402,7 +419,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
              s_len_c, s_wsp_c, s_wsi_c, s_scr_c, s_val_c, s_chr_c, ml_c,
              mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status, use_w) = st
-            return status < 0
+            return (status < 0) & (nid - next_id < E_CAP)
 
         def step_body(st):
             (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
@@ -542,6 +559,13 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             nvalid &= _pair_valid(l2, r2, s_len_n, s_wsp_n, s_wsi_n,
                                   s_scr_n, s_val_n, Lp)
             chr2, len2 = _merged_chars(s_chr_n, s_len_n, l2, r2, Lp)
+            # sub-floor appends can never pop before the next refresh
+            # (the guard requires beating the floor), so spend no table
+            # slots on them — this is what lets an epoch run to the
+            # floor instead of dying on append overflow
+            nvalid &= ~has_floor | _tuple_less(
+                jnp.where(nvalid, tot2, -1.0), len2, chr2.T, ks2,
+                fl_cnt, fl_len, fl_chr, fl_key, Lp)
             n_new = jnp.sum(nvalid, dtype=jnp.int32)
             # append into free table slots
             free = t_key_c < 0
@@ -639,6 +663,8 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     from ..train.interface import UNK_CHAR
     from ..utils import unicode_script
     from .. import distributed as dist
+
+    from ..utils import profiling
 
     table_k = int(os.environ.get("SPM_BPE_SPARSE_TABLE_K", table_k))
     site_rows = int(os.environ.get("SPM_BPE_SPARSE_SITE_ROWS", site_rows))
@@ -809,9 +835,10 @@ def train_device_bpe_sparse(trainer, n_merges: int,
               file=sys.stderr, flush=True)
         raise SystemExit(0)  # probe mode: never fall through to training
 
-    sym_d = dist.put_sharded(sym, mesh)
-    tracked_d = dist.put_sharded(init_tracked(sym), mesh)
-    freqs_d = dist.put_sharded(freqs, mesh)
+    with profiling.phase("bpe_upload_corpus"):
+        sym_d = dist.put_sharded(sym, mesh)
+        tracked_d = dist.put_sharded(init_tracked(sym), mesh)
+        freqs_d = dist.put_sharded(freqs, mesh)
     rep = lambda x: dist.put_replicated(x, mesh)
     s_len_d, s_wsp_d, s_wsi_d = rep(s_len), rep(s_wsp), rep(s_wsi)
     s_scr_d, s_val_d, s_chr_d = rep(s_scr), rep(s_val), rep(s_chr)
@@ -832,9 +859,17 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     # but stays correct; the epoch program self-stops once done), so
     # one readback per wave preserves the exact merge sequence.
     wave = max(1, int(os.environ.get("SPM_BPE_SPARSE_WAVE", "8")))
+    import sys as _sys
+    import time as _time
+    verbose = os.environ.get("SPM_BPE_SPARSE_VERBOSE") == "1"
+    t_start = _time.time()
+    if verbose:
+        print(f"[sparse-bpe] entering wave loop (wave={wave})",
+              file=_sys.stderr, flush=True)
     prev_k, stalls = -1, 0
     done = False
     it = 0
+    t_phase = _time.time()
     while not done and it < n_merges + 16:
         stats = []
         for _ in range(min(wave, n_merges + 16 - it)):
@@ -853,6 +888,16 @@ def train_device_bpe_sparse(trainer, n_merges: int,
              s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf, e_len, e_chr,
              next_id, k_done, status) = out
             stats.append((overflow, status, k_done))
+        if verbose:
+            print(f"[sparse-bpe] it={it} k={int(np.asarray(k_done))}"
+                  f"/{n_merges} {_time.time() - t_start:.0f}s",
+                  file=_sys.stderr, flush=True)
+        # phase accounting: wave 1 pays lowering + compile (cache miss)
+        pk = ("bpe_first_wave_incl_compile" if it <= wave
+              else "bpe_merge_waves")
+        profiling._totals[pk] = (profiling._totals.get(pk, 0.0)
+                                 + _time.time() - t_phase)
+        t_phase = _time.time()
         # one sync for the whole wave
         for overflow, status, k_d in stats:
             if bool(np.asarray(overflow)):
