@@ -44,7 +44,8 @@ def _use_pallas_scan() -> bool:
 # compiles on TPU); caching makes every process after the first fast.
 try:
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/sentencepiece_tpu_jax_cache")
+                      os.environ.get("SPM_TPU_CACHE_DIR",
+                                     "/tmp/sentencepiece_tpu_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # pragma: no cover - older jax
     pass
