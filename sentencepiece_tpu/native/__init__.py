@@ -73,6 +73,12 @@ def _load():
         lib.spm_darts_build.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p)]
+        lib.spm_darts_build_banded.restype = ctypes.c_int64
+        lib.spm_darts_build_banded.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.spm_normalize.restype = ctypes.c_int64
         lib.spm_normalize.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,      # units
@@ -91,6 +97,7 @@ def _load():
         lib.spm_charoffs_utf8.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                           ctypes.c_int64, ctypes.c_void_p]
         lib.spm_free.argtypes = [ctypes.c_void_p]
+        lib.spm_free_i64.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -141,6 +148,57 @@ def darts_build(keys: Sequence[bytes],
         shape=(n_units,)).copy()
     lib.spm_free(out_ptr)
     return buf
+
+
+def darts_build_banded(keys: Sequence[bytes],
+                       values: Optional[Sequence[int]] = None):
+    """Depth-banded double-array build (device lattice-trie variant —
+    see native.cc spm_darts_build_banded). Returns (units uint32[U],
+    bands list[(lo, hi)]) with bands[k] covering every depth-k node
+    position, or None when native is unavailable or the table is not
+    bandable (caller falls back to the unbanded build)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(keys)
+    if values is None:
+        order = sorted(range(n), key=lambda i: keys[i])
+        values = [0] * n
+        for rank, i in enumerate(order):
+            values[i] = rank
+    pairs = sorted(zip(keys, values))
+    for i, (k, v) in enumerate(pairs):
+        if not k or 0 in k or not (0 <= v < (1 << 31)):
+            raise ValueError(f"bad key/value: {k!r} {v}")
+        if i and pairs[i - 1][0] == k:
+            raise ValueError(f"duplicate key: {k!r}")
+    concat = b"".join(k for k, _ in pairs)
+    offs = np.zeros(n + 1, np.int64)
+    offs[1:] = np.cumsum([len(k) for k, _ in pairs])
+    vals = np.asarray([v for _, v in pairs], np.int32)
+    keys_np = np.frombuffer(concat, np.uint8)
+    out_ptr = ctypes.c_void_p()
+    bands_ptr = ctypes.c_void_p()
+    n_bands = ctypes.c_int64()
+    n_units = lib.spm_darts_build_banded(
+        keys_np.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        n, ctypes.byref(out_ptr), ctypes.byref(bands_ptr),
+        ctypes.byref(n_bands))
+    if n_units < 0:
+        return None
+    buf = np.ctypeslib.as_array(
+        ctypes.cast(out_ptr, ctypes.POINTER(ctypes.c_uint32)),
+        shape=(n_units,)).copy()
+    lib.spm_free(out_ptr)
+    nb = int(n_bands.value)
+    braw = np.ctypeslib.as_array(
+        ctypes.cast(bands_ptr, ctypes.POINTER(ctypes.c_int64)),
+        shape=(2 * nb,)).copy()
+    lib.spm_free_i64(bands_ptr)
+    bands = [(int(braw[2 * i]), int(braw[2 * i + 1])) for i in range(nb)]
+    return buf, bands
 
 
 class NativeNormalizer:

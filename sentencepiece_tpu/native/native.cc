@@ -263,6 +263,154 @@ int64_t spm_darts_build(const uint8_t *keys, const int64_t *key_offs,
   return (int64_t)padded;
 }
 
+// Depth-banded double-array build — the DEVICE lattice-trie variant.
+// Plain trie, no hash-consing (a suffix-shared DAWG state can be
+// reached at several depths, but a banded node must live in exactly
+// one depth's band). Nodes are placed level by level and every node
+// base is drawn from a fresh 256-aligned region, so all positions of
+// depth-k nodes fall inside one contiguous band [lo_k, hi_k). The
+// device populate walk's step d then gathers from band d+1's SLICE of
+// the unit table instead of the whole table (tpu/encode.py
+// _populate_lattice): per-step one-hot/MXU lookup cost drops from
+// O(total units) to O(band units), ~Sum(K_d)/D smaller.
+//
+// out_bands: int64 pairs (lo, hi), one per depth 0..n_bands-1; band 0
+// is the root block [0, 256). Returns unit count, or -1/-2 like
+// spm_darts_build (callers fall back to the unbanded build).
+int64_t spm_darts_build_banded(const uint8_t *keys, const int64_t *key_offs,
+                               const int32_t *values, int64_t n_keys,
+                               uint32_t **out_units, int64_t **out_bands,
+                               int64_t *n_bands) {
+  std::vector<TrieNode> nodes(1);
+  for (int64_t i = 0; i < n_keys; ++i) {
+    int64_t off = key_offs[i], len = key_offs[i + 1] - key_offs[i];
+    if (len <= 0) return -1;
+    trie_insert(nodes, keys + off, len, values[i]);
+  }
+  const int64_t N = (int64_t)nodes.size();
+  std::vector<std::vector<int32_t>> levels;
+  {
+    std::vector<int32_t> frontier{0};
+    while (!frontier.empty()) {
+      std::vector<int32_t> nxt;
+      for (int32_t nid : frontier)
+        for (int32_t ch = nodes[nid].first_child; ch != -1;
+             ch = nodes[ch].next_sibling)
+          nxt.push_back(ch);
+      levels.push_back(std::move(frontier));
+      frontier = std::move(nxt);
+    }
+  }
+
+  size_t cap = 1024;
+  std::vector<uint32_t> units(cap, 0);
+  std::vector<bool> used(cap, false);
+  std::vector<bool> base_taken(cap, false);
+  used[0] = true;
+  auto ensure = [&](size_t need) {
+    while (need >= cap) {
+      cap <<= 1;
+      units.resize(cap, 0);
+      used.resize(cap, false);
+      base_taken.resize(cap, false);
+    }
+  };
+  const uint32_t kOffsetMaxSmall = 1u << 21;
+  std::vector<uint32_t> node_base(N, 0);
+  std::vector<int64_t> bands;  // (lo, hi) pairs, depth-indexed
+  bands.push_back(0);
+  bands.push_back(256);
+
+  size_t band_lo = 256;  // root block [0,256) is depth-0's band
+  for (size_t lev = 0; lev < levels.size(); ++lev) {
+    size_t hint = band_lo;
+    size_t max_slot = band_lo;
+    for (int32_t nid : levels[lev]) {
+      uint8_t labels[257];
+      int nl = 0;
+      if (nodes[nid].terminal) labels[nl++] = 0;
+      for (int32_t ch = nodes[nid].first_child; ch != -1;
+           ch = nodes[ch].next_sibling)
+        labels[nl++] = nodes[ch].label;
+      ensure(hint + 512);
+      while (base_taken[hint]) {
+        ++hint;
+        ensure(hint + 512);
+      }
+      size_t base;
+      for (size_t cand = hint;; ++cand) {
+        ensure(cand + 256);
+        if (base_taken[cand]) continue;
+        bool ok = true;
+        for (int a = 0; a < nl; ++a) {
+          size_t slot = cand ^ labels[a];
+          if (used[slot]) { ok = false; break; }
+        }
+        if (ok) { base = cand; break; }
+      }
+      base_taken[base] = true;
+      if (nodes[nid].terminal) {
+        used[base] = true;
+        units[base] = 0x80000000u | (uint32_t)nodes[nid].value;
+        if (base > max_slot) max_slot = base;
+      }
+      for (int32_t ch = nodes[nid].first_child; ch != -1;
+           ch = nodes[ch].next_sibling) {
+        size_t slot = base ^ nodes[ch].label;
+        used[slot] = true;
+        if (slot > max_slot) max_slot = slot;
+      }
+      node_base[nid] = (uint32_t)base;
+      if (nl == 0 && base > max_slot) max_slot = base;
+    }
+    size_t band_hi = ((max_slot) | 255) + 1;
+    bands.push_back((int64_t)band_lo);
+    bands.push_back((int64_t)band_hi);
+    band_lo = band_hi;
+  }
+
+  auto enc_ok = [&](uint32_t off) {
+    return (off < kOffsetMaxSmall) ||
+           (((off & 0xFF) == 0) && ((off >> 8) < kOffsetMaxSmall));
+  };
+  auto encode_offset = [&](uint32_t pos, uint32_t base) -> uint32_t {
+    uint32_t off = pos ^ base;
+    if (off < kOffsetMaxSmall) return off << 10;
+    return ((off >> 8) << 10) | (1u << 9);
+  };
+  for (int64_t nid = 0; nid < N; ++nid) {
+    uint32_t pbase = node_base[nid];
+    for (int32_t ch = nodes[nid].first_child; ch != -1;
+         ch = nodes[ch].next_sibling) {
+      uint32_t slot = pbase ^ nodes[ch].label;
+      uint32_t off = slot ^ node_base[ch];
+      if (!enc_ok(off)) return -2;
+      uint32_t unit = encode_offset(slot, node_base[ch]);
+      if (nodes[ch].terminal) unit |= 1u << 8;
+      unit |= nodes[ch].label;
+      units[slot] = unit;
+    }
+  }
+  {
+    uint32_t off0 = 0u ^ node_base[0];
+    if (!enc_ok(off0)) return -2;
+    uint32_t unit = encode_offset(0, node_base[0]);
+    if (nodes[0].terminal) unit |= 1u << 8;
+    units[0] = unit;
+  }
+
+  size_t padded = band_lo;  // already 256-aligned, covers every band
+  uint32_t *out = new uint32_t[padded];
+  for (size_t i = 0; i < padded; ++i)
+    out[i] = used[i] ? units[i] : 0xFFFFFFFFu;
+  *out_units = out;
+  int64_t *ob = new int64_t[bands.size()];
+  for (size_t i = 0; i < bands.size(); ++i) ob[i] = bands[i];
+  *out_bands = ob;
+  *n_bands = (int64_t)(bands.size() / 2);
+  return (int64_t)padded;
+}
+
 void spm_free(void *p) { delete[] (uint32_t *)p; }
 void spm_free_u8(void *p) { delete[] (uint8_t *)p; }
 void spm_free_i64(void *p) { delete[] (int64_t *)p; }

@@ -45,7 +45,7 @@ NEG_INF = float(np.float32(-1e30))
 
 
 def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
-                      *, D, unk_id, root_state, arcs=None):
+                      *, D, unk_id, root_state, arcs=None, bands=None):
     """Lattice populate shared by the encode / sample / n-best
     kernels: trie walk -> end-aligned (scores, ids) bands. Extracted
     verbatim from the encode kernel; tracing inlines it, so the
@@ -90,26 +90,46 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
             arcs[0], arcs[1], arcs[2], key, live1, state)
         id_lanes.append(val1)
         d_start = 2
+    vbits = max(8, int(lat_score_table.shape[0] - 1).bit_length())
     for d in range(d_start, D):
+        if bands is not None and d + 1 >= len(bands):
+            # no trie node is this deep: the lane is statically empty
+            id_lanes.append(jnp.full((B, N), -1, jnp.int32))
+            continue
         c = batch_pad[:, d:N + d].astype(jnp.uint32)
         byte_ok = (pos + d) < lengths[:, None]
         live = alive & byte_ok
         node = state ^ c
-        safe = jnp.where(live, node, jnp.uint32(0))
         # units is the PAIRED table (trie.build_paired): one row lookup
         # yields the transition unit AND the leaf value; the MXU one-hot
         # digit gather beats the serial row gather ~14x at vocab-trie
-        # sizes (trie.gather_mxu)
-        if int(units.shape[0]) <= 16384:
-            # leaf values are piece ids < V (static from the score
-            # table), so the value column usually needs 2 byte planes,
-            # not 4 — every MXU-gather stage's cost scales with planes
-            vbits = max(8, int(lat_score_table.shape[0] - 1).bit_length())
+        # sizes (trie.gather_mxu). leaf values are piece ids < V
+        # (static from the score table), so the value column usually
+        # needs 2 byte planes, not 4 — every MXU-gather stage's cost
+        # scales with planes.
+        if bands is not None:
+            # depth-banded trie (native.darts_build_banded): step d only
+            # ever reaches depth-(d+1) node positions, which live in
+            # band d+1 — gather from that SLICE, so per-step cost
+            # scales with the band (a few hundred units) instead of the
+            # whole table. Dead lanes clip to the slice and fail the
+            # label check like the full-table walk's row-0 read.
+            lo, hi = bands[d + 1]
+            local = jnp.clip(node.astype(jnp.int32) - lo, 0, hi - lo - 1)
+            local = jnp.where(live, local, 0)
+            # d2=8 won the on-chip sweep (1/2/8/16/32): the
+            # [lanes, d2*planes] f32 matmul output dominates HBM once K
+            # is band-sized, but too-small d2 grows the one-hot LHS
+            row = trie.gather_mxu(units[lo:hi], local, d2=8,
+                                  col_bits=(32, vbits))
+        elif int(units.shape[0]) <= 16384:
+            safe = jnp.where(live, node, jnp.uint32(0))
             row = trie.gather_mxu(units, safe, d2=32,
                                   col_bits=(32, vbits))
         else:
-            # big tries (charsmap, 44k units): the serial row gather
-            # measured faster in context than the MXU form
+            # big unbanded tries: the serial row gather measured faster
+            # in context than the MXU form
+            safe = jnp.where(live, node, jnp.uint32(0))
             row = trie._gather(units, safe)
         unit = row[..., 0]
         ok = live & ((unit & label_mask) == c)
@@ -173,7 +193,7 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     jax.jit,
     static_argnames=("max_depth", "unk_id", "root_state", "add_bos",
                      "add_eos", "reverse", "bos_id", "eos_id", "pad_id",
-                     "use_pallas"))
+                     "use_pallas", "bands"))
 def unigram_encode_batch(units: jnp.ndarray,
                          lat_score_table: jnp.ndarray,
                          batch: jnp.ndarray,
@@ -190,7 +210,8 @@ def unigram_encode_batch(units: jnp.ndarray,
                          eos_id: int = 2,
                          pad_id: int = 0,
                          use_pallas: bool = False,
-                         arcs=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         arcs=None,
+                         bands=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode normalized UTF-8 bytes to token ids.
 
     Args:
@@ -212,7 +233,7 @@ def unigram_encode_batch(units: jnp.ndarray,
     D = min(max_depth, N)
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
-        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs, bands=bands)
 
     # -- Viterbi scan ----------------------------------------------------------
     if use_pallas:
@@ -412,12 +433,32 @@ class UnigramBatchEncoder:
             raise TypeError("UnigramBatchEncoder requires a unigram model")
         self.processor = processor
         self.model = model
-        self.units = jnp.asarray(trie.build_paired(model.trie.units))
+        # depth-banded device trie (native.darts_build_banded): every
+        # depth-k node position lives in one 256-aligned band, so walk
+        # step d gathers from band d+1's SLICE instead of the whole
+        # table — per-step lookup cost scales with the band, not the
+        # trie (EN 8k vocab: <=768-unit bands vs 4608; JA: <=6144 vs
+        # 29952, which also moves JA off the serial-gather path).
+        # Fallback to the host model's (unbanded) trie when native is
+        # unavailable or the table is not bandable.
+        units_np = model.trie.units
+        self.bands = None
+        try:
+            from .. import native
+            keys_b = list(model.pieces)
+            r = native.darts_build_banded(
+                keys_b, [model.pieces[k] for k in keys_b])
+            if r is not None:
+                units_np, bands = r
+                self.bands = tuple(bands)
+        except Exception:
+            pass
+        self.units = jnp.asarray(trie.build_paired(units_np))
         # root base precomputed on host: keeps the device walk free of a
         # traced scalar broadcast (degrades XLA fusion badly, see above)
-        u0 = int(model.trie.units[0])
+        u0 = int(units_np[0])
         self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
-        pa = trie.build_pair_arcs(model.trie.units, self.root_state)
+        pa = trie.build_pair_arcs(units_np, self.root_state)
         self.arcs = (tuple(jnp.asarray(a) for a in pa)
                      if pa is not None else None)
         types = model.types
@@ -454,7 +495,7 @@ class UnigramBatchEncoder:
             root_state=self.root_state,
             add_bos=self.add_bos, add_eos=self.add_eos, reverse=self.reverse,
             bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id,
-            arcs=self.arcs)
+            arcs=self.arcs, bands=self.bands)
 
     def _bucketed(self, payloads, run, unpack):
         return bucketed(payloads, self.BUCKETS, self.MAX_BATCH, run, unpack)
@@ -515,7 +556,8 @@ class UnigramBatchEncoder:
                 self.units, self.lat_score_table, jnp.asarray(arr),
                 jnp.asarray(lens), self.unk_score,
                 max_depth=self.max_depth, unk_id=self.unk_id, k=K,
-                root_state=self.root_state, arcs=self.arcs)
+                root_state=self.root_state, arcs=self.arcs,
+                bands=self.bands)
             return (np.asarray(rev_ids), np.asarray(n_toks),
                     np.asarray(scores), np.asarray(valid))
 
@@ -561,7 +603,8 @@ class UnigramBatchEncoder:
                 root_state=self.root_state,
                 add_bos=self.add_bos, add_eos=self.add_eos,
                 reverse=self.reverse, bos_id=self.bos_id,
-                eos_id=self.eos_id, pad_id=self.pad_id, arcs=self.arcs)
+                eos_id=self.eos_id, pad_id=self.pad_id, arcs=self.arcs,
+                bands=self.bands)
             return np.asarray(out), np.asarray(n)
 
         return self._bucketed(
@@ -571,7 +614,8 @@ class UnigramBatchEncoder:
 @functools.partial(
     jax.jit,
     static_argnames=("max_depth", "unk_id", "root_state", "add_bos",
-                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id"))
+                     "add_eos", "reverse", "bos_id", "eos_id", "pad_id",
+                     "bands"))
 def unigram_sample_batch(units: jnp.ndarray,
                          lat_score_table: jnp.ndarray,
                          batch: jnp.ndarray,
@@ -589,7 +633,8 @@ def unigram_sample_batch(units: jnp.ndarray,
                          bos_id: int = 1,
                          eos_id: int = 2,
                          pad_id: int = 0,
-                         arcs=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         arcs=None,
+                         bands=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Subword-regularization sampling on device: forward-filter
     backward-sample over the byte-indexed lattice (the device analog of
     Lattice::Sample, unigram_model.cc:385-442; theta = inverse
@@ -608,7 +653,7 @@ def unigram_sample_batch(units: jnp.ndarray,
     D = min(max_depth, N)
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
-        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs, bands=bands)
     # inverse temperature (theta * score, like Lattice::Sample); theta is
     # PER-ROW [B] — the TF op resolves nbest_size/alpha per batch row
     # (sentencepiece_processor_ops.cc:244-305). NEG_INF fills stay
@@ -708,7 +753,7 @@ def unigram_sample_batch(units: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "unk_id", "k", "root_state"))
+    static_argnames=("max_depth", "unk_id", "k", "root_state", "bands"))
 def unigram_nbest_batch(units: jnp.ndarray,
                         lat_score_table: jnp.ndarray,
                         batch: jnp.ndarray,
@@ -719,7 +764,8 @@ def unigram_nbest_batch(units: jnp.ndarray,
                         unk_id: int,
                         k: int,
                         root_state: int = 0,
-                        arcs=None):
+                        arcs=None,
+                        bands=None):
     """K-best Viterbi on device (SURVEY §2.8's n-best plan): the encode
     scan's D-wide window widened to [D, K] per-position score ranks, with
     lax.top_k merging D*K candidates per step and packed (j, rank)
@@ -740,7 +786,7 @@ def unigram_nbest_batch(units: jnp.ndarray,
     K = k
     sc_end, id_end = _populate_lattice(
         units, lat_score_table, batch, lengths, unk_score,
-        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs, bands=bands)
 
     # -- K-best forward scan --------------------------------------------------
     # window win[b, j, r] = r-th best score at position p-1-j; candidates

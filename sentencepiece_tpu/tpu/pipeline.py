@@ -294,7 +294,7 @@ class TpuTokenizer:
                     suffix=se.suffix, add_bos=se.add_bos,
                     add_eos=se.add_eos, reverse=se.reverse,
                     bos_id=se.bos_id, eos_id=se.eos_id, pad_id=se.pad_id,
-                    arcs=at)
+                    arcs=at, bands=se.bands)
                 return ids, n_ids, overflow
 
             return core_span, tables
@@ -314,7 +314,7 @@ class TpuTokenizer:
                 add_bos=enc.add_bos, add_eos=enc.add_eos,
                 reverse=enc.reverse, bos_id=enc.bos_id, eos_id=enc.eos_id,
                 pad_id=enc.pad_id, use_pallas=_use_pallas_scan(),
-                arcs=at)
+                arcs=at, bands=enc.bands)
             return ids, n_ids, overflow
 
         return core_unigram, tables

@@ -34,7 +34,7 @@ NEG_INF = -1e30
     jax.jit,
     static_argnames=("mode", "max_depth", "unk_id", "root_state", "suffix",
                      "add_bos", "add_eos", "reverse", "bos_id", "eos_id",
-                     "pad_id"))
+                     "pad_id", "bands"))
 def span_encode_batch(units: jnp.ndarray,
                       zero_scores: jnp.ndarray,
                       batch: jnp.ndarray,
@@ -51,7 +51,8 @@ def span_encode_batch(units: jnp.ndarray,
                       bos_id: int = 1,
                       eos_id: int = 2,
                       pad_id: int = 0,
-                      arcs=None):
+                      arcs=None,
+                      bands=None):
     """Word/char-model encode of normalized UTF-8 bytes to token ids.
 
     Returns (ids int32[B, N+2], out_lengths int32[B]).
@@ -64,7 +65,7 @@ def span_encode_batch(units: jnp.ndarray,
     D = min(max_depth, N)
     _, id_end = _populate_lattice(
         units, zero_scores, batch, lengths, jnp.float32(0.0),
-        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs)
+        D=D, unk_id=unk_id, root_state=root_state, arcs=arcs, bands=bands)
 
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
@@ -162,11 +163,26 @@ class SpanBatchEncoder:
         keys = list(model.pieces)
         self.host_only = self.host_only or not keys
         if not self.host_only:
-            da = darts.build(keys, [model.pieces[k] for k in keys])
-            self.units = jnp.asarray(trie.build_paired(da.units))
-            u0 = int(da.units[0])
+            # depth-banded device trie when native can build one (see
+            # encode.UnigramBatchEncoder — per-step banded slices)
+            units_np = None
+            self.bands = None
+            try:
+                from .. import native
+                r = native.darts_build_banded(
+                    keys, [model.pieces[k] for k in keys])
+                if r is not None:
+                    units_np, bands = r
+                    self.bands = tuple(bands)
+            except Exception:
+                pass
+            if units_np is None:
+                units_np = darts.build(
+                    keys, [model.pieces[k] for k in keys]).units
+            self.units = jnp.asarray(trie.build_paired(units_np))
+            u0 = int(units_np[0])
             self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
-            pa = trie.build_pair_arcs(da.units, self.root_state)
+            pa = trie.build_pair_arcs(units_np, self.root_state)
             self.arcs = (tuple(jnp.asarray(a) for a in pa)
                          if pa is not None else None)
             self.zero_scores = jnp.zeros(model.get_piece_size(), jnp.float32)
@@ -190,7 +206,7 @@ class SpanBatchEncoder:
             root_state=self.root_state, suffix=self.suffix,
             add_bos=self.add_bos, add_eos=self.add_eos, reverse=self.reverse,
             bos_id=self.bos_id, eos_id=self.eos_id, pad_id=self.pad_id,
-            arcs=self.arcs)
+            arcs=self.arcs, bands=self.bands)
 
     def encode(self, texts: Sequence[str]) -> List[List[int]]:
         if self.host_only:
