@@ -275,33 +275,39 @@ def unigram_encode_batch(units: jnp.ndarray,
         bp = jnp.concatenate([jnp.ones((1, B), jnp.int32), bp],
                              axis=0)  # [N+1, B]
 
-    # -- backtrace -------------------------------------------------------------
-    # Early-exit while_loop, not a length-N scan: the loop runs only
-    # max-tokens-over-batch iterations (botchan at width 128: 67 vs 264
-    # — a 4x cut in the serial tail). Each row's (token, active) pair is
-    # packed into one int32 buffer row so the body does exactly two [B]
-    # gathers and one contiguous row write per step.
+    # -- backtrace: pointer doubling -------------------------------------------
+    # The old form was a max-tokens-over-batch while_loop of serial [B]
+    # gathers (~0.2 ms x ~68 steps = most of the post-Viterbi cost). The
+    # chain p -> p - bp[p] is a functional graph with 0 absorbing, so
+    # the whole path from each row's length unrolls in log2(N) rounds of
+    # row-local MXU reads: square the jump table (f, f^2, f^4, ...) and
+    # batch-fill path[j] = f^j(L). No loop, no serial gathers.
     rows = jnp.arange(B)
-
-    def bt_cond(state):
-        i, p, _ = state
-        return (i < N) & jnp.any(p > 0)
-
-    def bt_body(state):
-        i, p, buf = state
-        active = p > 0
-        psafe = jnp.maximum(p, 0)
-        k = jnp.maximum(bp[psafe, rows], 1)
-        tok = id_end[rows, psafe, jnp.clip(k - 1, 0, D - 1)]
-        row = jnp.where(active, tok * 2 + 1, 0)  # bit0 = active
-        buf = jax.lax.dynamic_update_slice(buf, row[None, :], (i, 0))
-        return i + 1, jnp.where(active, p - k, p), buf
-
-    buf0 = jnp.zeros((N, B), jnp.int32)
-    _, _, buf = jax.lax.while_loop(
-        bt_cond, bt_body, (jnp.int32(0), lengths, buf0))
-    rev_mask = (buf & 1).astype(jnp.bool_).T   # [B, N]
-    rev_ids = jnp.where(rev_mask, buf.T >> 1, -1)
+    bpT = bp.T                                     # [B, N+1]
+    P1 = N + 1
+    posP = jnp.arange(P1, dtype=jnp.int32)[None, :]
+    # id of the best piece ending at p (D-lane one-hot select; bp >= 1)
+    kk = jnp.clip(bpT - 1, 0, D - 1)
+    lane_oh2 = (jnp.arange(D, dtype=jnp.int32)[None, None, :]
+                == kk[:, :, None])
+    id_best = jnp.sum(jnp.where(lane_oh2, id_end, 0), axis=2)  # [B, N+1]
+    vbp = max(8, (P1 - 1).bit_length())
+    f = jnp.clip(posP - jnp.maximum(bpT, 1), 0, P1 - 1)
+    path = jnp.zeros((B, N), jnp.int32)
+    path = path.at[:, 0].set(jnp.minimum(lengths, P1 - 1))
+    Mk = f
+    filled = 1
+    while filled < N:
+        take = min(filled, N - filled)
+        seg = trie.taa_mxu(Mk, path[:, :take], value_bits=vbp)
+        path = path.at[:, filled:filled + take].set(seg)
+        filled += take
+        if filled < N:
+            Mk = trie.taa_mxu(Mk, Mk, value_bits=vbp)  # f^(2k)
+    rev_mask = path > 0                            # [B, N]
+    rev_mask = rev_mask & (lengths > 0)[:, None]
+    rev_ids = jnp.where(
+        rev_mask, trie.taa_mxu(id_best, path, value_bits=24), -1)
     T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
 
     # reverse-compact + adjacent-UNK merge (sentencepiece_processor.cc:
