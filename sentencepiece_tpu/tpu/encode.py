@@ -76,9 +76,11 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     has_leaf_bit = jnp.uint32(1 << 8)
     # depth-0 step peeled: only 256 reachable table positions from the
     # root, so a 256-row one-hot replaces the full-table gather
-    state, alive, val0 = trie.step_root(units, batch, is_start,
-                                        root_state=root_state)
+    with_sc = int(units.shape[1]) >= 3
+    state, alive, val0, sc0 = trie.step_root(units, batch, is_start,
+                                             root_state=root_state)
     id_lanes = [val0]
+    sc_lanes = [sc0] if with_sc else None
     d_start = 1
     if arcs is not None and D > 1:
         # depth-1 peeled too: the live depth-2 arcs are few (an 8k EN
@@ -86,15 +88,22 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
         c2 = batch_pad[:, 1:N + 1].astype(jnp.int32)
         key = batch.astype(jnp.int32) * 256 + c2
         live1 = alive & ((pos + 1) < lengths[:, None])
-        state, alive, val1 = trie.step_pair(
-            arcs[0], arcs[1], arcs[2], key, live1, state)
+        state, alive, val1, sc1 = trie.step_pair(
+            arcs[0], arcs[1], arcs[2], key, live1, state,
+            arc_w2=arcs[3] if (with_sc and len(arcs) >= 4) else None)
         id_lanes.append(val1)
+        if with_sc:
+            if sc1 is None:     # arcs built without scores
+                sc1 = jnp.full((B, N), NEG_INF, jnp.float32)
+            sc_lanes.append(sc1)
         d_start = 2
     vbits = max(8, int(lat_score_table.shape[0] - 1).bit_length())
     for d in range(d_start, D):
         if bands is not None and d + 1 >= len(bands):
             # no trie node is this deep: the lane is statically empty
             id_lanes.append(jnp.full((B, N), -1, jnp.int32))
+            if with_sc:
+                sc_lanes.append(jnp.full((B, N), NEG_INF, jnp.float32))
             continue
         c = batch_pad[:, d:N + d].astype(jnp.uint32)
         byte_ok = (pos + d) < lengths[:, None]
@@ -107,6 +116,7 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
         # (static from the score table), so the value column usually
         # needs 2 byte planes, not 4 — every MXU-gather stage's cost
         # scales with planes.
+        cb = (32, vbits, 32) if with_sc else (32, vbits)
         if bands is not None:
             # depth-banded trie (native.darts_build_banded): step d only
             # ever reaches depth-(d+1) node positions, which live in
@@ -120,12 +130,10 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
             # d2=8 won the on-chip sweep (1/2/8/16/32): the
             # [lanes, d2*planes] f32 matmul output dominates HBM once K
             # is band-sized, but too-small d2 grows the one-hot LHS
-            row = trie.gather_mxu(units[lo:hi], local, d2=8,
-                                  col_bits=(32, vbits))
+            row = trie.gather_mxu(units[lo:hi], local, d2=8, col_bits=cb)
         elif int(units.shape[0]) <= 16384:
             safe = jnp.where(live, node, jnp.uint32(0))
-            row = trie.gather_mxu(units, safe, d2=32,
-                                  col_bits=(32, vbits))
+            row = trie.gather_mxu(units, safe, d2=32, col_bits=cb)
         else:
             # big unbanded tries: the serial row gather measured faster
             # in context than the MXU form
@@ -137,6 +145,11 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
         has_leaf = ok & ((unit & has_leaf_bit) != 0)
         val = jnp.where(has_leaf, row[..., 1].astype(jnp.int32),
                         jnp.int32(-1))
+        if with_sc:
+            sc_lanes.append(jnp.where(
+                has_leaf,
+                jax.lax.bitcast_convert_type(row[..., 2], jnp.float32),
+                jnp.float32(NEG_INF)))
         alive = ok
         id_lanes.append(val)
 
@@ -155,25 +168,32 @@ def _populate_lattice(units, lat_score_table, batch, lengths, unk_score,
     is_unk_node = lane_oh & need_unk[:, :, None]
     lat_ids = jnp.where(is_unk_node, unk_id, lat_ids)
 
-    vsafe = jnp.maximum(lat_ids, 0)
-    # score lookup over [B, N, D] lanes: one-hot compare-reduce beats the
-    # serial-loop gather for small vocabs (~4x at V=1000; crossover near
-    # V~2500 — trie.gather_small rationale)
-    V = int(lat_score_table.shape[0])
-    if V <= 512:
-        sc_v = trie.gather_small(lat_score_table, vsafe)
-    elif V <= 65536:
-        fscore = lat_score_table.view(jnp.uint32) if (
-            lat_score_table.dtype == jnp.float32) else lat_score_table
-        sc_v = trie.gather_mxu(
-            fscore, vsafe,
-            d2=16 if fscore.shape[0] <= 8192 else 128).view(jnp.float32)
+    if with_sc:
+        # scores rode along in the walk's row gathers (score-paired
+        # table) — no separate [B, N, D]-lane score gather at all
+        lat_sc = jnp.stack(sc_lanes, axis=2)
+        lat_sc = jnp.where(lat_ids >= 0, lat_sc, NEG_INF)
     else:
-        # very large vocabs: the MXU one-hot's cost grows with V while
-        # the serial gather is V-independent (~7 ns/elem) — crossover
-        # near 100k entries
-        sc_v = trie._gather(lat_score_table, vsafe)
-    lat_sc = jnp.where(lat_ids >= 0, sc_v, NEG_INF)
+        vsafe = jnp.maximum(lat_ids, 0)
+        # score lookup over [B, N, D] lanes: one-hot compare-reduce
+        # beats the serial-loop gather for small vocabs (~4x at V=1000;
+        # crossover near V~2500 — trie.gather_small rationale)
+        V = int(lat_score_table.shape[0])
+        if V <= 512:
+            sc_v = trie.gather_small(lat_score_table, vsafe)
+        elif V <= 65536:
+            fscore = lat_score_table.view(jnp.uint32) if (
+                lat_score_table.dtype == jnp.float32) else lat_score_table
+            sc_v = trie.gather_mxu(
+                fscore, vsafe,
+                d2=16 if fscore.shape[0] <= 8192 else 128).view(
+                    jnp.float32)
+        else:
+            # very large vocabs: the MXU one-hot's cost grows with V
+            # while the serial gather is V-independent (~7 ns/elem) —
+            # crossover near 100k entries
+            sc_v = trie._gather(lat_score_table, vsafe)
+        lat_sc = jnp.where(lat_ids >= 0, sc_v, NEG_INF)
     lat_sc = jnp.where(is_unk_node, unk_score, lat_sc)
 
     # end-align: x_end[b, p, j] = x[b, p-(j+1), j] for p in 0..N
@@ -459,14 +479,6 @@ class UnigramBatchEncoder:
                 self.bands = tuple(bands)
         except Exception:
             pass
-        self.units = jnp.asarray(trie.build_paired(units_np))
-        # root base precomputed on host: keeps the device walk free of a
-        # traced scalar broadcast (degrades XLA fusion badly, see above)
-        u0 = int(units_np[0])
-        self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
-        pa = trie.build_pair_arcs(units_np, self.root_state)
-        self.arcs = (tuple(jnp.asarray(a) for a in pa)
-                     if pa is not None else None)
         types = model.types
         # fold user-defined / unused rules into one score table
         # (unigram_model.cc:584-593)
@@ -480,6 +492,27 @@ class UnigramBatchEncoder:
                               np.float32), scores)
         scores = np.where(types == PieceType.UNUSED, NEG_INF, scores)
         self.lat_score_table = jnp.asarray(scores)
+        # score-paired table: the walk's row gather returns the FOLDED
+        # leaf score too, removing the whole [B, N, D]-lane score-table
+        # gather (23.6 ms/batch at JA scale — trie.build_paired). TPU
+        # only: large fresh compiles of the 3-column programs late in
+        # the one-process CPU test suite abort the XLA CPU compiler
+        # (LLVM-state dependent; each program compiles fine in a fresh
+        # process). The CPU fallback keeps the 2-column table + score
+        # gather; the 3-column path's exactness is enforced on the real
+        # device by bench.py's bit-exact gates and by the direct
+        # small-program test in test_units.py.
+        import jax as _jax
+        sc_pair = scores if _jax.default_backend() != "cpu" else None
+        self.units = jnp.asarray(trie.build_paired(units_np, sc_pair))
+        # root base precomputed on host: keeps the device walk free of a
+        # traced scalar broadcast (degrades XLA fusion badly, see above)
+        u0 = int(units_np[0])
+        self.root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
+        pa = trie.build_pair_arcs(units_np, self.root_state,
+                                  leaf_scores=sc_pair)
+        self.arcs = (tuple(jnp.asarray(a) for a in pa)
+                     if pa is not None else None)
         keys = list(model.pieces)
         # D >= 4 so the UNK node's lane (one char = up to 4 bytes) exists
         self.max_depth = max(max((len(k) for k in keys), default=1), 4)

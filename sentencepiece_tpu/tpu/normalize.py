@@ -204,6 +204,53 @@ class NormalizerTables:
             byte_rows[~(ok & has_leaf)] = 0
             v_attr_np = np.concatenate([v_attr_np, byte_rows], axis=0)
         self.v_attr = jnp.asarray(v_attr_np)
+        # cp-direct charsmap table (device fast path for multi-byte
+        # chars): when EVERY rule key is valid UTF-8 — true for all
+        # stock rules; guard via the same strict decode the device
+        # classifier mirrors — a match can only start at a valid char
+        # start (key bytes equal text bytes would otherwise form an
+        # invalid char), and a multi-byte char's longest match is
+        # either its own single-char rule or a longer rule flagged
+        # here. cp_rule[cp] = (value+1) | extends<<30; 0 = no rule.
+        # CJK batches then resolve their bulk through one dense-table
+        # gather over compacted char lanes instead of full-lane deep
+        # walk steps (_charsmap_longest).
+        self.cp_rule = None
+        if blob:
+            try:
+                items = da.items()
+            except Exception:  # pragma: no cover - malformed blob
+                items = None
+            if items is not None and all(_valid_utf8(k) for k, _ in items):
+                # [0x110000] cp rows: (value+1) | IS_SECOND<<29 |
+                # EXTENDS<<30; then 256 byte rows holding IS_SECOND for
+                # 1-byte chars (so the kernel's next-char check needs no
+                # second dense gather). EXTENDS alone is too coarse —
+                # e.g. every kana opens a combining-mark composition —
+                # so the kernel demotes it unless the FOLLOWING char is
+                # an actual rule-second-char (nmt_nfkc: 124 of them,
+                # Hangul jamo + combining marks; absent from normal
+                # text).
+                cp_rule = np.zeros(0x110000 + 256, np.int32)
+                ok_pack = True
+                for k, v in items:
+                    s = k.decode("utf-8")
+                    c0 = ord(s[0])
+                    nb0 = len(s[0].encode("utf-8"))
+                    if v + 1 >= (1 << 29):
+                        ok_pack = False
+                        break
+                    if len(k) == nb0:
+                        cp_rule[c0] |= np.int32(v + 1)
+                    else:
+                        cp_rule[c0] |= np.int32(1 << 30)
+                        cp1 = ord(s[1])
+                        if cp1 < 0x80:
+                            cp_rule[0x110000 + cp1] = 1
+                        else:
+                            cp_rule[cp1] |= np.int32(1 << 29)
+                if ok_pack:
+                    self.cp_rule = jnp.asarray(cp_rule)
         self.ws_arr = jnp.asarray(np.frombuffer(self.ws, np.uint8))
         self.fffd_arr = jnp.asarray(np.frombuffer(FFFD, np.uint8))
         # worst-case output bytes per input byte
@@ -230,7 +277,7 @@ def _utf8_class(batch: jnp.ndarray, lengths: jnp.ndarray
 
 
 def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
-                      arcs=None, value_bits=32):
+                      arcs=None, value_bits=32, cp_rule=None):
     """Longest charsmap match per byte position: (mlen, mval) int32[B,N].
 
     The walk is an early-exit ``while_loop`` over depth, not a fixed
@@ -259,7 +306,7 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
     # -- depth-0 step, peeled: the root can only transition through 256
     # positions (root_state ^ byte), so the first full-table gather
     # collapses to a one-hot lookup over a 256-row slice (trie.step_root)
-    state, alive, val0 = trie.step_root(
+    state, alive, val0, _scr = trie.step_root(
         units, batch, pos < lengths[:, None], root_state=root_state)
     mlen = jnp.where(val0 >= 0, 1, 0)
     mval = val0
@@ -270,11 +317,100 @@ def _charsmap_longest(units, batch, lengths, *, max_rule_len, root_state,
         c2 = bp[:, 1:N + 1].astype(jnp.int32)
         key = batch.astype(jnp.int32) * 256 + c2
         live1 = alive & ((pos + 1) < lengths[:, None])
-        state, alive, val1 = trie.step_pair(
+        state, alive, val1, _scp = trie.step_pair(
             arcs[0], arcs[1], arcs[2], key, live1, state)
         mlen = jnp.where(val1 >= 0, 2, mlen)
         mval = jnp.where(val1 >= 0, val1, mval)
         d0 = 2
+
+    if cp_rule is not None:
+        # cp-direct fast path (NormalizerTables.cp_rule): every rule
+        # key is valid UTF-8, so matches only start at valid char
+        # starts, and a MULTI-BYTE char's longest match is either its
+        # own single-char rule (cp_rule value) or a longer rule
+        # (extends bit -> the ordinary byte walk). CJK batches resolve
+        # their bulk through one dense-table gather over CAP-window
+        # row-compacted char lanes — the deep walk then runs on the
+        # rare extends lanes only, instead of taking full-lane steps
+        # over mostly-mid-char positions (the old dense fallback).
+        char_len, valid = _utf8_class(batch, lengths)
+        in_r = pos < lengths[:, None]
+        multi = in_r & valid & (char_len >= 2)
+        # window sized to the width: EN-style batches have a handful of
+        # multi-byte chars per row (curly quotes) and want a small
+        # window; CJK rows have ~N/3 and want few trips
+        CPW = max(16, N // 8)
+        bp4 = jnp.concatenate([batch, jnp.zeros((B, 4), jnp.uint8)],
+                              axis=1)
+        N2c = int(bp4.shape[1])
+        rkc = jnp.cumsum(multi, axis=1, dtype=jnp.int32) - 1
+        max_cnt = jnp.max(jnp.sum(multi, axis=1, dtype=jnp.int32))
+        colb = max(8, (N - 1).bit_length())
+        posb_cp = jnp.broadcast_to(pos, (B, N)).astype(jnp.int32)
+
+        def cp_cond(s):
+            return s[0] * CPW < max_cnt
+
+        def cp_body(s):
+            r, fv = s
+            sl = rkc - r * CPW
+            in_win = multi & (sl >= 0) & (sl < CPW)
+            slot = jnp.where(in_win, sl, CPW)
+            col_c = trie.scatter_rowlocal_mxu(
+                posb_cp, slot, CPW + 1, fill=N,
+                value_bits=colb)[:, :CPW]
+            cc = jnp.minimum(col_c, N - 1)
+            rd = lambda off: trie.taa_mxu(
+                bp4, jnp.minimum(cc + off, N2c - 1),
+                value_bits=8).astype(jnp.int32)
+            b0 = rd(0)
+            b1 = rd(1) & 0x3F
+            b2 = rd(2) & 0x3F
+            b3 = rd(3) & 0x3F
+            cl_c = trie.taa_mxu(char_len, cc, value_bits=8)
+            cp = jnp.where(
+                cl_c == 2, ((b0 & 0x1F) << 6) | b1,
+                jnp.where(cl_c == 3,
+                          ((b0 & 0x0F) << 12) | (b1 << 6) | b2,
+                          ((b0 & 0x07) << 18) | (b1 << 12)
+                          | (b2 << 6) | b3))
+            e = trie._gather(cp_rule[:0x110000],
+                             jnp.clip(cp, 0, 0x10FFFF))
+            sl_safe = jnp.clip(sl, 0, CPW - 1)
+            e_b = trie.taa_mxu(e, sl_safe, value_bits=32)
+            return r + 1, jnp.where(in_win, e_b, fv)
+
+        _, entry = jax.lax.while_loop(
+            cp_cond, cp_body,
+            (jnp.int32(0), jnp.zeros((B, N), jnp.int32)))
+        ext = multi & (((entry >> 30) & 1) == 1)
+        cp_val = entry & ((1 << 29) - 1)        # value+1; 0 = none
+        # a multi-char rule can only continue into an actual
+        # rule-second-char: sec[p] = this position starts one (1-byte
+        # chars via the appended byte rows, multi-byte via bit 29 of
+        # their own window entry); demote EXTENDS unless the char AFTER
+        # this one is such a start — kana keep their combining-mark
+        # compositions out of the byte walk on real text
+        sec1 = trie.gather_mxu(
+            cp_rule[0x110000:].astype(jnp.uint32),
+            batch.astype(jnp.int32), d2=8, value_bits=8).astype(jnp.int32)
+        sec = jnp.where(multi, (entry >> 29) & 1,
+                        jnp.where(in_r & valid & (char_len == 1),
+                                  sec1, 0))
+        secp = jnp.concatenate(
+            [sec, jnp.zeros((B, 4), jnp.int32)], axis=1)
+        sec_next = jnp.where(
+            char_len == 2, secp[:, 2:N + 2],
+            jnp.where(char_len == 3, secp[:, 3:N + 3],
+                      secp[:, 4:N + 4]))
+        ext_real = ext & (sec_next > 0)
+        cp_hit = multi & (cp_val > 0) & ~ext_real
+        mlen = jnp.where(cp_hit, char_len, mlen)
+        mval = jnp.where(cp_hit, cp_val - 1, mval)
+        # the byte walk now only serves 1-byte-char lanes and lanes
+        # whose longer rule could actually continue; invalid positions
+        # can never match a valid-UTF-8 key
+        alive = alive & (ext_real | (valid & (char_len == 1)))
 
     def w_cond(s):
         d, _, alive, _, _ = s
@@ -475,7 +611,8 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
                     add_dummy_prefix: bool, remove_extra_whitespaces: bool,
                     escape_whitespaces: bool, suffix: bool, arcs=None,
                     with_alignment: bool = False,
-                    u_units=None, u_max_len: int = 0, u_root_state: int = 0):
+                    u_units=None, u_max_len: int = 0, u_root_state: int = 0,
+                    cp_rule=None):
     """Normalize padded rows of raw bytes. Returns (out uint8[B, n_out],
     out_len int32[B]) — plus norm_to_orig int32[B, n_out + 1] when
     ``with_alignment`` (rows with out_len L use entries [0, L]; empty
@@ -495,7 +632,7 @@ def normalize_batch(units, esc_pool, v_attr, ws_arr, fffd_arr,
     mlen, mval = _charsmap_longest(units, batch, lengths,
                                    max_rule_len=max_rule_len,
                                    root_state=root_state, arcs=arcs,
-                                   value_bits=vbits)
+                                   value_bits=vbits, cp_rule=cp_rule)
     char_len, valid_utf8 = _utf8_class(batch, lengths)
 
     if u_units is not None and u_max_len > 0:
@@ -976,4 +1113,4 @@ class BatchNormalizer:
             escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
             arcs=t.arcs, with_alignment=with_alignment,
             u_units=t.u_units, u_max_len=t.u_max_len,
-            u_root_state=t.u_root_state)
+            u_root_state=t.u_root_state, cp_rule=t.cp_rule)

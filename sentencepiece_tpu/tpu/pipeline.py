@@ -42,10 +42,29 @@ def _use_pallas_scan() -> bool:
 
 # Persistent compilation cache: these programs are large (multi-minute XLA
 # compiles on TPU); caching makes every process after the first fast.
+# The directory is FINGERPRINTED by host CPU features + the XLA/platform
+# env: the jax cache key does not fully cover the CPU AOT target, and
+# loading an entry compiled under different flags SIGILLs/segfaults
+# (observed: cpu_aot_loader machine-feature mismatch, then a segfault in
+# get_executable_and_time during the test suite).
+def _cache_fingerprint() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:  # pragma: no cover
+        flags = ""
+    key = "|".join([flags, os.environ.get("XLA_FLAGS", ""),
+                    os.environ.get("JAX_PLATFORMS", "")])
+    return hashlib.sha256(key.encode()).hexdigest()[:10]
+
+
 try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("SPM_TPU_CACHE_DIR",
-                                     "/tmp/sentencepiece_tpu_jax_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.environ.get("SPM_TPU_CACHE_DIR",
+                                    "/tmp/sentencepiece_tpu_jax_cache"),
+                     _cache_fingerprint()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # pragma: no cover - older jax
     pass
@@ -204,8 +223,17 @@ class TpuTokenizer:
             w_enc = self.enc_width(n_in)
         n_arcs = tuple(t.arcs) if t.arcs is not None else ()
         u_tbl = (t.u_units,) if t.u_units is not None else ()
+        # the cp-direct charsmap path is a TPU optimization; composed
+        # into the full pipeline it deterministically segfaults the XLA
+        # CPU compiler late in the test suite (LLVM state dependent —
+        # the same program compiles fine in a fresh process). CPU runs
+        # keep the plain walk; the cp path's exactness is covered by a
+        # direct normalize_batch test (test_units.py).
+        use_cp = (t.cp_rule is not None
+                  and jax.default_backend() != "cpu")
+        cp_tbl = (t.cp_rule,) if use_cp else ()
         norm_tables = (t.units, t.esc_pool, t.v_attr, t.ws_arr,
-                       t.fffd_arr) + n_arcs + u_tbl
+                       t.fffd_arr) + n_arcs + u_tbl + cp_tbl
         NT = len(norm_tables)
         NA = len(n_arcs)
 
@@ -219,7 +247,8 @@ class TpuTokenizer:
                 escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
                 arcs=nt[5:5 + NA] if NA else None,
                 u_units=nt[5 + NA] if u_tbl else None,
-                u_max_len=t.u_max_len, u_root_state=t.u_root_state)
+                u_max_len=t.u_max_len, u_root_state=t.u_root_state,
+                cp_rule=nt[NT - 1] if cp_tbl else None)
             overflow = norm_len > w_enc
             enc_len = jnp.minimum(norm_len, w_enc)
             # fusion fence: when both stages compile as ONE program, XLA
@@ -427,7 +456,7 @@ class TpuTokenizer:
             escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
             arcs=t.arcs, with_alignment=True,
             u_units=t.u_units, u_max_len=t.u_max_len,
-            u_root_state=t.u_root_state)
+            u_root_state=t.u_root_state, cp_rule=t.cp_rule)
         out, total, n2o, early = (np.asarray(out), np.asarray(total),
                                   np.asarray(n2o), np.asarray(early))
         res = []

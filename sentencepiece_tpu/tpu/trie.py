@@ -60,14 +60,20 @@ def root_state(units: jnp.ndarray) -> jnp.ndarray:
     return offsets(units[0])
 
 
-def build_paired(units_np) -> "np.ndarray":
-    """Host precompute: [U, 2] uint32 rows (unit word, leaf VALUE).
+def build_paired(units_np, leaf_scores=None) -> "np.ndarray":
+    """Host precompute: [U, 2] uint32 rows (unit word, leaf VALUE) — or
+    [U, 3] with the leaf's SCORE BITS as a third column when
+    ``leaf_scores`` (float32[V], indexed by leaf value) is given.
 
     The darts walk needs two lookups per step: the transition unit at
     ``node`` and, when it has a leaf, the value stored at the
     transitioned base. Folding the leaf value into the node's row turns
     them into ONE row gather (a W-wide row costs ~1.4x a scalar gather
-    on TPU vs 2x for two serial gathers — scripts/probe_gather.py)."""
+    on TPU vs 2x for two serial gathers — scripts/probe_gather.py).
+    Folding the score in as well removes the whole downstream
+    score-table gather: at JA lattice scale (B*N*D = 30M lanes over an
+    8k vocab) that gather alone measured 23.6 ms/batch, while the extra
+    4 byte planes on the banded walk's row reads cost a few ms."""
     import numpy as np
     u = np.asarray(units_np, np.uint32)
     offs = (u >> np.uint32(10)) << ((u & np.uint32(1 << 9)) >> np.uint32(6))
@@ -75,7 +81,13 @@ def build_paired(units_np) -> "np.ndarray":
     leaf_idx = (idx ^ offs) % np.uint32(max(len(u), 1))
     leafv = u[leaf_idx] & np.uint32(0x7FFFFFFF)
     has_leaf = (u & np.uint32(1 << 8)) != 0
-    return np.stack([u, np.where(has_leaf, leafv, np.uint32(0))], axis=1)
+    leafv = np.where(has_leaf, leafv, np.uint32(0))
+    if leaf_scores is None:
+        return np.stack([u, leafv], axis=1)
+    sb = np.asarray(leaf_scores, np.float32).view(np.uint32)
+    vsafe = np.minimum(leafv, np.uint32(max(len(sb) - 1, 0)))
+    sc = np.where(has_leaf, sb[vsafe], np.uint32(0))
+    return np.stack([u, leafv, sc], axis=1)
 
 
 def _gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -294,14 +306,16 @@ def scatter_rowlocal_mxu(values: jnp.ndarray, cols: jnp.ndarray, O: int,
                      (v - 1).astype(values.dtype))
 
 
-def build_pair_arcs(units_np, root_state: int, max_arcs: int = 2048):
+def build_pair_arcs(units_np, root_state: int, max_arcs: int = 2048,
+                    leaf_scores=None):
     """Host precompute for the depth-1 walk step (the one following
     step_root): the live DEPTH-2 ARCS of the trie, keyed by the first
     two bytes. Real tries have very few (nmt_nfkc charsmap: 333; an 8k
     English vocab: 123), so the device step collapses to a one-hot
     compare over the sorted keys — ~20x cheaper than a full-table
     gather. Returns (keys int32[K], w0 int32[K], w1 int32[K]) with
-    w0 = post-step state | has_leaf<<31 and w1 = leaf value, or None
+    w0 = post-step state | has_leaf<<31 and w1 = leaf value — plus
+    w2 = leaf score bits when ``leaf_scores`` is given — or None
     when the trie has more than ``max_arcs`` arcs (the generic walk
     step stays correct and cheap enough there)."""
     import numpy as np
@@ -340,20 +354,30 @@ def build_pair_arcs(units_np, root_state: int, max_arcs: int = 2048):
     import numpy as _np
     # w0's has_leaf bit 31 exceeds the positive int32 range — build as
     # uint32 and reinterpret (the device side tests the sign bit)
-    return (_np.asarray(keys, _np.int32),
-            _np.asarray(w0s, _np.uint32).view(_np.int32),
-            _np.asarray(w1s, _np.int32))
+    out = (_np.asarray(keys, _np.int32),
+           _np.asarray(w0s, _np.uint32).view(_np.int32),
+           _np.asarray(w1s, _np.int32))
+    if leaf_scores is None:
+        return out
+    sb = _np.asarray(leaf_scores, _np.float32).view(_np.int32)
+    w1a = out[2]
+    vsafe = _np.minimum(_np.maximum(w1a, 0), max(len(sb) - 1, 0))
+    has = out[1] < 0
+    w2 = _np.where(has, sb[vsafe], 0).astype(_np.int32)
+    return out + (w2,)
 
 
 def step_pair(arc_keys: jnp.ndarray, arc_w0: jnp.ndarray,
               arc_w1: jnp.ndarray, key: jnp.ndarray, live: jnp.ndarray,
-              state0: jnp.ndarray, block: int = 512):
+              state0: jnp.ndarray, block: int = 512, arc_w2=None):
     """Depth-1 walk step via one-hot key matching over the live depth-2
     arcs (see build_pair_arcs). ``key`` = first_byte*256 + second_byte
     per lane; ``state0`` is the post-step_root state, kept where the
     arc does not exist (matching the generic step's semantics).
 
-    Returns (state, alive, val)."""
+    Returns (state, alive, val, sc) — sc is the leaf score (f32,
+    NEG_INF where none) when ``arc_w2`` (leaf score bits,
+    build_pair_arcs with leaf_scores) is given, else None."""
     K = int(arc_keys.shape[0])
     _count("onehot_lane_keys", 3 * key.size * K)
     flat = key.reshape(-1)
@@ -364,6 +388,11 @@ def step_pair(arc_keys: jnp.ndarray, arc_w0: jnp.ndarray,
         [arc_w0, jnp.zeros((Kp - K,), jnp.int32)]).reshape(-1, block)
     w1pad = jnp.concatenate(
         [arc_w1, jnp.zeros((Kp - K,), jnp.int32)]).reshape(-1, block)
+    w2pad = None
+    if arc_w2 is not None:
+        w2pad = jnp.concatenate(
+            [arc_w2, jnp.zeros((Kp - K,), jnp.int32)]).reshape(-1, block)
+        w2 = jnp.zeros(flat.shape, jnp.int32)
     fnd = jnp.zeros(flat.shape, bool)
     w0 = jnp.zeros(flat.shape, jnp.int32)
     w1 = jnp.zeros(flat.shape, jnp.int32)
@@ -372,6 +401,8 @@ def step_pair(arc_keys: jnp.ndarray, arc_w0: jnp.ndarray,
         fnd = fnd | jnp.any(oh, axis=1)
         w0 = w0 + jnp.sum(jnp.where(oh, w0pad[b][None, :], 0), axis=1)
         w1 = w1 + jnp.sum(jnp.where(oh, w1pad[b][None, :], 0), axis=1)
+        if w2pad is not None:
+            w2 = w2 + jnp.sum(jnp.where(oh, w2pad[b][None, :], 0), axis=1)
     fnd = fnd.reshape(key.shape)
     w0 = w0.reshape(key.shape)
     w1 = w1.reshape(key.shape)
@@ -379,7 +410,13 @@ def step_pair(arc_keys: jnp.ndarray, arc_w0: jnp.ndarray,
     state = jnp.where(ok, (w0 & 0x7FFFFFFF).astype(jnp.uint32), state0)
     has_leaf = ok & (w0 < 0)
     val = jnp.where(has_leaf, w1, jnp.int32(-1))
-    return state, ok, val
+    sc = None
+    if arc_w2 is not None:
+        import numpy as _np
+        NEG = jnp.float32(_np.float32(-1e30))
+        sc = jnp.where(has_leaf, jax.lax.bitcast_convert_type(
+            w2.reshape(key.shape), jnp.float32), NEG)
+    return state, ok, val, sc
 
 
 def step_root(units: jnp.ndarray, batch: jnp.ndarray, in_range: jnp.ndarray,
@@ -393,19 +430,22 @@ def step_root(units: jnp.ndarray, batch: jnp.ndarray, in_range: jnp.ndarray,
     with gather_small — ~20x cheaper than a serial full-table row
     gather at a million lanes.
 
-    Returns (state uint32[B,N], alive bool[B,N], val int32[B,N]) — the
-    post-step walk state, surviving-lane mask, and depth-1 leaf value
-    (-1 where none), exactly as one iteration of the inline walk."""
+    Returns (state uint32[B,N], alive bool[B,N], val int32[B,N], sc) —
+    the post-step walk state, surviving-lane mask, depth-1 leaf value
+    (-1 where none), and — for [U, 3] score-paired tables
+    (build_paired with leaf_scores) — the leaf score (f32, NEG_INF
+    where none); sc is None for 2-column tables."""
     U = int(units.shape[0])
+    W = int(units.shape[1])
     cvals = (jnp.uint32(root_state)
              ^ jnp.arange(256, dtype=jnp.uint32))
-    t256 = _gather(units, jnp.minimum(cvals, jnp.uint32(U - 1)))  # [256, 2]
+    t256 = _gather(units, jnp.minimum(cvals, jnp.uint32(U - 1)))
     c = batch.astype(jnp.int32)
-    # one MXU digit gather for both paired columns: the [lanes, 256]
+    # one MXU digit gather for all paired columns: the [lanes, 256]
     # select work moves onto the MXU as [lanes, d1] @ [d1, d2*planes]
     # and only the d2-wide lo-select stays on the VPU — measured ~6x
     # over the two 256-key gather_small passes at a million lanes
-    row = gather_mxu(t256, c, d2=8, col_bits=(32, 32))
+    row = gather_mxu(t256, c, d2=8, col_bits=(32,) * W)
     unit = row[..., 0]
     leafv = row[..., 1]
     cu = batch.astype(jnp.uint32)
@@ -414,7 +454,13 @@ def step_root(units: jnp.ndarray, batch: jnp.ndarray, in_range: jnp.ndarray,
     state = jnp.where(ok, node ^ offsets(unit), jnp.uint32(root_state))
     has_leaf = ok & ((unit & _HAS_LEAF) != 0)
     val = jnp.where(has_leaf, leafv.astype(jnp.int32), jnp.int32(-1))
-    return state, ok, val
+    sc = None
+    if W >= 3:
+        import numpy as _np
+        NEG = jnp.float32(_np.float32(-1e30))
+        sc = jnp.where(has_leaf, jax.lax.bitcast_convert_type(
+            row[..., 2], jnp.float32), NEG)
+    return state, ok, val, sc
 
 
 def step(units: jnp.ndarray, state: jnp.ndarray, c: jnp.ndarray,

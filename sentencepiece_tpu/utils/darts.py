@@ -154,6 +154,41 @@ class DoubleArray:
         return values
 
     # -- structural queries --------------------------------------------------
+    def items(self) -> List[Tuple[bytes, int]]:
+        """Enumerate every (key, value) pair by BFS over reachable
+        states (the inverse of build; used to derive device-side twin
+        tables — e.g. the cp-direct charsmap — from wire blobs)."""
+        units = self.units
+        out: List[Tuple[bytes, int]] = []
+        all_labels = np.arange(1, 256, dtype=np.uint32)
+        # (state base, prefix, edge has_leaf) — the value row at base^0
+        # is only meaningful when the ENTERING edge carried HAS_LEAF
+        # (an unused slot's 0xFFFFFFFF filler also has bit 31 set)
+        frontier = [(np.uint32(_offsets(units[0])), b"", False)]
+        while frontier:
+            nxt = []
+            for base, prefix, has_leaf in frontier:
+                slot0 = int(base)
+                if has_leaf and slot0 < len(units):
+                    u0 = units[slot0]
+                    if u0 >> np.uint32(31):
+                        out.append(
+                            (prefix, int(u0 & np.uint32(0x7FFFFFFF))))
+                slots = (base ^ all_labels).astype(np.int64)
+                inb = slots < len(units)
+                u = units[np.where(inb, slots, 0)]
+                ok = inb & (_labels(u) == all_labels)
+                for lab in np.nonzero(ok)[0]:
+                    uu = u[lab]
+                    nb = np.uint32(slots[lab]) ^ _offsets(uu)
+                    nxt.append((nb,
+                                prefix + bytes([int(all_labels[lab])]),
+                                bool(uu & np.uint32(1 << 8))))
+            frontier = nxt
+            if len(out) > 10_000_000:
+                raise RuntimeError("trie enumeration runaway")
+        return out
+
     def max_key_length(self) -> int:
         """Longest key in the trie, by BFS over reachable states."""
         if self._max_key_len is not None:

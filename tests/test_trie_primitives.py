@@ -125,9 +125,9 @@ def test_step_root_and_pair_match_generic_walk(jnp):
     w_st1, w_al1, w_v1 = np_step(st0, in_range, 0)
     w_st2, w_al2, w_v2 = np_step(w_st1, w_al1, 1)
 
-    d_st1, d_al1, d_v1 = trie.step_root(paired, jnp.asarray(batch),
-                                        jnp.asarray(in_range),
-                                        root_state=root)
+    d_st1, d_al1, d_v1, _sc1 = trie.step_root(paired, jnp.asarray(batch),
+                                              jnp.asarray(in_range),
+                                              root_state=root)
     assert np.array_equal(np.asarray(d_v1), w_v1)
     assert np.array_equal(np.asarray(d_al1), w_al1)
     assert np.array_equal(np.asarray(d_st1)[w_al1], w_st1[w_al1])
@@ -135,7 +135,7 @@ def test_step_root_and_pair_match_generic_walk(jnp):
     bp = np.concatenate([batch, np.zeros((8, 1), np.uint8)], axis=1)
     key = batch.astype(np.int32) * 256 + bp[:, 1:17].astype(np.int32)
     live1 = np.asarray(d_al1) & ((pos + 1) < lengths[:, None])
-    d_st2, d_al2, d_v2 = trie.step_pair(
+    d_st2, d_al2, d_v2, _sc2 = trie.step_pair(
         jnp.asarray(arcs[0]), jnp.asarray(arcs[1]), jnp.asarray(arcs[2]),
         jnp.asarray(key), jnp.asarray(live1), d_st1)
     assert np.array_equal(np.asarray(d_v2), w_v2)

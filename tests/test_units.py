@@ -119,3 +119,114 @@ def test_utf8_decode_malformed():
     assert decode_utf8("é".encode())[0] == 0xE9
     assert decode_utf8("𠜎".encode())[1] == 4
     assert one_char_len(0x80) == 1  # continuation byte alone
+
+
+def test_cp_direct_charsmap_exact():
+    """The cp-direct charsmap fast path (NormalizerTables.cp_rule —
+    dense cp table + extends/second-char demotion, docs/design.md rule
+    22) against the host normalizer, on CJK text, combining-mark /
+    Hangul-jamo sequences (real EXTENDS continuations), and raw-byte
+    fuzz. The composed TPU pipeline uses this path on device only
+    (pipeline.py gates it off the CPU backend), so this direct
+    normalize_batch drive is its CPU conformance coverage."""
+    import numpy as np
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import pack_lines
+    from sentencepiece_tpu.tpu import normalize as tn
+    from sentencepiece_tpu.normalizer.normalize import Normalizer
+
+    sp = SentencePieceProcessor()
+    sp.load("/root/reference/python/test/test_ja_model.model")
+    spec = sp.model_proto.normalizer_spec
+    t = tn.NormalizerTables(spec)
+    assert t.cp_rule is not None
+    hn = Normalizer(spec)
+
+    rng = np.random.RandomState(11)
+    pool = [0x304B, 0x3099, 0x309A, 0x1100, 0x1161, 0x11A8, 0x30AB,
+            0x20, 0x61, 0xFF76, 0xFF9E, 0x2460, 0x1F600]
+    cases = [
+        "吾輩は猫である。名前はまだ無い。".encode(),
+        "がぎ  ぐ".encode(),   # combining voiced marks
+        "각".encode(),           # jamo L+V+T
+    ]
+    for _ in range(120):
+        n = rng.randint(1, 40)
+        if rng.rand() < 0.7:
+            s = "".join(chr(pool[rng.randint(len(pool))])
+                        for _ in range(n))
+            cases.append(s.encode("utf-8")[:90])
+        else:
+            cases.append(bytes(rng.randint(1, 256, n)
+                               .astype(np.uint8))[:90])
+    arr, lens = pack_lines(cases, 96)
+    n_out = t.out_width(96)
+    out, total = tn.normalize_batch(
+        t.units, t.esc_pool, t.v_attr, t.ws_arr, t.fffd_arr,
+        arr, lens.astype(np.int32),
+        max_rule_len=t.max_rule_len, root_state=t.root_state,
+        n_out=n_out, ws_len=t.ws_len, max_rep_len=t.max_rep_len,
+        add_dummy_prefix=t.add_dummy_prefix,
+        remove_extra_whitespaces=t.remove_extra_whitespaces,
+        escape_whitespaces=t.escape_whitespaces, suffix=t.suffix,
+        arcs=t.arcs, u_units=None, u_max_len=0, u_root_state=0,
+        cp_rule=t.cp_rule)
+    out, total = np.asarray(out), np.asarray(total)
+    for i, b in enumerate(cases):
+        exp = hn.normalize(b)
+        if isinstance(exp, tuple):
+            exp = exp[0]
+        if isinstance(exp, str):
+            exp = exp.encode()
+        assert bytes(out[i, :total[i]]) == exp, (i, b)
+
+
+def test_score_paired_trie_exact():
+    """The score-paired [U, 3] trie (trie.build_paired with
+    leaf_scores + pair-arc w2 — docs/design.md rule 19) against the
+    2-column table + score-gather path, driven directly through
+    unigram_encode_batch on a small batch. The composed pipeline uses
+    the 3-column form on device only (encode.py gates it off the CPU
+    backend), so this small-program drive is its CPU coverage."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu import trie
+    from sentencepiece_tpu.tpu.encode import unigram_encode_batch
+    from sentencepiece_tpu.tpu.pipeline import pack_lines
+    from sentencepiece_tpu import native
+
+    sp = SentencePieceProcessor()
+    sp.load("/root/reference/python/test/test_model.model")
+    model = sp.model
+    scores = np.array(model.scores, np.float32)
+    keys = sorted(model.pieces)
+    r = native.darts_build_banded(keys, [model.pieces[k] for k in keys])
+    assert r is not None
+    units_np, bands = r
+    bands = tuple(bands)
+    u0 = int(units_np[0])
+    root_state = int((u0 >> 10) << (((u0 >> 9) & 1) << 3))
+    D = max(max(len(k) for k in keys), 4)
+    lines = [b"\xe2\x96\x81I\xe2\x96\x81have\xe2\x96\x81a\xe2\x96\x81pen.",
+             b"\xe2\x96\x81hello\xe2\x96\x81world",
+             "▁吾輩は猫である".encode()]
+    arr, lens = pack_lines(lines, 64)
+    outs = []
+    for sc_pair in (None, scores):
+        pa = trie.build_pair_arcs(units_np, root_state,
+                                  leaf_scores=sc_pair)
+        arcs = tuple(jnp.asarray(a) for a in pa) if pa is not None \
+            else None
+        paired = jnp.asarray(trie.build_paired(units_np, sc_pair))
+        ids, n = unigram_encode_batch(
+            paired, jnp.asarray(scores), jnp.asarray(arr),
+            jnp.asarray(lens.astype(np.int32)),
+            jnp.float32(model.min_score - 10.0),
+            max_depth=D, unk_id=model.unk_id, root_state=root_state,
+            arcs=arcs, bands=bands)
+        outs.append((np.asarray(ids), np.asarray(n)))
+    # the 2-column path is host-verified across the whole suite, so
+    # 3-col == 2-col equality IS the conformance statement
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert np.array_equal(outs[0][1], outs[1][1])
