@@ -539,8 +539,16 @@ class BpeBatchEncoder:
         self.host_only = bool((types == PieceType.UNUSED).any())
         user_pieces = []
         if has_user and not self.host_only:
-            user_pieces = [model._piece_bytes[int(i)] for i in
-                           np.nonzero(types == PieceType.USER_DEFINED)[0]]
+            # CANONICAL ORDER: sorted unique byte strings — the same
+            # order NormalizerTables gives the user trie's values, which
+            # user_frz_batch adds to U0. Building this list in vocab
+            # (piece-id) order instead mapped frozen spans to the WRONG
+            # piece id whenever the model's user symbols weren't already
+            # byte-sorted (advisor r4 high finding; regression test
+            # tests/test_user_defined_device.py::test_user_symbols_not_sorted).
+            user_pieces = sorted({
+                bytes(model._piece_bytes[int(i)]) for i in
+                np.nonzero(types == PieceType.USER_DEFINED)[0]})
         self.user_pieces = user_pieces
         tables = None if self.host_only else build_pair_tables(
             model, user_pieces=user_pieces)

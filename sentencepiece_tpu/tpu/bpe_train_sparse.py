@@ -678,6 +678,19 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     SEP = U  # permanent word separator: s_val False => never pairs
     if U + 1 >= 46341:  # l*(U+1) + r must fit int32
         return None
+    # The refresh's 3-operand cut sort packs (count, merged len) as
+    # -((count << 5) | (31 - len)): len > 31 flips the key sign and a
+    # count >= 2^26 overflows into the sign bit (advisor r4 low
+    # finding). Both bounds are host-checkable up front — decline the
+    # device engine (facade falls back) instead of corrupting the cut.
+    if ts.max_sentencepiece_length > 31:
+        return None
+    # bound at 2^24, the tighter of the two limits: above it the f32
+    # count arithmetic itself stops being integral (the "exact psum
+    # below 2^24" contract in the module docstring)
+    max_pair_count = sum(f * max(len(w) - 1, 0) for w, f in words)
+    if max_pair_count >= (1 << 24):
+        return None
 
     # Pack words into rows of width C with SEP symbols between words
     # (freqs become per-LANE). One word per row wastes ~90% of the lanes

@@ -326,8 +326,11 @@ def unigram_encode_batch(units: jnp.ndarray,
             Mk = trie.taa_mxu(Mk, Mk, value_bits=vbp)  # f^(2k)
     rev_mask = path > 0                            # [B, N]
     rev_mask = rev_mask & (lengths > 0)[:, None]
+    # piece-id read width follows the score table (advisor r4: a fixed
+    # 24 would truncate vocabularies with ids >= 2^24)
+    vid = max(8, int(lat_score_table.shape[0]).bit_length())
     rev_ids = jnp.where(
-        rev_mask, trie.taa_mxu(id_best, path, value_bits=24), -1)
+        rev_mask, trie.taa_mxu(id_best, path, value_bits=vid), -1)
     T = jnp.sum(rev_mask, axis=1, dtype=jnp.int32)
 
     # reverse-compact + adjacent-UNK merge (sentencepiece_processor.cc:

@@ -109,6 +109,9 @@ class TpuTokenizer:
         no collectives, so it scales linearly over ICI)."""
         from .encode import UnigramBatchEncoder
         from ..proto.spec import ModelType, PieceType
+        from ..utils import compile_cache
+
+        compile_cache.enable()
 
         self.mesh = mesh
         self.mesh_axis = axis

@@ -172,6 +172,10 @@ def train(args: Optional[str] = None,
     (sentencepiece_trainer.cc:44-67, 148-154). Returns the ModelProto (the
     reference writes the artifact only; we also hand it back)."""
     _tune_malloc()
+    if engine == "device":
+        from ..utils import compile_cache
+
+        compile_cache.enable()
     if trainer_spec is None:
         trainer_spec = TrainerSpec()
     if normalizer_spec is None:

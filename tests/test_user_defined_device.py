@@ -53,6 +53,45 @@ def test_user_defined_device_bit_exact(model):
     assert not bad, (len(bad), bad[:5], lines[bad[0]] if bad else None)
 
 
+@pytest.mark.parametrize("model", ["bpe_user_300", "unigram_user_300"])
+def test_user_symbols_not_sorted(tmp_path, model):
+    """Device path with user symbols NOT in byte-sorted vocab order.
+
+    The shipped fixtures happen to list '<sep>' before '①' (byte-sorted
+    already); swapping them exposed an index-order mismatch between the
+    normalizer user trie (sorted-dedup rank) and the BPE pair tables
+    (vocab order) — frozen spans mapped to the wrong piece id (advisor
+    r4 high finding). Gold = the exact host path on the same swapped
+    model, which is order-insensitive by construction."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.proto.spec import ModelProto, PieceType
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    mp = ModelProto.parse(
+        open(os.path.join(FIX, model + ".model"), "rb").read())
+    ud = [i for i, p in enumerate(mp.pieces)
+          if p.type == PieceType.USER_DEFINED]
+    assert len(ud) == 2
+    a, b = ud
+    pa, pb = mp.pieces[a], mp.pieces[b]
+    assert pa.piece < pb.piece  # shipped fixture is coincidentally sorted
+    mp.pieces[a], mp.pieces[b] = pb, pa
+    path = tmp_path / (model + "_swapped.model")
+    path.write_bytes(mp.serialize())
+
+    sp = SentencePieceProcessor(str(path))
+    tok = TpuTokenizer(sp)
+    assert not tok.norm.user_host_only
+    if tok._bpe is not None:
+        assert not tok._bpe.host_only
+    lines = _cases()
+    gold = [sp.encode_as_ids(ln) for ln in lines]
+    got = tok.encode(lines)
+    bad = [i for i in range(len(lines)) if got[i] != gold[i]]
+    assert not bad, (len(bad), bad[:5],
+                     (got[bad[0]], gold[bad[0]]) if bad else None)
+
+
 def test_user_defined_normalize_alignment():
     """normalize_with_offsets through the user trie matches the exact
     host normalizer (string AND norm_to_orig)."""
