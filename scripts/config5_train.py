@@ -31,6 +31,55 @@ CORPUS = os.environ.get("SPM_CONFIG5_CORPUS", "/tmp/spm_multilingual.txt")
 OUT = os.environ.get("SPM_CONFIG5_OUT", os.path.join(REPO, "CONFIG5.json"))
 
 
+def _run_reference(model_type: str) -> dict:
+    """Time the reference spm_train binary on the IDENTICAL corpus and
+    flags (bpe_model_trainer.cc:186-326 / unigram_model_trainer.cc:
+    539-603) — the wall the device engine has to beat, recorded in the
+    same file (VERDICT r4 item 1/4)."""
+    import subprocess
+    import time
+
+    binary = os.environ.get("SPM_REF_TRAIN", "/tmp/refbuild2/src/spm_train")
+    if not os.path.exists(binary):
+        return {"error": f"missing {binary} (run scripts/build_reference.sh)"}
+    prefix = f"/tmp/config5_ref_{model_type}_{VOCAB}"
+    t0 = time.time()
+    subprocess.run(
+        [binary, f"--input={CORPUS}", f"--model_type={model_type}",
+         f"--vocab_size={VOCAB}", "--hard_vocab_limit=false",
+         f"--max_sentence_length={MAX_SENT}", "--minloglevel=2",
+         f"--model_prefix={prefix}"], check=True, capture_output=True)
+    return {"wall_s": round(time.time() - t0, 1), "prefix": prefix}
+
+
+def _vocab_divergence(ours_prefix: str, ref_prefix: str) -> dict:
+    """Artifact comparison vs the reference 32k vocab: line overlap,
+    first divergent line index, and (piece-set) Jaccard overlap. The
+    sparse device engine's only documented deviation is the
+    active-set-cutoff tie order (docs/conformance.md §5) — this
+    quantifies it at full scale instead of asserting it."""
+    try:
+        ours = open(ours_prefix + ".vocab", encoding="utf-8",
+                    errors="surrogateescape").read().splitlines()
+        ref = open(ref_prefix + ".vocab", encoding="utf-8",
+                   errors="surrogateescape").read().splitlines()
+    except OSError as e:
+        return {"error": str(e)}
+    first_div = next((i for i, (a, b) in enumerate(zip(ours, ref))
+                      if a != b), min(len(ours), len(ref))
+                     if len(ours) != len(ref) else -1)
+    set_o = {l.split("\t")[0] for l in ours}
+    set_r = {l.split("\t")[0] for l in ref}
+    inter = len(set_o & set_r)
+    return {
+        "lines_ours": len(ours), "lines_ref": len(ref),
+        "first_divergent_line": first_div,
+        "identical_lines": sum(a == b for a, b in zip(ours, ref)),
+        "piece_overlap": inter,
+        "piece_jaccard": round(inter / max(len(set_o | set_r), 1), 6),
+    }
+
+
 def main() -> None:
     if os.environ.get("SPM_CONFIG5_CPU") == "1":
         import jax
@@ -80,6 +129,14 @@ def main() -> None:
                      "wall_s": round(time.time() - t0, 1)}
         finally:
             os.environ.pop("SPM_BPE_TRAIN_KERNEL", None)
+        if os.environ.get("SPM_CONFIG5_NO_REF") != "1":
+            ref = _run_reference(model_type)
+            entry["reference_binary"] = ref
+            if "prefix" in ref and "error" not in entry:
+                entry["vs_reference_artifact"] = _vocab_divergence(
+                    prefix, ref["prefix"])
+                entry["device_vs_ref_wall"] = round(
+                    entry["wall_s"] / max(ref["wall_s"], 1e-9), 3)
         result[model_type] = entry
         print(json.dumps({model_type: entry}), file=sys.stderr, flush=True)
 

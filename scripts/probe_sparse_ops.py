@@ -74,11 +74,13 @@ def main() -> None:
     frqj = jnp.asarray(freqs)
     trkj = jnp.asarray(tracked)
 
-    # 1. one full-lane suffix propagate scan (the _lane_keys core)
+    # 1. one full-lane suffix propagate scan (the _lane_keys core).
+    # Consume the WHOLE scan output (sum) — consuming a slice lets XLA
+    # collapse the scan to a per-row reduction and the timing reads 0.
     def op_scan(x, i):
         alive = x >= 0
         n = _suffix_first_alive(x, alive, jnp.int32(-1))
-        return x + (n[:, :1] & 1)
+        return x + (jnp.sum(n) & 1)
     timeit("scan_full", op_scan, symj)
 
     # 2. elementwise recount pass (key compare + masked sum)
@@ -88,11 +90,23 @@ def main() -> None:
         return x + (s.astype(jnp.int32) & 1)
     timeit("recount_full", op_recount, symj)
 
+    # 2b. segment-sum over sorted keys: sort + cumsum passes (the
+    # sort-mediated scatter-add replacement)
+    def op_segsum(x, i):
+        k = (x + i).reshape(-1)
+        ks, ws = jax.lax.sort((k, frqj.reshape(-1)), num_keys=1)
+        csum = jnp.cumsum(ws)
+        prev = jnp.concatenate([jnp.full((1,), -3, ks.dtype), ks[:-1]])
+        start = ks != prev
+        return x + (jnp.sum(jnp.where(start, csum, 0.0)).astype(jnp.int32)
+                    & 1)
+    timeit("sort_segsum_full", op_segsum, symj)
+
     # 3. flat 2-op sort over all lanes
     def op_sort_full(x, i):
         k = (x + i).reshape(-1)
         ks, ws = jax.lax.sort((k, frqj.reshape(-1)), num_keys=1)
-        return x + (ks[0] & 1)
+        return x + (jnp.sum(ks) & 1)
     timeit("sort_full_2op", op_sort_full, symj)
 
     # 4. flat 2-op sort over SR*C lanes
@@ -102,7 +116,7 @@ def main() -> None:
     def op_sort_sub(x, i):
         k = (x + i).reshape(-1)
         ks, ws = jax.lax.sort((k, subf.reshape(-1)), num_keys=1)
-        return x + (ks[0] & 1)
+        return x + (jnp.sum(ks) & 1)
     timeit(f"sort_{SR}x{C}_2op", op_sort_sub, sub)
 
     # 5. row gather of SR rows
@@ -137,7 +151,7 @@ def main() -> None:
 
     def op_cutsort(x, i):
         s1, s2, s3 = jax.lax.sort((a + i, b, c), num_keys=2)
-        return x + (s1[0] & 1)
+        return x + (jnp.sum(s1) & 1)
     timeit("cutsort_1M_3op", op_cutsort, symj)
 
     # 9. small-table ops: argsort over K=8192 + fori-Lp argmin over K

@@ -355,7 +355,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                    fl_cnt, fl_len, fl_chr, fl_key,
                    w_key, w_cnt, w_len, w_chr,
                    s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
-                   ml, mr, mf, e_len, e_chr, next_id, k_done):
+                   ml, mr, mf, e_len, e_chr, next_id, k_done, use_w0):
         W, L = sym.shape
         SENT = jnp.int32(2**31 - 1)
         BIG = jnp.int32(2**31 - 1)
@@ -613,8 +613,12 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
 
         st0 = (sym, tracked, t_key, t_cnt, t_len, t_chr, s_len, s_wsp,
                s_wsi, s_scr, s_val, s_chr, ml, mr, mf, e_len, e_chr,
-               next_id, k_done, jnp.int32(-1), jnp.ones((), jnp.bool_))
+               next_id, k_done, jnp.int32(-1), use_w0)
         out = jax.lax.while_loop(step_cond, step_body, st0)
+        # ALSO return the table state so the host driver can dispatch
+        # another epoch without an intervening refresh (r5: the r4
+        # driver refreshed unconditionally before every epoch — ~8x
+        # more refreshes than the floor/append logic requires)
         return out[:-1]
 
     shard = P(axis_name)
@@ -625,7 +629,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
         out_specs=(rep,) * 13, check_vma=False))
     epoch = jax.jit(shard_map(
         epoch_impl, mesh=mesh,
-        in_specs=(shard, shard, shard) + (rep,) * 25,
+        in_specs=(shard, shard, shard) + (rep,) * 26,
         out_specs=(shard, shard) + (rep,) * 18, check_vma=False))
     return refresh, epoch
 
@@ -838,7 +842,8 @@ def train_device_bpe_sparse(trainer, n_merges: int,
                      jax.ShapeDtypeStruct((n_merges,), np.int32),
                      jax.ShapeDtypeStruct((n_merges, Lp), np.int32),
                      jax.ShapeDtypeStruct((), np.int32),
-                     jax.ShapeDtypeStruct((), np.int32)))
+                     jax.ShapeDtypeStruct((), np.int32),
+                     jax.ShapeDtypeStruct((), np.bool_)))
         t0 = _time.time()
         lowered = epoch.lower(*args_e)
         print(f"[sparse-bpe] epoch lowered in {_time.time()-t0:.1f}s",
@@ -863,14 +868,17 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     next_id = rep(np.int32(A))
     k_done = rep(np.int32(0))
 
-    # Dispatch WAVES of refresh+epoch pairs between host readbacks: on
-    # the tunneled rig the first device->host readback permanently
-    # degrades later dispatch latency (~1.2 s each, design.md rule 5),
-    # so reading status/overflow after every epoch made the wall time
-    # sync-bound (botchan 8k: 31 min). Overflow and done/stall checks
-    # are only LATENESS-sensitive (a late overflow wastes device time
-    # but stays correct; the epoch program self-stops once done), so
-    # one readback per wave preserves the exact merge sequence.
+    # Dispatch WAVES of epochs between host readbacks: on the tunneled
+    # rig the first device->host readback permanently degrades later
+    # dispatch latency (~1.2 s each, design.md rule 5), so reading
+    # status/overflow after every epoch made the wall time sync-bound.
+    # r5 change: the table state is THREADED between epochs and a
+    # refresh runs only when an epoch reports ST_REFRESH (the r4
+    # driver refreshed unconditionally before every epoch — ~E_CAP/R
+    # times more refreshes than the floor/append logic requires).
+    # Epochs dispatched after an in-wave ST_REFRESH are harmless
+    # no-ops: their first pop hits the floor guard and exits without
+    # applying anything; their stats are discarded below.
     wave = max(1, int(os.environ.get("SPM_BPE_SPARSE_WAVE", "8")))
     import sys as _sys
     import time as _time
@@ -879,28 +887,38 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     if verbose:
         print(f"[sparse-bpe] entering wave loop (wave={wave})",
               file=_sys.stderr, flush=True)
+    use_w_t = rep(np.ones((), np.bool_))
+    use_w_f = rep(np.zeros((), np.bool_))
     prev_k, stalls = -1, 0
     done = False
+    need_refresh = True
     it = 0
     t_phase = _time.time()
-    while not done and it < n_merges + 16:
+    while not done and it < 2 * n_merges + 16:
         stats = []
-        for _ in range(min(wave, n_merges + 16 - it)):
+        overflow_d = None
+        for _ in range(wave):
             it += 1
-            (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr, fl_key,
-             w_key, w_cnt, w_len, w_chr,
-             overflow) = refresh(sym_d, tracked_d, freqs_d, s_len_d,
-                                 s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
-                                 s_chr_d)
+            if need_refresh:
+                (t_key, t_cnt, t_len, t_chr, fl_cnt, fl_len, fl_chr,
+                 fl_key, w_key, w_cnt, w_len, w_chr,
+                 overflow_d) = refresh(sym_d, tracked_d, freqs_d,
+                                       s_len_d, s_wsp_d, s_wsi_d,
+                                       s_scr_d, s_val_d, s_chr_d)
+                use_w = use_w_t
+                need_refresh = False
             out = epoch(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len,
                         t_chr, fl_cnt, fl_len, fl_chr, fl_key,
                         w_key, w_cnt, w_len, w_chr,
                         s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
-                        s_chr_d, ml, mr, mf, e_len, e_chr, next_id, k_done)
-            (sym_d, tracked_d, _tk, _tc, _tl, _tch, s_len_d, s_wsp_d,
-             s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf, e_len, e_chr,
-             next_id, k_done, status) = out
-            stats.append((overflow, status, k_done))
+                        s_chr_d, ml, mr, mf, e_len, e_chr, next_id,
+                        k_done, use_w)
+            (sym_d, tracked_d, t_key, t_cnt, t_len, t_chr, s_len_d,
+             s_wsp_d, s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf,
+             e_len, e_chr, next_id, k_done, status) = out
+            use_w = use_w_f
+            stats.append((overflow_d, status, k_done))
+            overflow_d = None
         if verbose:
             print(f"[sparse-bpe] it={it} k={int(np.asarray(k_done))}"
                   f"/{n_merges} {_time.time() - t_start:.0f}s",
@@ -913,18 +931,28 @@ def train_device_bpe_sparse(trainer, n_merges: int,
         t_phase = _time.time()
         # one sync for the whole wave
         for overflow, status, k_d in stats:
-            if bool(np.asarray(overflow)):
+            if overflow is not None and bool(np.asarray(overflow)):
                 return None  # distinct pairs exceed the shard cap
             stat = int(np.asarray(status))
             k_now = int(np.asarray(k_d))
             if stat in (ST_DONE, ST_NO_PAIRS):
                 done = True
                 break
+            if stat == ST_REFRESH:
+                # epochs after this one were no-ops; refresh and go on
+                stalls = stalls + 1 if k_now == prev_k else 0
+                prev_k = k_now
+                need_refresh = True
+                break
             stalls = stalls + 1 if k_now == prev_k else 0
             prev_k = k_now
-            if stalls >= 2:  # no merge for 2 epochs: give up cleanly
+            if stalls >= 3:  # no merges across refreshes: give up
                 done = True
                 break
+        else:
+            continue
+        if stalls >= 3:
+            done = True
     ml_h = np.asarray(ml)
     mr_h = np.asarray(mr)
     strings = list(chars) + [None] * n_merges

@@ -908,7 +908,12 @@ class Trainer(TrainerInterface):
             return scores, seed_to_cur
 
         if self.engine == "device":
-            dev = _DeviceEM(self, seed_pieces)
+            import os as _os2
+
+            if _os2.environ.get("SPM_DEVICE_EM", "v2") == "v1":
+                dev = _DeviceEM(self, seed_pieces)
+            else:
+                dev = _DeviceEM2(self, seed_pieces)
         rnd = 0
         ckpt = self._load_ckpt()
         if ckpt is not None:
@@ -960,7 +965,9 @@ class Trainer(TrainerInterface):
 
         while True:
             snaps.append((list(pieces), cur_sidx.copy()))
-            with profiling.phase("em_round"):
+            with profiling.phase("em_round"), profiling.phase(
+                    "em_round_device" if em_engine == "device"
+                    else "em_round_exact"):
                 if em_engine == "device":
                     # one dispatch wave for all sub-iterations (see
                     # _DeviceEM.em_rounds)
@@ -1008,6 +1015,154 @@ class Trainer(TrainerInterface):
         with profiling.phase("finalize"):
             self.final_pieces = self._finalize(pieces)
         return self.save()
+
+
+class _DeviceEM2:
+    """Packed single-program device EM driver (tpu/em2.py) — the r5
+    engine: one dispatch + one readback per EM round, sort-mediated
+    table ops, compact candidate upload. Interface-compatible with
+    _DeviceEM (em_rounds / em_step / last_sidx); SPM_DEVICE_EM=v1
+    selects the r4 bucket engine."""
+
+    def __init__(self, trainer: Trainer, seed_pieces):
+        from ..tpu import em2
+        from .. import distributed as dist
+        from ..utils import profiling
+
+        self.em2 = em2
+        self.dist = dist
+        self.seed_pieces = seed_pieces
+        self.seed_index = {w: i for i, (w, _) in enumerate(seed_pieces)}
+        self.num_seed = len(seed_pieces)
+        words = trainer.sentences
+        self.all_freq = float(sum(f for _, f in words))
+        K = trainer.trainer_spec.max_sentencepiece_length
+        self.n_sub = trainer.trainer_spec.num_sub_iterations
+        self.mesh = dist.data_mesh("dp")
+        ndev = self.mesh.size
+
+        # CSR candidates vs the seed vocab: reuse the native tables the
+        # trainer already built (same data the host E-step consumes);
+        # pure-Python fallback derives it from _build_word_tables.
+        nt = trainer._native_tables
+        if nt is not None:
+            csr = (nt.cand_off, nt.cand_pos, nt.cand_len, nt.cand_sid)
+        else:
+            tables = trainer._build_word_tables(seed_pieces)
+            off = [0]
+            pos, lns, sids = [], [], []
+            for t in tables:
+                for p, ln, sid in t.cand:
+                    pos.append(p)
+                    lns.append(ln)
+                    sids.append(sid)
+                off.append(len(pos))
+            csr = (np.asarray(off, np.int64), np.asarray(pos, np.int32),
+                   np.asarray(lns, np.int32), np.asarray(sids, np.int32))
+
+        with profiling.phase("em_pack"):
+            classes, n_rows, placements = em2.plan_packing(words)
+            Rg = [max(dist.pad_rows(max(r, 1), self.mesh), ndev)
+                  for r in n_rows]
+            rows_per_shard = [r // ndev for r in Rg]
+            self.shapes = [(rows_per_shard[c], classes[c])
+                           for c in range(len(classes))]
+            lanes = sum(R * K * C for (R, C) in self.shapes)
+
+            # global per-shard candidate counts (deterministic on every
+            # process): word -> shard via its class row
+            cand_off = np.asarray(csr[0], np.int64)
+            per_word = cand_off[1:] - cand_off[:-1]
+            shard_counts = np.zeros(ndev, np.int64)
+            for c, pl in enumerate(placements):
+                if not pl:
+                    continue
+                p = np.asarray(pl, np.int64)
+                shard = p[:, 1] // rows_per_shard[c]
+                np.add.at(shard_counts, shard, per_word[p[:, 0]])
+            n_cand_pad = max(int(shard_counts.max()), 1)
+
+            # build this process's local device shards
+            lo0, hi0 = dist.local_row_range(Rg[0], self.mesh)
+            n_local = (hi0 - lo0) // rows_per_shard[0]
+            first_shard = lo0 // rows_per_shard[0]
+            fl_parts = [[] for _ in classes]
+            fq_parts = [[] for _ in classes]
+            dest_parts, segpos_parts = [], []
+            for s in range(n_local):
+                g = first_shard + s
+                lo = [g * rows_per_shard[c] for c in range(len(classes))]
+                hi = [(g + 1) * rows_per_shard[c]
+                      for c in range(len(classes))]
+                fls, fqs, dest, seg_pos = em2.build_shard_arrays(
+                    words, csr, K, self.num_seed, classes, placements,
+                    lo, hi)
+                for c in range(len(classes)):
+                    fl_parts[c].append(fls[c])
+                    fq_parts[c].append(fqs[c])
+                # pad candidates to the common per-shard stream length
+                # with dump-lane entries (dest == lanes): their scores
+                # scatter off the end and their marginals read 0
+                dest_parts.append(np.pad(
+                    dest, (0, n_cand_pad - len(dest)),
+                    constant_values=lanes))
+                segpos_parts.append(seg_pos)
+
+        with profiling.phase("em_upload"):
+            self._flags = [dist.put_sharded(np.concatenate(fl_parts[c]),
+                                            self.mesh)
+                           for c in range(len(classes))]
+            self._freqs = [dist.put_sharded(np.concatenate(fq_parts[c]),
+                                            self.mesh)
+                           for c in range(len(classes))]
+            self._dest = dist.put_sharded(np.concatenate(dest_parts),
+                                          self.mesh)
+            self._segpos = dist.put_sharded(
+                np.concatenate(segpos_parts), self.mesh)
+        self.K = K
+        self._rounds = {}
+        self._round_fn(self.n_sub)
+
+    def _round_fn(self, n_iters: int):
+        if n_iters not in self._rounds:
+            self._rounds[n_iters] = self.em2.make_round_fn(
+                self.shapes, self.K, self.num_seed, n_iters, "dp",
+                self.mesh)
+        return self._rounds[n_iters]
+
+    def em_step(self, pieces):
+        new_pieces, stats = self.em_rounds(pieces, 1)
+        return (new_pieces, stats[0][0], stats[0][1])
+
+    def em_rounds(self, pieces, n_iters: int):
+        from ..utils import profiling
+
+        round_fn = self._round_fn(n_iters)
+        scores = np.full(self.num_seed, self.em2.NEG_INF, np.float32)
+        alive = np.zeros(self.num_seed, bool)
+        for w, sc in pieces:
+            si = self.seed_index.get(w)
+            if si is not None:
+                scores[si] = sc
+                alive[si] = True
+        with profiling.phase("em_upload"):
+            sc_d = self.dist.put_replicated(scores, self.mesh)
+            al_d = self.dist.put_replicated(alive, self.mesh)
+        with profiling.phase("em_dispatch"):
+            sc_d, al_d, _exp, objs, ntoks = round_fn(
+                sc_d, al_d, self._dest, self._segpos,
+                *self._flags, *self._freqs)
+        with profiling.phase("em_readback"):
+            new_scores = np.asarray(sc_d)
+            new_alive = np.asarray(al_d)
+            objs = np.asarray(objs)
+            ntoks = np.asarray(ntoks)
+        stats = [(float(objs[i]) / self.all_freq, int(ntoks[i]))
+                 for i in range(n_iters)]
+        self.last_sidx = np.nonzero(new_alive)[0].astype(np.int64)
+        new_pieces = [(self.seed_pieces[i][0], float(new_scores[i]))
+                      for i in self.last_sidx.tolist()]
+        return new_pieces, stats
 
 
 class _DeviceEM:
@@ -1135,6 +1290,8 @@ class _DeviceEM:
         import jax.numpy as jnp
         import jax
 
+        from ..utils import profiling
+
         scores = np.full(self.num_seed, self.em.NEG_INF, np.float32)
         alive = np.zeros(self.num_seed, bool)
         for w, sc in pieces:
@@ -1142,15 +1299,18 @@ class _DeviceEM:
             if si is not None:
                 scores[si] = sc
                 alive[si] = True
-        sc_d = self.dist.put_replicated(scores, self.mesh)
-        al_d = self.dist.put_replicated(alive, self.mesh)
+        with profiling.phase("em_upload"):
+            sc_d = self.dist.put_replicated(scores, self.mesh)
+            al_d = self.dist.put_replicated(alive, self.mesh)
         stats_d = []
-        for _ in range(n_iters):
-            expected, obj, ntok = self.estep_all(sc_d, al_d)
-            sc_d, al_d = self.em.mstep(expected, al_d)
-            stats_d.append((obj, ntok))
-        new_scores = np.asarray(sc_d)
-        new_alive = np.asarray(al_d)
+        with profiling.phase("em_dispatch"):
+            for _ in range(n_iters):
+                expected, obj, ntok = self.estep_all(sc_d, al_d)
+                sc_d, al_d = self.em.mstep(expected, al_d)
+                stats_d.append((obj, ntok))
+        with profiling.phase("em_readback"):
+            new_scores = np.asarray(sc_d)
+            new_alive = np.asarray(al_d)
         stats = [(float(np.asarray(o)) / self.all_freq,
                   int(np.asarray(t))) for o, t in stats_d]
         # seed indices of the surviving pieces, in emission order — the

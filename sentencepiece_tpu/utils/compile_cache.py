@@ -40,9 +40,15 @@ def enable() -> None:
     path = spec if spec and spec != "1" else os.path.join(
         os.path.expanduser("~"), ".cache", "sentencepiece_tpu", "xla")
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
 
+        # CPU-only processes skip the persistent cache: XLA:CPU AOT
+        # entries bake the compile machine's ISA features and another
+        # host loading them warns/SIGILLs (observed 2026-08-20); CPU
+        # compiles are cheap anyway. The win is the TPU backend.
+        if jax.default_backend() == "cpu":
+            return
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # trainer programs worth caching compile in >= ~0.5 s; smaller
         # entries would thrash the dir with thousands of tiny kernels
