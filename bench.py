@@ -90,6 +90,10 @@ MODELS = {
                    os.path.join(FIX, "unigram_ja.ids.txt"),
                    "encode bytes/s/chip (normalize+unigram viterbi, "
                    "wagahai JA, bit-exact)"),
+    "bpe_ja": (CORPUS_JA, WIDTH_JA, os.path.join(FIX, "bpe_ja_900.model"),
+               os.path.join(FIX, "bpe_ja.ids.txt"),
+               "encode bytes/s/chip (normalize+bpe merge scan, "
+               "wagahai JA, bit-exact)"),
     "word": (CORPUS, WIDTH, WORD_MODEL, os.path.join(FIX, "word_en.ids.txt"),
              "encode bytes/s/chip (normalize+word span encode, botchan, "
              "bit-exact)"),
@@ -99,8 +103,8 @@ MODELS = {
 }
 # child measures the headline FIRST (salvage priority); the supervisor
 # emits in this order with the headline LAST
-CHILD_ORDER = ["unigram", "bpe", "unigram_ja", "word", "char"]
-EMIT_ORDER = ["bpe", "unigram_ja", "word", "char", "unigram"]
+CHILD_ORDER = ["unigram", "bpe", "unigram_ja", "bpe_ja", "word", "char"]
+EMIT_ORDER = ["bpe", "unigram_ja", "bpe_ja", "word", "char", "unigram"]
 
 DEADLINE_S = int(os.environ.get("SPM_BENCH_DEADLINE", "1380"))
 ATTEMPTS = int(os.environ.get("SPM_BENCH_ATTEMPTS", "6"))
@@ -353,12 +357,34 @@ def _extra_targets(budget_s: float) -> dict:
                 d = json.loads(ln)
             except json.JSONDecodeError:
                 continue
-            if d["metric"].startswith("bpe train"):
+            if "DEVICE engine" in d["metric"]:
+                # on-chip trainer lines (VERDICT r4 item 3) — labeled
+                # separately from the host-engine lines
+                if d["metric"].startswith("bpe train"):
+                    extras["bpe_train_merges_per_s_device"] = d["value"]
+                    extras["bpe_train_device_exact"] = d.get("exact")
+                    if d.get("first_divergent_line") is not None:
+                        extras["bpe_train_device_first_divergence"] = \
+                            d["first_divergent_line"]
+                        extras["bpe_train_device_piece_overlap_pct"] = \
+                            d.get("piece_overlap_pct")
+                    if d.get("vs_baseline"):
+                        extras["bpe_train_device_vs_ref_binary"] = \
+                            d["vs_baseline"]
+                elif d["metric"].startswith("unigram train"):
+                    extras["unigram_train_s_device"] = d["value"]
+                    extras["unigram_train_device_exact"] = d.get("exact")
+                    if d.get("vs_baseline"):
+                        extras["unigram_train_device_ref_over_ours"] = \
+                            d["vs_baseline"]
+            elif d["metric"].startswith("bpe train"):
+                extras["bpe_train_merges_per_s_host"] = d["value"]
                 extras["bpe_train_merges_per_s"] = d["value"]
                 extras["bpe_train_byte_exact"] = d.get("exact")
                 if d["vs_baseline"]:
                     extras["bpe_train_vs_ref_binary"] = d["vs_baseline"]
             elif d["metric"].startswith("unigram train"):
+                extras["unigram_train_s_host"] = d["value"]
                 extras["unigram_train_s"] = d["value"]
                 extras["unigram_train_byte_exact"] = d.get("exact")
                 if d["vs_baseline"]:

@@ -82,6 +82,68 @@ def _time_ours_subproc(corpus: Path, prefix: Path) -> float:
     return float(out.strip().splitlines()[-1])
 
 
+def _device_trainers(tmp: Path, have_ref: bool,
+                     ref_times: dict) -> None:
+    """ON-CHIP trainer lines (VERDICT r4 item 3): the same wagahai-8k
+    trains through engine="device" — the sparse merge loop / packed EM
+    on the attached backend — labeled separately from the host-engine
+    lines above. Gates: unigram is byte-exact (full exact-finish replay
+    at this corpus size); sparse BPE's documented deviation is the
+    active-set-cutoff tie order (docs/conformance.md §5), so the gate
+    reports the first divergent vocab line + overlap instead of
+    asserting byte equality."""
+    if os.environ.get("SPM_BENCH_TRAIN_DEVICE") == "0":
+        return
+    import jax
+
+    backend = jax.devices()[0].platform
+    from sentencepiece_tpu.train import facade
+
+    for mt in ("bpe", "unigram"):
+        os.environ["SPM_BPE_TRAIN_KERNEL"] = "sparse"
+        try:
+            t0 = time.time()
+            facade.train(
+                f"--input={CORPUS} --model_prefix={tmp}/dev_{mt} "
+                f"--model_type={mt} --vocab_size=8000 --minloglevel=2",
+                engine="device")
+            dt = time.time() - t0
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            print(json.dumps({
+                "metric": f"{mt} train wagahaiwa 8k DEVICE engine "
+                          f"({backend})",
+                "value": 0.0, "unit": "error",
+                "error": f"{type(e).__name__}: {e}"}))
+            continue
+        finally:
+            os.environ.pop("SPM_BPE_TRAIN_KERNEL", None)
+        out = {
+            "metric": f"{mt} train wagahaiwa 8k DEVICE engine "
+                      f"({backend})",
+            "value": round(8000 / dt, 1) if mt == "bpe"
+            else round(dt, 2),
+            "unit": "merges/s" if mt == "bpe" else "s",
+        }
+        if have_ref:
+            ours = (tmp / f"dev_{mt}.vocab").read_bytes()
+            ref = (tmp / f"ref_{mt}.vocab").read_bytes()
+            out["vs_baseline"] = round(ref_times[mt] / dt, 3)
+            if ours == ref:
+                out["exact"] = True
+            else:
+                ol = ours.decode("utf-8", "surrogateescape").splitlines()
+                rl = ref.decode("utf-8", "surrogateescape").splitlines()
+                out["exact"] = False
+                out["first_divergent_line"] = next(
+                    (i for i, (a, b) in enumerate(zip(ol, rl)) if a != b),
+                    min(len(ol), len(rl)))
+                so = {l.split("\t")[0] for l in ol}
+                sr = {l.split("\t")[0] for l in rl}
+                out["piece_overlap_pct"] = round(
+                    100.0 * len(so & sr) / max(len(sr), 1), 2)
+        print(json.dumps(out))
+
+
 def _scaled_unigram(tmp: Path, have_ref: bool) -> None:
     """Unigram trainer at 14/26 MB: INTERLEAVED ref/ours pairs (VERDICT
     r2 item 7 — this host's wall times swing 2-3x with neighbor load, so
@@ -155,6 +217,7 @@ def main() -> None:
             out["vs_baseline"] = 0.0
             out["ref"] = "reference binary unavailable (build failed)"
         print(json.dumps(out))
+    _device_trainers(tmp, have_ref, ref_times)
     _scaled_unigram(tmp, have_ref)
 
 

@@ -27,9 +27,12 @@ Models with USER_DEFINED pieces run on device too: the split stage marks
 matched user spans as FROZEN single symbols (user_frz_batch — the
 reference's PrefixMatcher split + freeze flag, bpe_model.cc:96-99,
 120-131), appended to the universe with no pair entries so they never
-merge. Models with UNUSED pieces use the exact host path (rev_merge
-resegmentation is runtime push-order state, bpe_model.cc:171-189), as do
-user pieces the device normalizer cannot carry (normalize.py gate).
+merge. Models with UNUSED pieces (set_vocabulary / --vocabulary
+restriction) merge on device like NORMAL ones — only rows whose OUTPUT
+contains an unused symbol re-encode on the exact host path (rev_merge
+resegmentation is runtime push-order state, bpe_model.cc:171-189, so
+the kernels emit a per-row flag instead of attempting it). User pieces
+the device normalizer cannot carry keep the host gate (normalize.py).
 """
 
 from __future__ import annotations
@@ -68,11 +71,23 @@ def build_pair_tables(model, user_pieces=None):
         return uni[s]
 
     vocab_strs = {}
+    unused_strs = set()
     for i, p in enumerate(pieces):
         t = int(types[i])
-        if t == PieceType.NORMAL:
+        # UNUSED pieces (set_vocabulary / --vocabulary restriction,
+        # sentencepiece_processor.cc:203-274) participate in merging
+        # exactly like NORMAL ones — the reference's pieces_ map holds
+        # both (model_interface.cc:101-144) and the agenda scores come
+        # from it (bpe_model.cc:102-110). Only the OUTPUT differs:
+        # an unused symbol resegments through rev_merge push-order
+        # state (:171-189), which is host-only — so unused symbols in
+        # the device output raise a per-row flag and those rows
+        # re-encode on the exact host path (VERDICT r4 item 7).
+        if t == PieceType.NORMAL or t == PieceType.UNUSED:
             if p not in vocab_strs:
                 vocab_strs[p] = i
+                if t == PieceType.UNUSED:
+                    unused_strs.add(p)
             intern(p)
     for p in list(vocab_strs):
         for ch in p.decode("utf-8", "surrogateescape"):
@@ -83,9 +98,12 @@ def build_pair_tables(model, user_pieces=None):
     if U >= 46341:  # key = l*U + r must fit int32
         return None
 
+    # sym_id: >= 0 piece id, -1 not a piece (emit as UNK), -2 an
+    # UNUSED piece (emit flags the row for the exact host path)
     sym_id = np.full(U, -1, np.int32)
     for s, u in uni.items():
-        sym_id[u] = vocab_strs.get(s, -1)
+        sym_id[u] = (-2 if s in unused_strs
+                     else vocab_strs.get(s, -1))
     piece_ids = {p: i for i, p in enumerate(pieces)}
     for j, p in enumerate(user_pieces):
         sym_id[U0 + j] = piece_ids.get(bytes(p), -1)
@@ -103,9 +121,10 @@ def build_pair_tables(model, user_pieces=None):
             ib = uni.get(b)
             if ia is None or ib is None:
                 continue
-            # halves must be formable symbols: vocab piece or single char
-            if (sym_id[ia] < 0 and i > 1) or (sym_id[ib] < 0
-                                              and len(s) - i > 1):
+            # halves must be formable symbols: vocab piece (NORMAL or
+            # UNUSED, i.e. sym_id != -1) or single char
+            if (sym_id[ia] == -1 and i > 1) or (sym_id[ib] == -1
+                                                and len(s) - i > 1):
                 continue
             entries[ia * U + ib] = (uni[p], float(scores[pid]))
     skeys = sorted(entries)
@@ -134,7 +153,9 @@ def bpe_encode_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
                      pack_bits: int = 0):
     """cps int32[B, L] codepoints per char position; lengths in chars.
 
-    Returns (ids int32[B, L+2], out_len int32[B])."""
+    Returns (ids int32[B, L+2], out_len int32[B], bad_unused bool[B] —
+    rows whose output holds an UNUSED piece and needs the host
+    rev_merge path)."""
     return _bpe_merge_batch(
         pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id, cps, lengths,
         jax.random.PRNGKey(0), universe=universe, max_merges=max_merges,
@@ -451,6 +472,8 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
 
     usafe = jnp.maximum(sym, 0)
     out_id = jnp.where(sym >= 0, _sym_to_id(sym_to_id, usafe), -1)
+    # UNUSED piece in the output -> rev_merge row flag (see _emit_ids)
+    bad_unused = jnp.any(alive & (out_id == -2), axis=1)
     out_id = jnp.where(out_id >= 0, out_id, unk_id)
 
     # compact + adjacent-UNK merge + extra options
@@ -493,7 +516,7 @@ def _bpe_merge_batch(pair_keys, pair_new, pair_score, cp_to_sym, sym_to_id,
         out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
         newT = newT + 1
         out = jnp.where(tt < newT[:, None], out, pad_id)
-    return out, newT
+    return out, newT, bad_unused
 
 
 def merge_kernel():
@@ -527,16 +550,19 @@ class BpeBatchEncoder:
         self.processor = processor
         self.model = model
         types = model.types
-        # UNUSED pieces need rev_merge resegmentation whose expansion
-        # pair is runtime push-order state (bpe_model.cc:171-189) —
-        # exact host path. USER_DEFINED pieces freeze (never merge) and
-        # run on device: the pipeline's split stage assigns their
-        # matched spans the appended universe symbols (user_frz below);
-        # this wrapper's own host-normalize encode() path stays host for
-        # them (the device normalizer carries the user trie, the host
-        # pre-split here does not).
+        # UNUSED pieces (set_vocabulary restriction) merge on device
+        # like NORMAL ones; only rows whose OUTPUT contains an unused
+        # symbol need rev_merge resegmentation — runtime push-order
+        # state (bpe_model.cc:171-189) — and re-encode on the exact
+        # host path via the per-row bad_unused flag the kernels emit
+        # (r5, VERDICT r4 item 7). USER_DEFINED pieces freeze (never
+        # merge) and run on device: the pipeline's split stage assigns
+        # their matched spans the appended universe symbols (user_frz
+        # below); this wrapper's own host-normalize encode() path stays
+        # host for them (the device normalizer carries the user trie,
+        # the host pre-split here does not).
         has_user = bool((types == PieceType.USER_DEFINED).any())
-        self.host_only = bool((types == PieceType.UNUSED).any())
+        self.host_only = False
         user_pieces = []
         if has_user and not self.host_only:
             # CANONICAL ORDER: sorted unique byte strings — the same
@@ -600,12 +626,15 @@ class BpeBatchEncoder:
                     for t in texts]
 
         def run(arr, lens, _g, _group):
-            ids, n_ids = self._device_encode(arr, lens)
-            return np.asarray(ids), np.asarray(n_ids), arr.shape[1]
+            ids, n_ids, bad = self._device_encode(arr, lens)
+            return (np.asarray(ids), np.asarray(n_ids), np.asarray(bad),
+                    arr.shape[1])
 
         def unpack(res, j, gi):
-            ids, n_ids, bucket = res
-            if len(cps_list[gi]) > bucket:  # truncated: exact host path
+            ids, n_ids, bad, bucket = res
+            if len(cps_list[gi]) > bucket or bad[j]:
+                # truncated, or an UNUSED piece in the output
+                # (rev_merge resegmentation): exact host path
                 return self.processor.encode_as_ids(texts[gi])
             return ids[j, :n_ids[j]].tolist()
 
@@ -632,7 +661,7 @@ class BpeBatchEncoder:
         def run(arr, lens, _g, _group):
             nonlocal key
             key, sub = jax.random.split(key)
-            ids, n_ids = bpe_dropout_batch(
+            ids, n_ids, bad = bpe_dropout_batch(
                 self.pair_keys, self.pair_new, self.pair_score,
                 self.cp_to_sym, self.sym_to_id, jnp.asarray(arr),
                 jnp.asarray(lens), sub, universe=self.U,
@@ -641,11 +670,12 @@ class BpeBatchEncoder:
                 add_eos=self.add_eos, reverse=self.reverse,
                 bos_id=self.bos_id, eos_id=self.eos_id,
                 pad_id=self.pad_id, pack_bits=self.pack_bits)
-            return np.asarray(ids), np.asarray(n_ids), arr.shape[1]
+            return (np.asarray(ids), np.asarray(n_ids), np.asarray(bad),
+                    arr.shape[1])
 
         def unpack(res, j, gi):
-            ids, n_ids, bucket = res
-            if len(cps_list[gi]) > bucket:
+            ids, n_ids, bad, bucket = res
+            if len(cps_list[gi]) > bucket or bad[j]:
                 return self.processor.sample_encode_as_ids(
                     texts[gi], -1, dropout_p, rng=rng)
             return ids[j, :n_ids[j]].tolist()
@@ -816,6 +846,10 @@ def _emit_ids(sym, alive, sym_to_id, lengths, *, unk_id, add_bos, add_eos,
     rows = jnp.arange(B)
     out_id = jnp.where(alive & (sym >= 0),
                        _sym_to_id(sym_to_id, jnp.maximum(sym, 0)), -1)
+    # an UNUSED piece in the output (sym_to_id == -2) needs rev_merge
+    # resegmentation (bpe_model.cc:171-189) — host-only push-order
+    # state, so the row re-encodes on the exact host path
+    bad_unused = jnp.any(alive & (out_id == -2), axis=1)
     out_id = jnp.where(alive, jnp.where(out_id >= 0, out_id, unk_id), -1)
 
     t_idx = jnp.cumsum(alive, axis=1, dtype=jnp.int32) - 1
@@ -853,7 +887,7 @@ def _emit_ids(sym, alive, sym_to_id, lengths, *, unk_id, add_bos, add_eos,
         out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
         newT = newT + 1
         out = jnp.where(tt < newT[:, None], out, pad_id)
-    return out, newT
+    return out, newT, bad_unused
 
 
 @functools.partial(
@@ -1126,6 +1160,8 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
 
     out_id = jnp.where(alive & (sym >= 0),
                        _sym_to_id(sym_to_id, jnp.maximum(sym, 0)), -1)
+    # UNUSED piece in the output -> rev_merge row flag (see _emit_ids)
+    bad_unused = jnp.any(alive & (out_id == -2), axis=1)
     out_id = jnp.where(alive, jnp.where(out_id >= 0, out_id, unk_id), -1)
 
     # compact + adjacent-UNK merge + extra options (same tail as the
@@ -1168,4 +1204,4 @@ def bpe_encode_batch_parallel(pair_keys, pair_new, pair_score, cp_to_sym,
         out = out.at[rows, jnp.clip(newT, 0, M - 1)].set(eos_id)
         newT = newT + 1
         out = jnp.where(tt < newT[:, None], out, pad_id)
-    return out, newT
+    return out, newT, bad_unused

@@ -297,14 +297,17 @@ class TpuTokenizer:
                         nt[5 + NA], norm_out, enc_len, w_cp=w_cp,
                         u_max_len=t.u_max_len,
                         u_root_state=t.u_root_state, U0=bpe.U0)
-                ids, n_ids = bpe_merge(
+                ids, n_ids, bad_unused = bpe_merge(
                     bt[0], bt[1], bt[2], bt[3], bt[4], cps, cp_len,
                     universe=bpe.U, max_merges=w_cp - 1,
                     unk_id=bpe.unk_id, add_bos=bpe.add_bos,
                     add_eos=bpe.add_eos, reverse=bpe.reverse,
                     bos_id=bpe.bos_id, eos_id=bpe.eos_id,
                     pad_id=bpe.pad_id, pack_bits=bpe.pack_bits, **kw)
-                return ids, n_ids, overflow
+                # rows with an UNUSED piece in the output re-encode on
+                # the exact host path (rev_merge resegmentation,
+                # bpe_model.cc:171-189) through the overflow machinery
+                return ids, n_ids, overflow | bad_unused
 
             return core_bpe, tables
 

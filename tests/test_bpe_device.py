@@ -138,10 +138,11 @@ def test_parallel_merge_kernel_matches_sequential(fixtures_dir):
         lens[j] = len(c)
     kw = dict(universe=enc.U, max_merges=W - 1, unk_id=enc.unk_id,
               pad_id=enc.pad_id)
-    a1, n1 = bpe_encode_batch(enc.pair_keys, enc.pair_new, enc.pair_score,
-                              enc.cp_to_sym, enc.sym_to_id,
-                              jnp.asarray(arr), jnp.asarray(lens), **kw)
-    a2, n2 = bpe_encode_batch_parallel(
+    a1, n1, _ = bpe_encode_batch(enc.pair_keys, enc.pair_new,
+                                 enc.pair_score, enc.cp_to_sym,
+                                 enc.sym_to_id, jnp.asarray(arr),
+                                 jnp.asarray(lens), **kw)
+    a2, n2, _ = bpe_encode_batch_parallel(
         enc.pair_keys, enc.pair_new, enc.pair_score, enc.cp_to_sym,
         enc.sym_to_id, jnp.asarray(arr), jnp.asarray(lens), **kw)
     a1, n1, a2, n2 = map(np.asarray, (a1, n1, a2, n2))
@@ -174,10 +175,11 @@ def test_scan_merge_kernel_matches_sequential(fixtures_dir):
         lens[j] = len(c)
     kw = dict(universe=enc.U, max_merges=W - 1, unk_id=enc.unk_id,
               pad_id=enc.pad_id)
-    a1, n1 = bpe_encode_batch(enc.pair_keys, enc.pair_new, enc.pair_score,
-                              enc.cp_to_sym, enc.sym_to_id,
-                              jnp.asarray(arr), jnp.asarray(lens), **kw)
-    a2, n2 = bpe_encode_batch_scan(
+    a1, n1, _ = bpe_encode_batch(enc.pair_keys, enc.pair_new,
+                                 enc.pair_score, enc.cp_to_sym,
+                                 enc.sym_to_id, jnp.asarray(arr),
+                                 jnp.asarray(lens), **kw)
+    a2, n2, _ = bpe_encode_batch_scan(
         enc.pair_keys, enc.pair_new, enc.pair_score, enc.cp_to_sym,
         enc.sym_to_id, jnp.asarray(arr), jnp.asarray(lens), **kw)
     a1, n1, a2, n2 = map(np.asarray, (a1, n1, a2, n2))
@@ -206,3 +208,38 @@ def test_parallel_merge_capacity_guard_uniform_depth():
     got = tok.encode(texts)
     want = [sp.encode_as_ids(t) for t in texts]
     assert got == want
+
+
+def test_unused_pieces_device_path(fixtures_dir):
+    """set_vocabulary-restricted BPE serving on device (VERDICT r4 item
+    7): UNUSED pieces merge like NORMAL ones; only rows whose output
+    holds an unused symbol re-encode on the host rev_merge path via the
+    kernels' per-row flag. Gold = the exact host path (reference-
+    validated for set_vocabulary in test_processor.py)."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.proto.spec import PieceType
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
+    # restrict to pieces of length <= 3: longer merged pieces flip to
+    # UNUSED and must resegment at encode time
+    keep = [sp.id_to_piece(i) for i in range(len(sp))
+            if len(sp.id_to_piece(i)) <= 3]
+    sp.set_vocabulary(keep)
+    types = sp.model.types
+    assert (types == PieceType.UNUSED).any()
+
+    tok = TpuTokenizer(sp)
+    assert tok._bpe is not None and not tok._bpe.host_only
+
+    raw = open("/root/reference/data/botchan.txt", "rb").read()
+    lines = [ln.decode("utf-8", "surrogateescape")
+             for ln in raw.split(b"\n") if ln][:300]
+    gold = [sp.encode_as_ids(ln) for ln in lines]
+    got = tok.encode(lines)
+    bad = [i for i in range(len(lines)) if got[i] != gold[i]]
+    assert not bad, (len(bad), bad[:5])
+
+    # the BpeBatchEncoder path (host-normalized) must agree too
+    got2 = tok._bpe.encode(lines[:100])
+    assert got2 == gold[:100]
