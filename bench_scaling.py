@@ -3,7 +3,7 @@
 #
 # Licensed under the Apache License, Version 2.0 (the "License");
 # you may not use this file except in compliance with the License.
-"""Multi-device / multi-HOST scaling of the REAL unigram EM train step.
+"""Multi-device / multi-HOST scaling of the REAL device trainer programs.
 
 The measured program is the trainer's own sharded E-step
 (train/unigram.py::_DeviceEM -> tpu/em.py): word lattices built against
@@ -86,10 +86,31 @@ def _build_workload():
     return tr, pieces
 
 
+def _em_round_fns(dev):
+    """(full, local) one-sub-iteration round callables for _DeviceEM2:
+    ``full`` is the production program (fixed-order psum), ``local``
+    the same program with the collective removed — full minus local
+    isolates the collective's per-step cost."""
+    from sentencepiece_tpu.tpu import em2
+
+    full = dev._round_fn(1)
+    local = em2.make_round_fn(dev.shapes, dev.K, dev.num_seed, 1,
+                              "dp", dev.mesh, collective=False)
+    args = (dev._dest, dev._segpos) + tuple(dev._flags)         + tuple(dev._freqs)
+
+    def run_full(sc, al):
+        return full(sc, al, *args)
+
+    def run_local(sc, al):
+        return local(sc, al, *args)
+
+    return run_full, run_local
+
+
 def _seed_state(dev, pieces):
     import numpy as np
 
-    scores = np.full(dev.num_seed, dev.em.NEG_INF, np.float32)
+    scores = np.full(dev.num_seed, dev.em2.NEG_INF, np.float32)
     alive = np.zeros(dev.num_seed, bool)
     for w, sc in pieces:
         si = dev.seed_index.get(w)
@@ -112,36 +133,97 @@ def _time_fn(fn, sc_d, al_d, reps=REPS):
     return (time.time() - t0) / reps
 
 
-def _local_estep_all(dev):
-    """The SAME per-bucket E-step programs with the collective removed
-    (axis_name=None): each process computes its shard-local expected
-    partials and nothing crosses processes. full - local isolates the
-    collective's per-step cost."""
-    import functools as ft
+def _build_bpe_workload():
+    """The real BPE trainer state at the point the sparse engine would
+    dispatch (train/bpe.py:296-311)."""
+    from make_multilingual import build
+    from sentencepiece_tpu.proto.spec import TrainerSpec, ModelType
+    from sentencepiece_tpu.train import facade
+    from sentencepiece_tpu.train import bpe as bpe_mod
 
+    build(CORPUS)
+    ts = TrainerSpec()
+    ts.input = [CORPUS]
+    ts.model_type = ModelType.BPE
+    ts.vocab_size = 32000
+    ts.hard_vocab_limit = False
+    ts.max_sentence_length = MAX_SENT
+    ns = facade.get_normalizer_spec("nmt_nfkc")
+    facade.populate_normalizer_spec(ns)
+    tr = bpe_mod.Trainer(ts, ns, engine="device")
+    tr.load_sentences()
+    if ts.split_by_whitespace:
+        tr.split_sentences_by_whitespace()
+    return tr
+
+
+def _bpe_measure(epochs: int = 3) -> dict:
+    """ms per merge of the sparse BPE engine's refresh+epoch programs
+    (tpu/bpe_train_sparse.py) on the current mesh: one refresh, one
+    warm epoch (compile + first merges), then ``epochs`` timed epochs
+    with the table threaded exactly as the production driver does."""
+    import numpy as np
     import jax
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    from sentencepiece_tpu.tpu.bpe_train_sparse import (
+        prepare_sparse_engine, ST_REFRESH)
 
-    em = dev.em
-    num_seed = dev.num_seed
+    os.environ.setdefault("SPM_BPE_SPARSE_EPOCH_CAP", "128")
+    tr = _build_bpe_workload()
+    st = prepare_sparse_engine(tr, n_merges=32000)
+    if st is None:
+        return {"bpe_error": "device engine declined this config"}
 
-    @jax.jit
-    @ft.partial(shard_map, mesh=dev.mesh,
-                in_specs=(P("dp"), P("dp"), P("dp"), P(), P()),
-                out_specs=(P("dp"), P("dp"), P("dp")), check_vma=False)
-    def _estep_local(lat_s, lens_s, freqs_s, score_table, alive_mask):
-        e, o, n = em.estep(lat_s, lens_s, freqs_s, score_table, alive_mask,
-                           num_seed=num_seed, axis_name=None)
-        return e[None], o[None], n[None]
+    def do_refresh(sym_d, tracked_d):
+        return st.refresh(sym_d, tracked_d, st.freqs_d, st.s_len_d,
+                          st.s_wsp_d, st.s_wsi_d, st.s_scr_d,
+                          st.s_val_d, st.s_chr_d)
 
-    def run(sc_d, al_d):
-        outs = []
-        for lat, lens, freqs in dev.buckets:
-            outs.append(_estep_local(lat, lens, freqs, sc_d, al_d))
-        return outs
+    state = [st.sym_d, st.tracked_d, None]
 
-    return run
+    def do_epoch(table, use_w):
+        out = st.epoch(state[0], state[1], st.freqs_d, *table[:4],
+                       *table[4:12], st.s_len_d, st.s_wsp_d,
+                       st.s_wsi_d, st.s_scr_d, st.s_val_d, st.s_chr_d,
+                       st.ml, st.mr, st.mf, st.e_len, st.e_chr,
+                       st.next_id, st.k_done, use_w)
+        (state[0], state[1], tk, tc, tl, tch, st.s_len_d, st.s_wsp_d,
+         st.s_wsi_d, st.s_scr_d, st.s_val_d, st.s_chr_d, st.ml, st.mr,
+         st.mf, st.e_len, st.e_chr, st.next_id, st.k_done,
+         status) = out
+        return (tk, tc, tl, tch) + tuple(table[4:12]), status
+
+    use_t = st.rep(np.ones((), np.bool_))
+    use_f = st.rep(np.zeros((), np.bool_))
+    r = do_refresh(state[0], state[1])
+    table = tuple(r[:12])
+    # warm epoch: compile + the first merge burst
+    table, status = do_epoch(table, use_t)
+    jax.block_until_ready(status)
+    t_ref0 = time.time()
+    r2 = do_refresh(state[0], state[1])
+    jax.block_until_ready(r2[0])
+    ms_refresh = (time.time() - t_ref0) * 1000
+    table = tuple(r2[:12])
+    k0 = int(np.asarray(st.k_done))
+    t0 = time.time()
+    use = use_t
+    stts = []
+    for _ in range(epochs):
+        table, status = do_epoch(table, use)
+        use = use_f
+        stts.append(status)
+    jax.block_until_ready(stts[-1])
+    dt = time.time() - t0
+    k1 = int(np.asarray(st.k_done))
+    merges = max(k1 - k0, 1)
+    n_refresh_needed = sum(
+        1 for x in stts if int(np.asarray(x)) == ST_REFRESH)
+    return {"bpe_lanes": st.n_lanes,
+            "bpe_merges_timed": merges,
+            "bpe_ms_per_merge": dt / merges * 1000,
+            "bpe_merges_per_s": merges / dt,
+            "bpe_ms_refresh": ms_refresh,
+            "bpe_epochs_wanting_refresh": n_refresh_needed}
 
 
 def worker_main() -> None:
@@ -156,24 +238,29 @@ def worker_main() -> None:
     if os.environ.get("SPM_SCALING_REAL", "") != "1":
         jax.config.update("jax_platforms", "cpu")
     from sentencepiece_tpu import distributed as dist
-    from sentencepiece_tpu.train.unigram import _DeviceEM
+    from sentencepiece_tpu.train.unigram import _DeviceEM2
 
     if nproc > 1:
         dist.initialize(coordinator_address=f"localhost:{port}",
                         num_processes=nproc, process_id=rank)
-    tr, pieces = _build_workload()
-    dev = _DeviceEM(tr, pieces)
-    sc_d, al_d = _seed_state(dev, pieces)
-    dt = _time_fn(dev.estep_all, sc_d, al_d)
-    dt_local = _time_fn(_local_estep_all(dev), sc_d, al_d)
-    if rank == 0:
+    out = {"ndev": len(jax.devices()), "nproc": nproc}
+    if os.environ.get("SPM_SCALING_WHAT", "em") == "bpe":
+        out.update(_bpe_measure())
+    else:
+        tr, pieces = _build_workload()
+        dev = _DeviceEM2(tr, pieces)
+        sc_d, al_d = _seed_state(dev, pieces)
+        run_full, run_local = _em_round_fns(dev)
+        dt = _time_fn(run_full, sc_d, al_d)
+        dt_local = _time_fn(run_local, sc_d, al_d)
         W = len(tr.sentences)
-        print(json.dumps({"ndev": len(jax.devices()), "nproc": nproc,
-                          "words": W, "seeds": dev.num_seed,
-                          "words_per_sec": W / dt,
-                          "ms_per_step": dt * 1000,
-                          "ms_per_step_local": dt_local * 1000,
-                          "ms_collective": (dt - dt_local) * 1000}))
+        out.update({"words": W, "seeds": dev.num_seed,
+                    "words_per_sec": W / dt,
+                    "ms_per_step": dt * 1000,
+                    "ms_per_step_local": dt_local * 1000,
+                    "ms_collective": (dt - dt_local) * 1000})
+    if rank == 0:
+        print(json.dumps(out))
 
 
 def _spawn_multiprocess(nproc: int, n_dev_total: int, port: int,
@@ -221,7 +308,7 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
-    from sentencepiece_tpu.train.unigram import _DeviceEM
+    from sentencepiece_tpu.train.unigram import _DeviceEM2
 
     tr, pieces = _build_workload()
     W = len(tr.sentences)
@@ -231,9 +318,10 @@ def main() -> None:
     for n in sizes:
         os.environ["SPM_DATA_MESH_DEVICES"] = str(n)
         try:
-            dev = _DeviceEM(tr, pieces)
+            dev = _DeviceEM2(tr, pieces)
             sc_d, al_d = _seed_state(dev, pieces)
-            dt = _time_fn(dev.estep_all, sc_d, al_d)
+            run_full, _ = _em_round_fns(dev)
+            dt = _time_fn(run_full, sc_d, al_d)
         finally:
             del os.environ["SPM_DATA_MESH_DEVICES"]
         results[n] = W / dt
@@ -294,6 +382,42 @@ def main() -> None:
               f"{one['words_per_sec']:.0f} ({mp_eff:.2f}x); collective "
               f"{multi['ms_collective']:.0f} ms of "
               f"{multi['ms_per_step']:.0f} ms/step", file=sys.stderr)
+        if os.environ.get("SPM_SCALING_BPE", "1") == "1":
+            # sparse BPE merge-loop scaling at the same core-fair
+            # resources (VERDICT r4 item 8): 1xP-dev vs Px1-dev; the
+            # ms/merge delta is the cross-process collective cost of
+            # the epoch program's recount psums + append all_gathers
+            os.environ["SPM_SCALING_WHAT"] = "bpe"
+            try:
+                bone = _spawn_multiprocess(1, gdev, port + 2, cpd)
+                bmulti = _spawn_multiprocess(n_procs, gdev, port + 3,
+                                             cpd)
+            finally:
+                del os.environ["SPM_SCALING_WHAT"]
+            if "bpe_ms_per_merge" in bmulti:
+                beff = (bone["bpe_ms_per_merge"]
+                        / bmulti["bpe_ms_per_merge"])
+                out.setdefault("bpe_multiprocess_points", {})[
+                    str(n_procs)] = {
+                    "global_devices": gdev,
+                    "cores_per_device": cpd,
+                    "lanes": bmulti["bpe_lanes"],
+                    "merges_timed": bmulti["bpe_merges_timed"],
+                    "ms_per_merge_1proc": round(
+                        bone["bpe_ms_per_merge"], 2),
+                    "ms_per_merge_nproc": round(
+                        bmulti["bpe_ms_per_merge"], 2),
+                    "ms_refresh_1proc": round(bone["bpe_ms_refresh"], 1),
+                    "ms_refresh_nproc": round(
+                        bmulti["bpe_ms_refresh"], 1),
+                    "efficiency_vs_1proc": round(beff, 3),
+                }
+                print(f"bpe multiprocess {n_procs}: "
+                      f"{bmulti['bpe_ms_per_merge']:.2f} ms/merge vs "
+                      f"1proc {bone['bpe_ms_per_merge']:.2f} "
+                      f"({beff:.2f}x)", file=sys.stderr)
+            else:
+                out["bpe_multiprocess_error"] = bmulti.get("bpe_error")
     if proc_list:
         # headline point (bench.py folds this into the driver line):
         # the LARGEST process count measured

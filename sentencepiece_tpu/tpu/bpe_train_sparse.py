@@ -657,13 +657,20 @@ def init_tracked(sym_np: np.ndarray) -> np.ndarray:
     return valid & np.where(in_run, parity_keep, True)
 
 
-def train_device_bpe_sparse(trainer, n_merges: int,
-                            table_k: int = 8192,
-                            site_rows: int = 2048,
-                            new_cap: int = 1024):
-    """Host driver for the sparse active-table engine. Returns merged
-    piece strings in merge order, or None when the config cannot run on
-    device (universe too large for int32 pair keys)."""
+class _SparseState:
+    """Programs + device state of one sparse-BPE training, shared by
+    the production driver and the scaling benchmark."""
+
+
+def prepare_sparse_engine(trainer, n_merges: int,
+                          table_k: int = 8192,
+                          site_rows: int = 2048,
+                          new_cap: int = 1024):
+    """Build the (refresh, epoch) programs and upload the packed corpus
+    + symbol state. Returns a _SparseState or None when the config
+    cannot run on device (universe too large for int32 pair keys,
+    piece length / count bounds). The wave-loop driver
+    (train_device_bpe_sparse) and bench_scaling.py both drive it."""
     from ..train.interface import UNK_CHAR
     from ..utils import unicode_script
     from .. import distributed as dist
@@ -867,6 +874,40 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     e_chr = rep(np.full((n_merges, Lp), 0x7FFFFFFF, np.int32))
     next_id = rep(np.int32(A))
     k_done = rep(np.int32(0))
+
+    st = _SparseState()
+    st.refresh, st.epoch = refresh, epoch
+    st.sym_d, st.tracked_d, st.freqs_d = sym_d, tracked_d, freqs_d
+    st.s_len_d, st.s_wsp_d, st.s_wsi_d = s_len_d, s_wsp_d, s_wsi_d
+    st.s_scr_d, st.s_val_d, st.s_chr_d = s_scr_d, s_val_d, s_chr_d
+    st.ml, st.mr, st.mf, st.e_len, st.e_chr = ml, mr, mf, e_len, e_chr
+    st.next_id, st.k_done = next_id, k_done
+    st.chars, st.A, st.mesh, st.rep = chars, A, mesh, rep
+    st.n_merges = n_merges
+    st.n_lanes = sym.size * mesh.size
+    return st
+
+
+def train_device_bpe_sparse(trainer, n_merges: int,
+                            table_k: int = 8192,
+                            site_rows: int = 2048,
+                            new_cap: int = 1024):
+    """Host driver for the sparse active-table engine. Returns merged
+    piece strings in merge order, or None when the config cannot run on
+    device."""
+    from ..utils import profiling
+
+    st = prepare_sparse_engine(trainer, n_merges, table_k, site_rows,
+                               new_cap)
+    if st is None:
+        return None
+    refresh, epoch = st.refresh, st.epoch
+    sym_d, tracked_d, freqs_d = st.sym_d, st.tracked_d, st.freqs_d
+    s_len_d, s_wsp_d, s_wsi_d = st.s_len_d, st.s_wsp_d, st.s_wsi_d
+    s_scr_d, s_val_d, s_chr_d = st.s_scr_d, st.s_val_d, st.s_chr_d
+    ml, mr, mf, e_len, e_chr = st.ml, st.mr, st.mf, st.e_len, st.e_chr
+    next_id, k_done = st.next_id, st.k_done
+    chars, A, rep = st.chars, st.A, st.rep
 
     # Dispatch WAVES of epochs between host readbacks: on the tunneled
     # rig the first device->host readback permanently degrades later

@@ -261,7 +261,7 @@ def _vit_scan(sc_end_x, is_start_x, is_zend_x, K):
 # --------------------------------------------------------------------------
 
 def make_round_fn(shapes, K: int, num_seed: int, n_sub: int,
-                  axis_name, mesh):
+                  axis_name, mesh, collective: bool = True):
     """One EM round as a single dispatch.
 
     round(scores, alive, dest, seg_pos, *flags, *freqs) ->
@@ -269,12 +269,18 @@ def make_round_fn(shapes, K: int, num_seed: int, n_sub: int,
 
     shapes are PER-SHARD (R, C) per class; dest/seg_pos/flags/freqs
     shard over the mesh axis, scores/alive replicate.
+
+    ``collective=False`` builds the measurement twin used by
+    bench_scaling.py: the same program with the psum/all_gather
+    removed (per-shard outputs, leading shard axis) — full minus
+    local isolates the collective's per-step cost.
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     NCLS = len(shapes)
     lanes = sum(R * K * C for (R, C) in shapes)
+    eff_axis = axis_name if collective else None
 
     def sub_iter(scores_c, alive_c, dest, seg_pos, flags, freqs):
         n_cand = dest.shape[0]
@@ -377,10 +383,10 @@ def make_round_fn(shapes, K: int, num_seed: int, n_sub: int,
         # UNK mass
         expected = expected.at[0].set(
             jnp.where(alive_c[0], expected[0], 0.0) + unk0)
-        if axis_name is not None:
-            expected = fixed_order_psum(expected, axis_name)
-            obj = fixed_order_psum(obj, axis_name)
-            ntok = jax.lax.psum(ntok, axis_name)
+        if eff_axis is not None:
+            expected = fixed_order_psum(expected, eff_axis)
+            obj = fixed_order_psum(obj, eff_axis)
+            ntok = jax.lax.psum(ntok, eff_axis)
         # ---- M-step (em.mstep) ----
         keep = alive_c & (expected >= 0.5)
         total = jnp.sum(jnp.where(keep, expected, 0.0))
@@ -403,14 +409,19 @@ def make_round_fn(shapes, K: int, num_seed: int, n_sub: int,
 
         (sc_f, al_f), (exps, objs, ntoks) = jax.lax.scan(
             body, (scores, alive), None, length=n_sub)
+        if not collective:
+            # per-shard outputs: leading shard axis for P(axis) specs
+            return (sc_f[None], al_f[None], exps[-1][None],
+                    objs[None], ntoks[None])
         return sc_f, al_f, exps[-1], objs, ntoks
 
     shard = P(axis_name)
     rep = P()
+    out = (rep,) * 5 if collective else (shard,) * 5
     fn = jax.jit(shard_map(
         impl, mesh=mesh,
         in_specs=(rep, rep, shard, shard) + (shard,) * (2 * NCLS),
-        out_specs=(rep, rep, rep, rep, rep), check_vma=False))
+        out_specs=out, check_vma=False))
     return fn
 
 
