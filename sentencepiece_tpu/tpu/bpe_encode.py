@@ -696,6 +696,9 @@ def utf8_to_cp_batch(batch, lengths, out_w: Optional[int] = None):
     so callers detect overflow with ``cp_lens > out_w``."""
     B, N = batch.shape
     W = N if out_w is None else out_w
+    # glue audit: lead classify + 3-byte assembly wheres (~8) + seg
+    # cumsum (log N)
+    trie.count_glue(batch.size, 8 + max(1, int(N).bit_length()))
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     in_range = pos < lengths[:, None]
     b = batch.astype(jnp.int32)
@@ -844,6 +847,8 @@ def _emit_ids(sym, alive, sym_to_id, lengths, *, unk_id, add_bos, add_eos,
     945-979). Both compaction scatters are row-local -> MXU one-hot."""
     B, L = sym.shape
     rows = jnp.arange(B)
+    trie.count_glue(sym.size,
+                    8 + 2 * max(1, int(L).bit_length()))
     out_id = jnp.where(alive & (sym >= 0),
                        _sym_to_id(sym_to_id, jnp.maximum(sym, 0)), -1)
     # an UNUSED piece in the output (sym_to_id == -2) needs rev_merge
@@ -954,6 +959,12 @@ def bpe_encode_batch_scan(pair_keys, pair_new, pair_score, cp_to_sym,
 
     def body(state):
         sym, alive, it, psc, pnew = state
+        # glue audit: max + sel/chain compares (4), parity cumsum
+        # (log W) + assoc-max scan (log W), keep/absorb/select wheres
+        # (6) — the propagate-scan helpers count themselves
+        trie.count_glue(sym.size,
+                        10 + 2 * max(1, int(sym.shape[1]).bit_length()))
+        trie.count_round()
         best = jnp.max(psc, axis=1)
         row_on = best > NEG_INF / 2
         sel = row_on[:, None] & (psc == best[:, None])  # sel implies alive

@@ -256,6 +256,9 @@ def unigram_encode_batch(units: jnp.ndarray,
         D=D, unk_id=unk_id, root_state=root_state, arcs=arcs, bands=bands)
 
     # -- Viterbi scan ----------------------------------------------------------
+    # glue audit (either scan form): per position, window add + reversed
+    # argmax/select + window shift over [B, D] (~6 passes), N positions
+    trie.count_glue(B * N * D, 6)
     if use_pallas:
         # Honor the Mosaic VMEM budget: the kernel's scoped footprint is
         # ~2x (outputs [N+1, Bpad] f32+i32 + one [N, D, 128] block); past
@@ -303,6 +306,10 @@ def unigram_encode_batch(units: jnp.ndarray,
     # row-local MXU reads: square the jump table (f, f^2, f^4, ...) and
     # batch-fill path[j] = f^j(L). No loop, no serial gathers.
     rows = jnp.arange(B)
+    # glue audit: id_best one-hot select counts itself below; the
+    # doubling-fill clips/wheres + reverse-compact cumsum/selects are
+    # ~10 passes over [B, N]
+    trie.count_glue(B * N, 10 + max(1, int(N).bit_length()))
     bpT = bp.T                                     # [B, N+1]
     P1 = N + 1
     posP = jnp.arange(P1, dtype=jnp.int32)[None, :]

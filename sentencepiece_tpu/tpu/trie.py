@@ -44,6 +44,21 @@ def count_vpu(lanes, ops) -> None:
     _count("onehot_lane_keys", int(lanes) * int(ops))
 
 
+def count_glue(lanes, passes) -> None:
+    """Elementwise glue passes (wheres / cumsums / selects over full
+    arrays) — the r4 roofline left these unpriced, which pushed the BPE
+    achieved% over 100 (VERDICT r4 weak #5). Counted per kernel body
+    with a hand-audited pass count; priced at the VPU lane rate."""
+    _count("glue_lane_passes", int(lanes) * int(passes))
+
+
+def count_round(n: int = 1) -> None:
+    """Data-dependent loop rounds (while_loop bodies): each round
+    carries a fixed scheduling/sync overhead on top of its lane work.
+    Priced by a chip-calibrated per-round constant."""
+    _count("loop_rounds", n)
+
+
 def offsets(units: jnp.ndarray) -> jnp.ndarray:
     """DoubleArrayUnit::offset() (darts.h:72-74), vectorized."""
     return (units >> jnp.uint32(10)) << (
