@@ -360,11 +360,12 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
         SENT = jnp.int32(2**31 - 1)
         BIG = jnp.int32(2**31 - 1)
 
-        def recount_on(sym_c, tracked_c, wkey):
+        def recount_on(key_c, tracked_c, wkey):
             """Exact global tracked-position count of one pair key —
-            the device ComputeFreq (bpe_model_trainer.cc:85-116)."""
-            key, _ = _lane_keys(sym_c, U)
-            s = jnp.sum(jnp.where(tracked_c & (key == wkey),
+            the device ComputeFreq (bpe_model_trainer.cc:85-116). The
+            lane keys are CARRIED loop state (r5): recomputing them was
+            a full-lane propagate scan per select iteration."""
+            s = jnp.sum(jnp.where(tracked_c & (key_c == wkey),
                                   freqs, 0.0))
             return jax.lax.psum(s, axis_name)
 
@@ -383,7 +384,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             idx = jnp.argmax(msk & (t_key_c == kk)).astype(jnp.int32)
             return idx, m
 
-        def select(sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c):
+        def select(key_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c):
             """while_loop: resolve the exact global-best table entry.
             Returns (t_key, t_cnt, winner_idx, exact_cnt, ok, stuck)."""
             def cond(st):
@@ -395,7 +396,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                 c1, m = table_argmin(t_key_i, t_cnt_i, t_len_c, t_chr_c)
                 has = m > 0.5
                 wkey = t_key_i[c1]
-                ex = jnp.where(has, recount_on(sym_c, tracked_c, wkey), 0.0)
+                ex = jnp.where(has, recount_on(key_c, tracked_c, wkey), 0.0)
                 t_cnt_i = t_cnt_i.at[c1].set(jnp.where(has, ex, 0.0))
                 resolved = has & (ex == m)
                 # count can hit 0 (all occurrences were consumed by
@@ -416,18 +417,20 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             return t_key_o, t_cnt_o, idx, exact, ok, iters >= 2 * K
 
         def step_cond(st):
-            (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
+            (sym_c, tracked_c, key_c, alive_c, t_key_c, t_cnt_c,
+             t_len_c, t_chr_c,
              s_len_c, s_wsp_c, s_wsi_c, s_scr_c, s_val_c, s_chr_c, ml_c,
              mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status, use_w) = st
             return (status < 0) & (nid - next_id < E_CAP)
 
         def step_body(st):
-            (sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c,
+            (sym_c, tracked_c, key_c, alive_c, t_key_c, t_cnt_c,
+             t_len_c, t_chr_c,
              s_len_c, s_wsp_c, s_wsi_c, s_scr_c, s_val_c, s_chr_c, ml_c,
              mr_c, mf_c, e_len_c, e_chr_c, nid, k_c, status, use_w) = st
 
             t_key_c, t_cnt_c, c1, exact, ok, stuck = select(
-                sym_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c)
+                key_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c)
 
             # exact-winner override: the FIRST pop after a refresh
             # consumes the refresh's tuple-argmin record directly. The
@@ -466,7 +469,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             br = jnp.where(apply_it, wkey % U, 0)
 
             # ---- apply at the tracked occurrences ----------------------
-            key, alive = _lane_keys(sym_c, U)
+            key, alive = key_c, alive_c  # carried loop state (r5)
             if True:
                 # dup: forget the pair's tracked positions; consumed
                 # winners (dup or applied) leave the table by KEY match
@@ -492,6 +495,8 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                          | keep_new)
             tracked_n = jnp.where(apply_it, tracked_n, tracked_c)
             sym_n = jnp.where(apply_it, sym_n, sym_c)
+            key_nn = jnp.where(apply_it, key_n, key_c)
+            alive_nn = jnp.where(apply_it, alive_n, alive_c)
 
             # ---- attribute + emit updates ------------------------------
             nids = nid
@@ -606,20 +611,23 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                 jnp.where(k_n >= n_merges, ST_DONE,
                           jnp.where(need_refresh | append_ovf,
                                     ST_REFRESH, -1))).astype(jnp.int32)
-            return (sym_n, tracked_n, t_key_c, t_cnt_c, t_len_c, t_chr_c,
+            return (sym_n, tracked_n, key_nn, alive_nn,
+                    t_key_c, t_cnt_c, t_len_c, t_chr_c,
                     s_len_n, s_wsp_n, s_wsi_n, s_scr_n, s_val_n, s_chr_n,
                     ml_n, mr_n, mf_n, e_len_n, e_chr_n, nid_n, k_n,
                     status_n, jnp.zeros((), jnp.bool_))
 
-        st0 = (sym, tracked, t_key, t_cnt, t_len, t_chr, s_len, s_wsp,
-               s_wsi, s_scr, s_val, s_chr, ml, mr, mf, e_len, e_chr,
-               next_id, k_done, jnp.int32(-1), use_w0)
+        key0, alive0 = _lane_keys(sym, U)
+        st0 = (sym, tracked, key0, alive0, t_key, t_cnt, t_len, t_chr,
+               s_len, s_wsp, s_wsi, s_scr, s_val, s_chr, ml, mr, mf,
+               e_len, e_chr, next_id, k_done, jnp.int32(-1), use_w0)
         out = jax.lax.while_loop(step_cond, step_body, st0)
         # ALSO return the table state so the host driver can dispatch
         # another epoch without an intervening refresh (r5: the r4
         # driver refreshed unconditionally before every epoch — ~8x
-        # more refreshes than the floor/append logic requires)
-        return out[:-1]
+        # more refreshes than the floor/append logic requires); the
+        # carried (key, alive) lane state stays internal
+        return out[:2] + out[4:-1]
 
     shard = P(axis_name)
     rep = P()

@@ -625,6 +625,80 @@ class UnigramBatchEncoder:
 
         return self._bucketed(normed, run, unpack)
 
+    def nbest_ids(self, texts: Sequence[str], n: int,
+                  processor=None) -> List[List[List[int]]]:
+        """Byte-exact n-best ids on device (VERDICT r4 item 10).
+
+        The device k-best scan returns the correct PATH SET but an
+        implementation-defined order within equal scores (the
+        reference's tie order is libstdc++-heap pop history,
+        unigram_model.cc:391-405 / utils/stdheap.py — host-only
+        state). Exactness is recovered the same way as rev_merge rows:
+        every candidate path is RE-SCORED on the host with the
+        reference's float chain (the A* hypothesis fold: a float32
+        right-fold of piece scores from EOS, models/unigram.py), sorted
+        by that score; a row whose top n+1 rescored scores contain an
+        exact tie — the only case where score order under-determines
+        the output — falls back to the tie-exact host n-best. The
+        device runs k = n+4 so boundary candidates are visible to the
+        tie check.
+        """
+        K = max(1, min(int(n) + 4, 512))
+        normed = self._normalize_all(texts)
+        f32 = np.float32
+
+        def run(arr, lens, _g, _group):
+            rev_ids, n_toks, scores, valid = unigram_nbest_batch(
+                self.units, self.lat_score_table, jnp.asarray(arr),
+                jnp.asarray(lens), self.unk_score,
+                max_depth=self.max_depth, unk_id=self.unk_id, k=K,
+                root_state=self.root_state, arcs=self.arcs,
+                bands=self.bands)
+            return (np.asarray(rev_ids), np.asarray(n_toks),
+                    np.asarray(valid), arr.shape[1])
+
+        host_scores = np.asarray(self.lat_score_table, np.float32)
+
+        def host_fallback(gi):
+            res = processor.nbest_encode_as_ids(texts[gi], n)
+            return [[int(t) for t in path] for path in res]
+
+        def unpack(res, j, gi):
+            rev_ids, n_toks, valid, bucket = res
+            if len(normed[gi]) > bucket and processor is not None:
+                return host_fallback(gi)
+            paths = []
+            for r in range(K):
+                if not valid[j, r]:
+                    continue
+                ids = rev_ids[j, r, :int(n_toks[j, r])]
+                # reference hypothesis score: float32 right-fold from
+                # EOS (A* gx accumulation) — ids are reverse-order
+                # already, which IS the fold order. UNK nodes score
+                # min_score-10, not the UNK piece's table entry
+                # (unigram_model.cc:595-603).
+                unk_sc = f32(np.asarray(self.unk_score))
+                acc = f32(0.0)
+                for t in ids:
+                    if t < 0:
+                        continue
+                    sc = unk_sc if t == self.unk_id else host_scores[t]
+                    acc = f32(sc + acc)
+                paths.append((float(acc), ids[::-1]))
+            paths.sort(key=lambda p: -p[0])
+            top = paths[:n + 1]
+            tie = any(top[i][0] == top[i + 1][0]
+                      for i in range(len(top) - 1))
+            if tie and processor is not None:
+                return host_fallback(gi)
+            return [
+                _apply_row_opts(p[1], self.unk_id, self.add_bos,
+                                self.add_eos, self.reverse, self.bos_id,
+                                self.eos_id)
+                for p in paths[:n]]
+
+        return self._bucketed(normed, run, unpack)
+
     def sample(self, texts: Sequence[str], alpha,
                rng=None) -> List[List[int]]:
         """Device lattice sampling (unigram_sample_batch) with the same

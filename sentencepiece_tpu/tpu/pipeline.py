@@ -569,6 +569,22 @@ class TpuTokenizer:
                 np.asarray(values, np.int32),
                 np.asarray([len(ragged), maxlen], np.int64))
 
+    def nbest_encode(self, texts: Sequence,
+                     nbest_size: int) -> List[List[List[int]]]:
+        """N-best segmentations per text (the processor's NBestEncode,
+        unigram_model.cc:339-478). Unigram models run the device k-best
+        scan with host rescoring + tie-gated fallback (byte-exact ids —
+        see UnigramBatchEncoder.nbest_ids); other model families and
+        host-only configurations delegate to the exact host path
+        (the reference's non-unigram NBestEncode is 1-best)."""
+        if (self.enc is None or self.norm.user_host_only
+                or nbest_size <= 1):
+            return [[list(map(int, p))
+                     for p in self.processor.nbest_encode_as_ids(
+                         t, nbest_size)] for t in texts]
+        return self.enc.nbest_ids(list(texts), int(nbest_size),
+                                  processor=self.processor)
+
     def sample_encode(self, texts: Sequence, nbest_size, alpha,
                       rng=None) -> List[List[int]]:
         """Per-ROW sampled segmentation — the TF ops' nbest_size/alpha

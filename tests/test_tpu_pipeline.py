@@ -432,3 +432,26 @@ def test_per_row_alpha_distribution():
     assert abs(p_lo - h_lo) < 0.12
     assert abs(p_hi - h_hi) < 0.12
     assert p_hi > p_lo + 0.2  # the rows really got different alphas
+
+
+def test_device_nbest_byte_exact_order():
+    """TpuTokenizer.nbest_encode returns the host n-best ids in the
+    host's ORDER (VERDICT r4 item 10): device k-best set + host
+    float-chain rescoring; rows with exact score ties fall back to the
+    tie-exact host path, so the output is byte-exact by construction."""
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+
+    sp = SentencePieceProcessor(
+        "/root/reference/python/test/test_model.model")
+    tok = TpuTokenizer(sp)
+    raw = open("/root/reference/data/botchan.txt", "rb").read()
+    lines = [ln.decode("utf-8", "surrogateescape")
+             for ln in raw.split(b"\n") if 0 < len(ln) <= 96][:64]
+    for n in (2, 5):
+        dev = tok.nbest_encode(lines, n)
+        host = [[list(map(int, p))
+                 for p in sp.nbest_encode_as_ids(t, n)] for t in lines]
+        bad = [i for i in range(len(lines)) if dev[i] != host[i]]
+        assert not bad, (n, len(bad), bad[:3],
+                         (dev[bad[0]], host[bad[0]]) if bad else None)
