@@ -167,12 +167,17 @@ def build_shard_arrays(words, csr, K: int, num_seed: int, classes,
     if dest_parts:
         dest = np.concatenate(dest_parts)
         sids = np.concatenate(sid_parts)
-        order = np.lexsort((dest, sids))
+        # single int64 composite key instead of a 2-key lexsort (the
+        # lexsort was the em_pack hot spot: ~1 s at config-5 scale);
+        # keys are unique (dest is), so the order is total
+        key = sids * np.int64(lane_base + 2) + dest
+        order = np.argsort(key)
         dest = dest[order].astype(np.int32)
         sids = sids[order]
-        uniq, first = np.unique(sids, return_index=True)
+        first = np.concatenate(
+            [[0], 1 + np.nonzero(sids[1:] != sids[:-1])[0]])
         seg_pos = np.full(num_seed + 1, -1, np.int32)
-        seg_pos[uniq] = first.astype(np.int32)
+        seg_pos[sids[first]] = first.astype(np.int32)
     else:
         dest = np.zeros(0, np.int32)
         seg_pos = np.full(num_seed + 1, -1, np.int32)
