@@ -315,11 +315,15 @@ class TpuTokenizer:
             from .span_encode import span_encode_batch
             se = self._span
             s_arcs = tuple(se.arcs) if se.arcs is not None else ()
-            tables = norm_tables + (se.units, se.zero_scores) + s_arcs
+            su_tbl = (se.u_units,) if se.u_units is not None else ()
+            tables = norm_tables + (se.units, se.zero_scores) \
+                + su_tbl + s_arcs
 
             def core_span(batch, lengths, *tabs):
                 nt, st = tabs[:NT], tabs[NT:NT + 2]
-                at = tabs[NT + 2:] if len(tabs) > NT + 2 else None
+                rest = tabs[NT + 2:]
+                su = rest[0] if su_tbl else None
+                at = rest[len(su_tbl):] or None
                 norm_out, enc_len, overflow = norm_stage(batch, lengths,
                                                          *nt)
                 ids, n_ids = span_encode_batch(
@@ -329,7 +333,9 @@ class TpuTokenizer:
                     suffix=se.suffix, add_bos=se.add_bos,
                     add_eos=se.add_eos, reverse=se.reverse,
                     bos_id=se.bos_id, eos_id=se.eos_id, pad_id=se.pad_id,
-                    arcs=at, bands=se.bands)
+                    arcs=at, bands=se.bands, u_units=su,
+                    u_max_len=se.u_max_len,
+                    u_root_state=se.u_root_state)
                 return ids, n_ids, overflow
 
             return core_span, tables
