@@ -54,8 +54,18 @@ def _cache_fingerprint() -> str:
             flags = next((ln for ln in f if ln.startswith("flags")), "")
     except OSError:  # pragma: no cover
         flags = ""
+    # the host CPU model is part of the key: XLA:CPU AOT entries bake
+    # the compile machine's ISA features, and loading them on another
+    # host warns/SIGILLs (cpu_aot_loader; observed r5 when a cache dir
+    # outlived a machine change). TPU executables don't care, so the
+    # only cost is a cold cache after a host swap.
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu = next((ln for ln in f if ln.startswith("model name")), "")
+    except OSError:  # pragma: no cover
+        cpu = ""
     key = "|".join([flags, os.environ.get("XLA_FLAGS", ""),
-                    os.environ.get("JAX_PLATFORMS", "")])
+                    os.environ.get("JAX_PLATFORMS", ""), cpu])
     return hashlib.sha256(key.encode()).hexdigest()[:10]
 
 

@@ -37,8 +37,6 @@ def enable() -> None:
     spec = os.environ.get("SPM_COMPILE_CACHE", "")
     if spec == "0":
         return
-    path = spec if spec and spec != "1" else os.path.join(
-        os.path.expanduser("~"), ".cache", "sentencepiece_tpu", "xla")
     try:
         import jax
 
@@ -48,6 +46,18 @@ def enable() -> None:
         # compiles are cheap anyway. The win is the TPU backend.
         if jax.default_backend() == "cpu":
             return
+        if spec and spec != "1":
+            path = spec
+        else:
+            # same directory scheme as tpu/pipeline.py (one cache for
+            # the whole package, fingerprinted by libtpu/XLA flags and
+            # host CPU)
+            from ..tpu import pipeline as _p
+
+            path = os.path.join(
+                os.environ.get("SPM_TPU_CACHE_DIR",
+                               "/tmp/sentencepiece_tpu_jax_cache"),
+                _p._cache_fingerprint())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # trainer programs worth caching compile in >= ~0.5 s; smaller
