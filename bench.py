@@ -502,6 +502,45 @@ def _emit(results: dict, deadline: float) -> None:
         print(json.dumps(d))
 
 
+def _backend_alive(budget_s: int = 150) -> bool:
+    """Probe whether the device backend initializes at all, in a
+    SUBPROCESS with a hard timeout: when the relay process is dead
+    (observed r5: jax.devices() blocks forever inside the PJRT client
+    — no error, no timeout), every child attempt would burn its full
+    window discovering the same thing."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=budget_s, text=True)
+        return r.returncode == 0 and r.stdout.strip().isdigit()
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _emit_fallback_from_committed() -> bool:
+    """Relay-dead salvage: re-emit the last committed round's parsed
+    lane values, each clearly labeled as a fallback. Returns True if
+    something was emitted."""
+    for rn in ("BENCH_r04.json", "BENCH_r03.json", "BENCH_r02.json"):
+        try:
+            d = json.load(open(os.path.join(REPO, rn))).get("parsed")
+        except Exception:  # noqa: BLE001
+            continue
+        if not d or not d.get("value"):
+            continue
+        out = dict(d)
+        out["note"] = (
+            f"RELAY DEAD: device backend init hung in this bench "
+            f"window; values replayed from committed {rn} (measured on "
+            f"this rig in an earlier round), NOT a fresh measurement")
+        print(json.dumps(out), flush=True)
+        return True
+    return False
+
+
 def main() -> None:
     if os.environ.get("SPM_BENCH_CHILD") == "1":
         child_main()
@@ -511,6 +550,15 @@ def main() -> None:
     results: dict = {}
     want = [k for k in CHILD_ORDER]
     attempt = 0
+    if not _backend_alive():
+        _note("backend init probe hung — relay looks dead; retrying "
+              "once after 60s")
+        time.sleep(60)
+        if not _backend_alive():
+            _note("relay still dead: emitting committed-round fallback")
+            if _emit_fallback_from_committed():
+                return
+            attempt = ATTEMPTS  # fall through to the error line
     while attempt < ATTEMPTS:
         missing = [k for k in want if k not in results]
         if not missing:
