@@ -152,6 +152,29 @@ def main() -> None:
                     prefix, ref["prefix"])
                 entry["device_vs_ref_wall"] = round(
                     entry["wall_s"] / max(ref["wall_s"], 1e-9), 3)
+            # the HOST engine at the same scale: wall + byte-exactness
+            # vs the reference artifact (measured r5: unigram 32k is
+            # BYTE-IDENTICAL on the multilingual corpus)
+            if "prefix" in ref:
+                import time as _t
+                hp = f"/tmp/config5_host_{model_type}_{VOCAB}"
+                th = _t.time()
+                try:
+                    facade.train(flags.replace(
+                        f"--model_prefix={prefix}",
+                        f"--model_prefix={hp}"))
+                    hw = round(_t.time() - th, 1)
+                    ident = (open(hp + ".vocab", "rb").read()
+                             == open(ref["prefix"] + ".vocab",
+                                     "rb").read())
+                    entry["host_engine"] = {
+                        "wall_s": hw,
+                        "byte_identical_to_reference": bool(ident),
+                        "vs_ref_wall": round(
+                            hw / max(ref["wall_s"], 1e-9), 3)}
+                except Exception as e:  # noqa: BLE001
+                    entry["host_engine"] = {
+                        "error": f"{type(e).__name__}: {e}"}
         result[model_type] = entry
         print(json.dumps({model_type: entry}), file=sys.stderr, flush=True)
 

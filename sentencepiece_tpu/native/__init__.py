@@ -1121,3 +1121,73 @@ def seed_filter(arr, sa, nodes_lrd, spec, num_threads: int = 1):
     if m < 0:
         return None
     return out_idx[:m], out_score[:m]
+
+
+def em2_pack(wlen, wfreq, wcls, wrow, wcol, csr, classes, row_lo, row_hi,
+             lane_base, K: int, num_seed: int, shapes):
+    """One em2 mesh shard's packed arrays (tpu/em2.py::build_shard_arrays
+    run in C): returns (flags u8[R,C] per class, freq f32[R,C] per class,
+    dest int32[n_cand] sid-sorted, seg_pos int32[num_seed+1]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_em2p_ready", False):
+        lib.spm_em2_pack.restype = ctypes.c_int64
+        lib.spm_em2_pack.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib._em2p_ready = True
+    n = len(wlen)
+    wlen = np.ascontiguousarray(wlen, np.int32)
+    wfreq = np.ascontiguousarray(wfreq, np.float32)
+    wcls = np.ascontiguousarray(wcls, np.int32)
+    wrow = np.ascontiguousarray(wrow, np.int32)
+    wcol = np.ascontiguousarray(wcol, np.int32)
+    coff = np.ascontiguousarray(csr[0], np.int64)
+    cpos = np.ascontiguousarray(csr[1], np.int32)
+    clen = np.ascontiguousarray(csr[2], np.int32)
+    csid = np.ascontiguousarray(csr[3], np.int32)
+    ncls = len(classes)
+    cls_c = np.ascontiguousarray(classes, np.int32)
+    rlo = np.ascontiguousarray(row_lo, np.int32)
+    rhi = np.ascontiguousarray(row_hi, np.int32)
+    lbase = np.ascontiguousarray(lane_base, np.int64)
+    flags = [np.zeros(sh, np.uint8) for sh in shapes]
+    freq = [np.zeros(sh, np.float32) for sh in shapes]
+    fptr = (ctypes.c_void_p * ncls)(
+        *[f.ctypes.data_as(ctypes.c_void_p).value for f in flags])
+    qptr = (ctypes.c_void_p * ncls)(
+        *[f.ctypes.data_as(ctypes.c_void_p).value for f in freq])
+    cap = int(len(cpos))
+    dest = np.empty(max(cap, 1), np.int32)
+    seg_pos = np.full(num_seed + 1, -1, np.int32)
+    m = lib.spm_em2_pack(
+        n, wlen.ctypes.data_as(ctypes.c_void_p),
+        wfreq.ctypes.data_as(ctypes.c_void_p),
+        wcls.ctypes.data_as(ctypes.c_void_p),
+        wrow.ctypes.data_as(ctypes.c_void_p),
+        wcol.ctypes.data_as(ctypes.c_void_p),
+        coff.ctypes.data_as(ctypes.c_void_p),
+        cpos.ctypes.data_as(ctypes.c_void_p),
+        clen.ctypes.data_as(ctypes.c_void_p),
+        csid.ctypes.data_as(ctypes.c_void_p),
+        ncls, cls_c.ctypes.data_as(ctypes.c_void_p),
+        rlo.ctypes.data_as(ctypes.c_void_p),
+        rhi.ctypes.data_as(ctypes.c_void_p),
+        lbase.ctypes.data_as(ctypes.c_void_p),
+        int(K), int(num_seed),
+        ctypes.cast(fptr, ctypes.c_void_p),
+        ctypes.cast(qptr, ctypes.c_void_p),
+        dest.ctypes.data_as(ctypes.c_void_p),
+        seg_pos.ctypes.data_as(ctypes.c_void_p), cap)
+    if m < 0:
+        return None
+    return flags, freq, dest[:m].copy(), seg_pos

@@ -2270,3 +2270,105 @@ extern "C" int64_t spm_seed_filter(
   }
   return m;
 }
+
+// ---------------------------------------------------------------------------
+// em2 shard packing (tpu/em2.py::build_shard_arrays, the device unigram
+// trainer's host prep). One call builds one mesh shard: per-lane flag and
+// frequency planes for every width class plus the candidate stream —
+// destination lanes SORTED BY PIECE ID (stable counting sort, so within a
+// piece the (row, col, len) order matches the numpy composite-key argsort)
+// and the per-piece segment starts. Replaces a ~2.3 s numpy phase at
+// BASELINE config-5 scale with a linear C pass (the sort is O(n) counting).
+// ---------------------------------------------------------------------------
+extern "C" int64_t spm_em2_pack(
+    int64_t n_words,
+    const int32_t* wlen,        // [n_words] chars
+    const float* wfreq,         // [n_words]
+    const int32_t* wcls,        // [n_words] class id (-1 = skip)
+    const int32_t* wrow,        // [n_words] global row in its class
+    const int32_t* wcol,        // [n_words] start col
+    const int64_t* cand_off,    // [n_words+1]
+    const int32_t* cand_pos, const int32_t* cand_len,
+    const int32_t* cand_sid,
+    int32_t n_cls, const int32_t* cls_c,       // [n_cls] width C
+    const int32_t* row_lo, const int32_t* row_hi,  // [n_cls] shard rows
+    const int64_t* lane_base,   // [n_cls] lane offset of the class
+    int32_t K, int64_t num_seed,
+    uint8_t* const* flags_out,  // per class [R*C], zeroed by caller
+    float* const* freq_out,     // per class [R*C], zeroed by caller
+    int32_t* dest_out,          // [cap]
+    int32_t* seg_pos_out,       // [num_seed+1], filled with -1 by caller
+    int64_t cap) {
+  constexpr uint8_t F_START = 1, F_ZEND = 2, F_INWORD = 4, F_K0CAND = 8;
+  // pass 1: flag/freq planes + per-sid candidate counts
+  std::vector<int64_t> sid_cnt(static_cast<size_t>(num_seed) + 1, 0);
+  int64_t n_cand = 0;
+  for (int64_t w = 0; w < n_words; ++w) {
+    const int32_t c = wcls[w];
+    if (c < 0) continue;
+    const int32_t lo = row_lo[c], hi = row_hi[c];
+    const int32_t row = wrow[w];
+    if (row < lo || row >= hi) continue;
+    const int32_t C = cls_c[c];
+    const int64_t base = static_cast<int64_t>(row - lo) * C + wcol[w];
+    uint8_t* fl = flags_out[c];
+    float* fq = freq_out[c];
+    const int32_t L = wlen[w];
+    const float f = wfreq[w];
+    for (int32_t j = 0; j < L; ++j) {
+      fl[base + j] |= F_INWORD;
+      fq[base + j] = f;
+    }
+    fl[base] |= F_START;
+    fl[base + L] |= F_ZEND;
+    fq[base + L] = f;
+    for (int64_t ci = cand_off[w]; ci < cand_off[w + 1]; ++ci) {
+      const int32_t sid = cand_sid[ci];
+      if (sid < 0 || sid >= num_seed) continue;
+      ++sid_cnt[sid];
+      ++n_cand;
+      if (cand_len[ci] == 1) fl[base + cand_pos[ci]] |= F_K0CAND;
+    }
+  }
+  if (n_cand > cap) return -1;
+  // prefix offsets -> seg starts
+  int64_t acc = 0;
+  std::vector<int64_t> cursor(static_cast<size_t>(num_seed), 0);
+  for (int64_t s = 0; s < num_seed; ++s) {
+    cursor[s] = acc;
+    if (sid_cnt[s] > 0)
+      seg_pos_out[s] = static_cast<int32_t>(acc);
+    acc += sid_cnt[s];
+  }
+  // pass 2: scatter dests in word order (stable within sid: candidates
+  // of lower (row, col, len) come first — same order as the CSR)
+  for (int64_t w = 0; w < n_words; ++w) {
+    const int32_t c = wcls[w];
+    if (c < 0) continue;
+    const int32_t lo = row_lo[c], hi = row_hi[c];
+    const int32_t row = wrow[w];
+    if (row < lo || row >= hi) continue;
+    const int32_t C = cls_c[c];
+    const int64_t rbase = lane_base[c]
+        + (static_cast<int64_t>(row - lo) * K) * C;
+    for (int64_t ci = cand_off[w]; ci < cand_off[w + 1]; ++ci) {
+      const int32_t sid = cand_sid[ci];
+      if (sid < 0 || sid >= num_seed) continue;
+      const int64_t d = rbase
+          + static_cast<int64_t>(cand_len[ci] - 1) * C
+          + wcol[w] + cand_pos[ci];
+      dest_out[cursor[sid]++] = static_cast<int32_t>(d);
+    }
+  }
+  // pass 3: within each sid segment, dest ascending — the SAME order
+  // as the numpy composite-key argsort (tpu/em2.py), so the device
+  // program's segmented f32 sums are bit-identical whichever side
+  // built the stream
+  acc = 0;
+  for (int64_t s = 0; s < num_seed; ++s) {
+    if (sid_cnt[s] > 1)
+      std::sort(dest_out + acc, dest_out + acc + sid_cnt[s]);
+    acc += sid_cnt[s];
+  }
+  return n_cand;
+}

@@ -1082,24 +1082,62 @@ class _DeviceEM2:
                 np.add.at(shard_counts, shard, per_word[p[:, 0]])
             n_cand_pad = max(int(shard_counts.max()), 1)
 
-            # build this process's local device shards
+            # build this process's local device shards — native C pass
+            # (native.em2_pack) with the numpy builder as fallback;
+            # both produce bit-identical streams (same within-segment
+            # dest order)
             lo0, hi0 = dist.local_row_range(Rg[0], self.mesh)
             n_local = (hi0 - lo0) // rows_per_shard[0]
             first_shard = lo0 // rows_per_shard[0]
             fl_parts = [[] for _ in classes]
             fq_parts = [[] for _ in classes]
             dest_parts, segpos_parts = [], []
+            from .. import native as native_mod
+
+            use_native = native_mod.available()
+            if use_native:
+                wcls = np.full(len(words), -1, np.int32)
+                wrow = np.zeros(len(words), np.int32)
+                wcol = np.zeros(len(words), np.int32)
+                for c, pl in enumerate(placements):
+                    if not pl:
+                        continue
+                    p = np.asarray(pl, np.int64)
+                    wcls[p[:, 0]] = c
+                    wrow[p[:, 0]] = p[:, 1]
+                    wcol[p[:, 0]] = p[:, 2]
+                wlen_a = np.fromiter((len(w) for w, _ in words),
+                                     np.int32, len(words))
+                wfreq_a = np.fromiter((f for _, f in words),
+                                      np.float32, len(words))
+                lane_bases = np.zeros(len(classes), np.int64)
+                b = 0
+                for c in range(len(classes)):
+                    lane_bases[c] = b
+                    b += rows_per_shard[c] * K * classes[c]
             for s in range(n_local):
                 g = first_shard + s
                 lo = [g * rows_per_shard[c] for c in range(len(classes))]
                 hi = [(g + 1) * rows_per_shard[c]
                       for c in range(len(classes))]
-                fls, fqs, dest, seg_pos = em2.build_shard_arrays(
-                    words, csr, K, self.num_seed, classes, placements,
-                    lo, hi)
+                r = None
+                if use_native:
+                    r = native_mod.em2_pack(
+                        wlen_a, wfreq_a, wcls, wrow, wcol, csr, classes,
+                        lo, hi, lane_bases, K, self.num_seed,
+                        [(rows_per_shard[c], classes[c])
+                         for c in range(len(classes))])
+                if r is not None:
+                    fls, fqs, dest, seg_pos = r
+                else:
+                    fls, fqs, dest, seg_pos = em2.build_shard_arrays(
+                        words, csr, K, self.num_seed, classes,
+                        placements, lo, hi)
                 for c in range(len(classes)):
-                    fl_parts[c].append(fls[c])
-                    fq_parts[c].append(fqs[c])
+                    fl_parts[c].append(np.asarray(fls[c]).reshape(
+                        rows_per_shard[c], classes[c]))
+                    fq_parts[c].append(np.asarray(fqs[c]).reshape(
+                        rows_per_shard[c], classes[c]))
                 # pad candidates to the common per-shard stream length
                 # with dump-lane entries (dest == lanes): their scores
                 # scatter off the end and their marginals read 0
