@@ -455,3 +455,53 @@ def test_device_nbest_byte_exact_order():
         bad = [i for i in range(len(lines)) if dev[i] != host[i]]
         assert not bad, (n, len(bad), bad[:3],
                          (dev[bad[0]], host[bad[0]]) if bad else None)
+
+
+def test_fuzz_restricted_bpe_and_char_user(fixtures_dir, tmp_path):
+    """Seeded fuzz for the r5 device paths: set_vocabulary-restricted
+    BPE (per-row rev_merge flag -> host fallback) and char models with
+    user-defined symbols (user-span coverage). Random byte soup plus
+    user-symbol fragments must match the host processor exactly."""
+    import numpy as np
+    from sentencepiece_tpu import SentencePieceProcessor
+    from sentencepiece_tpu.proto.spec import PieceType
+    from sentencepiece_tpu.tpu.pipeline import TpuTokenizer
+    from sentencepiece_tpu.train import facade
+
+    rng = np.random.default_rng(20260821)
+    alphabet = (list(b"abcdefgh THE the.,!?<sep>") + [0x09, 0x0A, 0x0D]
+                + [0xE2, 0x96, 0x81, 0xC3, 0xA9, 0xEF, 0xBF, 0x80, 0xFF,
+                   0xE2, 0x91, 0xA0])  # ① bytes
+    texts = []
+    for _ in range(100):
+        n = int(rng.integers(0, 100))
+        texts.append(bytes(rng.choice(alphabet, n).astype(np.uint8))
+                     .decode("utf-8", "surrogateescape"))
+    texts += ["<sep>", "a<sep>b ① c", "<sep><sep>①①", ""]
+
+    # restricted BPE
+    sp = SentencePieceProcessor(str(fixtures_dir / "bpe_en_300.model"))
+    keep = [sp.id_to_piece(i) for i in range(len(sp))
+            if len(sp.id_to_piece(i)) <= 2]
+    sp.set_vocabulary(keep)
+    assert (sp.model.types == PieceType.UNUSED).any()
+    tok = TpuTokenizer(sp)
+    assert not tok._bpe.host_only
+    bad = [(i, t[:30]) for i, (t, d) in
+           enumerate(zip(texts, tok.encode(texts)))
+           if d != sp.encode_as_ids(t)]
+    assert not bad, bad[:3]
+
+    # char + user
+    facade.train(
+        f"--input={fixtures_dir / 'user_test_corpus.txt'} "
+        "--model_type=char --vocab_size=200 --hard_vocab_limit=false "
+        "--minloglevel=2 --user_defined_symbols=<sep>,① "
+        f"--model_prefix={tmp_path}/cu")
+    spc = SentencePieceProcessor(str(tmp_path / "cu.model"))
+    tokc = TpuTokenizer(spc)
+    assert tokc._span is not None and not tokc._span.host_only
+    bad = [(i, t[:30]) for i, (t, d) in
+           enumerate(zip(texts, tokc.encode(texts)))
+           if d != spc.encode_as_ids(t)]
+    assert not bad, bad[:3]
