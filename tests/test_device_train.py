@@ -41,13 +41,14 @@ def _train(tmp_path, engine, **env):
     import os
     from sentencepiece_tpu.train import facade
 
+    extra = env.pop("SPM_EXTRA", "")
     old = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
     try:
         facade.train(
             f"--input={FIX / 'sub.txt'} --model_prefix={tmp_path}/m "
             "--model_type=unigram --vocab_size=300 --hard_vocab_limit=false "
-            "--minloglevel=2", engine=engine)
+            f"--minloglevel=2 {extra}".strip(), engine=engine)
     finally:
         for k, v in old.items():
             if v is None:
@@ -90,3 +91,14 @@ def test_unigram_device_engine_pure(tmp_path):
     ds = np.array([dv[p] for p in common])
     es = np.array([ex[p] for p in common])
     np.testing.assert_allclose(ds, es, rtol=0, atol=2e-3)
+
+
+def test_unigram_device_engine_sub_iterations(tmp_path):
+    """engine="device" with a non-default --num_sub_iterations builds a
+    matching round program (em2 bakes n_sub statically) and still
+    emits the exact-engine artifact bytes."""
+    exact_model, exact_vocab = _train(tmp_path, "exact",
+                                      SPM_EXTRA="--num_sub_iterations=3")
+    dev_model, dev_vocab = _train(tmp_path, "device",
+                                  SPM_EXTRA="--num_sub_iterations=3")
+    assert dev_vocab == exact_vocab
