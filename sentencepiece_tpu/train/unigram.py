@@ -910,7 +910,29 @@ class Trainer(TrainerInterface):
         if self.engine == "device":
             import os as _os2
 
-            if _os2.environ.get("SPM_DEVICE_EM", "v2") == "v1":
+            # em2 holds the whole packed lattice (~24 B/lane of live
+            # f32 temporaries per sub-iteration) in HBM at once; the r4
+            # bucket engine (v1) chunks rows per dispatch instead, so
+            # corpora whose per-chip lane share would blow HBM fall
+            # back to it automatically. ~37M chars/chip fits a 16 GB
+            # v5e with a 2x margin.
+            choice = _os2.environ.get("SPM_DEVICE_EM", "v2")
+            if choice != "v1":
+                import jax as _jax
+
+                K_ = ts.max_sentencepiece_length
+                chars = sum(len(w) + 1 for w, _ in self.sentences)
+                ndev = max(len(_jax.devices()), 1)
+                lanes_per_dev = chars * K_ // ndev
+                cap = int(_os2.environ.get(
+                    "SPM_DEVICE_EM2_MAX_LANES", str(600_000_000)))
+                if lanes_per_dev > cap:
+                    log.info(
+                        "device EM: %d lanes/chip exceeds the em2 HBM "
+                        "budget (%d); using the chunked v1 engine",
+                        lanes_per_dev, cap)
+                    choice = "v1"
+            if choice == "v1":
                 dev = _DeviceEM(self, seed_pieces)
             else:
                 dev = _DeviceEM2(self, seed_pieces)
