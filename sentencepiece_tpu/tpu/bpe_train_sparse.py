@@ -190,26 +190,29 @@ def _pair_valid(l, r, s_len, s_wsp, s_wsi, s_scr, s_val, max_piece_len):
 
 
 def _tuple_less(cnt_a, len_a, chr_a, key_a, cnt_b, len_b, chr_b, key_b, Lp):
-    """(cnt desc, len asc, chars lex asc, key asc) tuple compare a < b."""
-    def chr_cmp(i, st):
-        lt, eq = st
-        ca = chr_a[i]
-        cb = chr_b[i]
-        lt = lt | (eq & (ca < cb))
-        eq = eq & (ca == cb)
-        return lt, eq
+    """(cnt desc, len asc, chars lex asc, key asc) tuple compare a < b.
+
+    The char chain is UNROLLED (static Lp), not a fori_loop: unrolled
+    compare/select chains fuse into one elementwise kernel, while a
+    fori body is a separate sequenced launch per depth — the r5
+    epoch-program op-count diet (the merge loop runs this 2x/merge)."""
     lt = cnt_a > cnt_b
     eq = cnt_a == cnt_b
     lt = lt | (eq & (len_a < len_b))
     eq = eq & (len_a == len_b)
-    lt, eq = jax.lax.fori_loop(0, Lp, chr_cmp, (lt, eq))
+    for i in range(Lp):
+        ca = chr_a[i]
+        cb = chr_b[i]
+        lt = lt | (eq & (ca < cb))
+        eq = eq & (ca == cb)
     return lt | (eq & (key_a < key_b))
 
 
 def _tuple_argmin_rec(cnt, len2, chr2, key, mask, Lp):
     """The tuple-minimum record (cnt desc, len asc, chars lex asc, key
-    asc) over masked records, via ~Lp elementwise reduction passes — no
-    sort. Returns (found, cnt, len, chr[Lp], key)."""
+    asc) over masked records, via Lp UNROLLED elementwise reduction
+    passes (no sort, no fori — see _tuple_less on why unrolled).
+    Returns (found, cnt, len, chr[Lp], key)."""
     BIGI = jnp.int32(2**31 - 1)
     found = jnp.any(mask)
     m = mask
@@ -217,14 +220,9 @@ def _tuple_argmin_rec(cnt, len2, chr2, key, mask, Lp):
     m = m & (cnt == c)
     l = jnp.min(jnp.where(m, len2, BIGI))
     m = m & (len2 == l)
-    chr2t = chr2.T  # [Lp, G]: dynamic row slice per depth
-
-    def body(j, mm):
-        col = jax.lax.dynamic_slice_in_dim(chr2t, j, 1, axis=0)[0]
-        ch = jnp.where(mm, col, BIGI)
-        return mm & (ch == jnp.min(ch))
-
-    m = jax.lax.fori_loop(0, Lp, body, m)
+    for j in range(Lp):
+        ch = jnp.where(m, chr2[:, j], BIGI)
+        m = m & (ch == jnp.min(ch))
     k = jnp.min(jnp.where(m, key, BIGI))
     idx = jnp.argmax(m & (key == k)).astype(jnp.int32)
     w_chr = jax.lax.dynamic_slice(chr2, (idx, jnp.int32(0)), (1, Lp))[0]
@@ -370,29 +368,31 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             return jax.lax.psum(s, axis_name)
 
         def table_argmin(t_key_c, t_cnt_c, t_len_c, t_chr_c):
-            """index of the tuple-min (cnt desc, len, lex, key) entry."""
+            """index of the tuple-min (cnt desc, len, lex, key) entry.
+            Char passes unrolled (see _tuple_less)."""
             occ = t_key_c >= 0
             m = jnp.max(jnp.where(occ, t_cnt_c, NEG))
             msk = occ & (t_cnt_c == m)
             ml_ = jnp.min(jnp.where(msk, t_len_c, BIG))
             msk &= t_len_c == ml_
-            def body(j, mk):
-                c = jnp.where(mk, t_chr_c[:, j], BIG)
-                return mk & (c == jnp.min(c))
-            msk = jax.lax.fori_loop(0, Lp, body, msk)
+            for j in range(Lp):
+                c = jnp.where(msk, t_chr_c[:, j], BIG)
+                msk = msk & (c == jnp.min(c))
             kk = jnp.min(jnp.where(msk, t_key_c, BIG))
             idx = jnp.argmax(msk & (t_key_c == kk)).astype(jnp.int32)
             return idx, m
 
         def select(key_c, tracked_c, t_key_c, t_cnt_c, t_len_c, t_chr_c):
-            """while_loop: resolve the exact global-best table entry.
-            Returns (t_key, t_cnt, winner_idx, exact_cnt, ok, stuck)."""
-            def cond(st):
-                t_key_i, t_cnt_i, idx, exact, done, iters = st
-                return (~done) & (iters < 2 * K)
+            """Resolve the exact global-best table entry.
+            Returns (t_key, t_cnt, winner_idx, exact_cnt, ok, stuck).
 
-            def body(st):
-                t_key_i, t_cnt_i, idx, exact, done, iters = st
+            The first argmin+recount is PEELED out of the while_loop:
+            table counts are upper bounds that usually survive their
+            recount (the winner's count only changed if a recent merge
+            touched its occurrences), so the common case runs zero
+            while iterations — the loop body's ~dozens of sequenced
+            micro-ops only execute on genuinely stale entries."""
+            def step(t_key_i, t_cnt_i, idx, exact):
                 c1, m = table_argmin(t_key_i, t_cnt_i, t_len_c, t_chr_c)
                 has = m > 0.5
                 wkey = t_key_i[c1]
@@ -406,11 +406,24 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                 done_now = resolved | ~has
                 return (t_key_i, t_cnt_i,
                         jnp.where(resolved, c1, idx),
-                        jnp.where(resolved, ex, jnp.where(has, exact, 0.0)),
-                        done_now, iters + 1)
+                        jnp.where(resolved, ex,
+                                  jnp.where(has, exact, 0.0)),
+                        done_now)
 
-            st0 = (t_key_c, t_cnt_c, jnp.int32(-1), jnp.float32(0.0),
-                   jnp.bool_(False), jnp.int32(0))
+            def cond(st):
+                t_key_i, t_cnt_i, idx, exact, done, iters = st
+                return (~done) & (iters < 2 * K)
+
+            def body(st):
+                t_key_i, t_cnt_i, idx, exact, done, iters = st
+                t_key_i, t_cnt_i, idx, exact, done_now = step(
+                    t_key_i, t_cnt_i, idx, exact)
+                return (t_key_i, t_cnt_i, idx, exact, done_now,
+                        iters + 1)
+
+            tk0, tc0, idx0, ex0, done0 = step(
+                t_key_c, t_cnt_c, jnp.int32(-1), jnp.float32(0.0))
+            st0 = (tk0, tc0, idx0, ex0, done0, jnp.int32(1))
             t_key_o, t_cnt_o, idx, exact, done, iters = \
                 jax.lax.while_loop(cond, body, st0)
             ok = idx >= 0
