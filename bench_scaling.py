@@ -180,16 +180,18 @@ def _bpe_measure(epochs: int = 3) -> dict:
 
     state = [st.sym_d, st.tracked_d, None]
 
+    ok_flag = [st.rep(np.ones((), np.bool_))]
+
     def do_epoch(table, use_w):
         out = st.epoch(state[0], state[1], st.freqs_d, *table[:4],
                        *table[4:12], st.s_len_d, st.s_wsp_d,
                        st.s_wsi_d, st.s_scr_d, st.s_val_d, st.s_chr_d,
                        st.ml, st.mr, st.mf, st.e_len, st.e_chr,
-                       st.next_id, st.k_done, use_w)
+                       st.next_id, st.k_done, use_w, ok_flag[0])
         (state[0], state[1], tk, tc, tl, tch, st.s_len_d, st.s_wsp_d,
          st.s_wsi_d, st.s_scr_d, st.s_val_d, st.s_chr_d, st.ml, st.mr,
          st.mf, st.e_len, st.e_chr, st.next_id, st.k_done,
-         status) = out
+         status, ok_flag[0]) = out
         return (tk, tc, tl, tch) + tuple(table[4:12]), status
 
     use_t = st.rep(np.ones((), np.bool_))
@@ -204,6 +206,7 @@ def _bpe_measure(epochs: int = 3) -> dict:
     jax.block_until_ready(r2[0])
     ms_refresh = (time.time() - t_ref0) * 1000
     table = tuple(r2[:12])
+    ok_flag[0] = st.rep(np.ones((), np.bool_))
     k0 = int(np.asarray(st.k_done))
     t0 = time.time()
     use = use_t

@@ -44,11 +44,16 @@ def _run_reference(model_type: str) -> dict:
         return {"error": f"missing {binary} (run scripts/build_reference.sh)"}
     prefix = f"/tmp/config5_ref_{model_type}_{VOCAB}"
     t0 = time.time()
-    subprocess.run(
-        [binary, f"--input={CORPUS}", f"--model_type={model_type}",
-         f"--vocab_size={VOCAB}", "--hard_vocab_limit=false",
-         f"--max_sentence_length={MAX_SENT}", "--minloglevel=2",
-         f"--model_prefix={prefix}"], check=True, capture_output=True)
+    try:
+        subprocess.run(
+            [binary, f"--input={CORPUS}", f"--model_type={model_type}",
+             f"--vocab_size={VOCAB}", "--hard_vocab_limit=false",
+             f"--max_sentence_length={MAX_SENT}", "--minloglevel=2",
+             f"--model_prefix={prefix}"], check=True,
+            capture_output=True)
+    except Exception as e:  # noqa: BLE001 - never lose the device entry
+        return {"error": f"{type(e).__name__}: {e}",
+                "wall_s": round(time.time() - t0, 1)}
     return {"wall_s": round(time.time() - t0, 1), "prefix": prefix}
 
 

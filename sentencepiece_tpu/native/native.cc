@@ -2299,7 +2299,7 @@ extern "C" int64_t spm_em2_pack(
     int32_t* dest_out,          // [cap]
     int32_t* seg_pos_out,       // [num_seed+1], filled with -1 by caller
     int64_t cap) {
-  constexpr uint8_t F_START = 1, F_ZEND = 2, F_INWORD = 4, F_K0CAND = 8;
+  constexpr uint8_t F_START = 1, F_ZEND = 2, F_INWORD = 4;
   // pass 1: flag/freq planes + per-sid candidate counts
   std::vector<int64_t> sid_cnt(static_cast<size_t>(num_seed) + 1, 0);
   int64_t n_cand = 0;
@@ -2327,7 +2327,6 @@ extern "C" int64_t spm_em2_pack(
       if (sid < 0 || sid >= num_seed) continue;
       ++sid_cnt[sid];
       ++n_cand;
-      if (cand_len[ci] == 1) fl[base + cand_pos[ci]] |= F_K0CAND;
     }
   }
   if (n_cand > cap) return -1;

@@ -564,7 +564,7 @@ class BpeBatchEncoder:
         has_user = bool((types == PieceType.USER_DEFINED).any())
         self.host_only = False
         user_pieces = []
-        if has_user and not self.host_only:
+        if has_user:
             # CANONICAL ORDER: sorted unique byte strings — the same
             # order NormalizerTables gives the user trie's values, which
             # user_frz_batch adds to U0. Building this list in vocab

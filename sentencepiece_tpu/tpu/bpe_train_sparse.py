@@ -86,9 +86,10 @@ KEY_EMPTY = jnp.int32(-1)
 CHR_PAD = jnp.int32(0x7FFFFFFF)  # sorts AFTER every real codepoint
 
 # status codes returned by the epoch program
-ST_REFRESH = 0     # table exhausted / floor reached / append overflow
+ST_REFRESH = 0     # floor reached / selection stuck (table still valid)
 ST_DONE = 1        # n_merges emitted
 ST_NO_PAIRS = 2    # corpus has no mergeable pair left
+ST_REFRESH_STALE = 3  # append overflow: table is MISSING new pairs
 
 
 def _lane_keys(sym, universe):
@@ -353,7 +354,8 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                    fl_cnt, fl_len, fl_chr, fl_key,
                    w_key, w_cnt, w_len, w_chr,
                    s_len, s_wsp, s_wsi, s_scr, s_val, s_chr,
-                   ml, mr, mf, e_len, e_chr, next_id, k_done, use_w0):
+                   ml, mr, mf, e_len, e_chr, next_id, k_done, use_w0,
+                   tbl_ok0):
         W, L = sym.shape
         SENT = jnp.int32(2**31 - 1)
         BIG = jnp.int32(2**31 - 1)
@@ -622,8 +624,10 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             status_n = jnp.where(
                 no_pairs, ST_NO_PAIRS,
                 jnp.where(k_n >= n_merges, ST_DONE,
-                          jnp.where(need_refresh | append_ovf,
-                                    ST_REFRESH, -1))).astype(jnp.int32)
+                          jnp.where(append_ovf, ST_REFRESH_STALE,
+                                    jnp.where(need_refresh,
+                                              ST_REFRESH,
+                                              -1)))).astype(jnp.int32)
             return (sym_n, tracked_n, key_nn, alive_nn,
                     t_key_c, t_cnt_c, t_len_c, t_chr_c,
                     s_len_n, s_wsp_n, s_wsi_n, s_scr_n, s_val_n, s_chr_n,
@@ -631,16 +635,28 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                     status_n, jnp.zeros((), jnp.bool_))
 
         key0, alive0 = _lane_keys(sym, U)
+        # tbl_ok0: the table-staleness flag threaded by the driver. An
+        # epoch that ends on append overflow leaves the table MISSING
+        # the overflowed new pairs — unlike a floor exit, follow-on
+        # epochs could not detect that and would merge from the stale
+        # table (wrong merge order; caught by the r5 self-review's
+        # empirical repro). With the flag, such epochs start in
+        # ST_REFRESH and apply nothing.
         st0 = (sym, tracked, key0, alive0, t_key, t_cnt, t_len, t_chr,
                s_len, s_wsp, s_wsi, s_scr, s_val, s_chr, ml, mr, mf,
-               e_len, e_chr, next_id, k_done, jnp.int32(-1), use_w0)
+               e_len, e_chr, next_id, k_done,
+               jnp.where(tbl_ok0, jnp.int32(-1), jnp.int32(ST_REFRESH)),
+               use_w0)
         out = jax.lax.while_loop(step_cond, step_body, st0)
         # ALSO return the table state so the host driver can dispatch
         # another epoch without an intervening refresh (r5: the r4
         # driver refreshed unconditionally before every epoch — ~8x
         # more refreshes than the floor/append logic requires); the
-        # carried (key, alive) lane state stays internal
-        return out[:2] + out[4:-1]
+        # carried (key, alive) lane state stays internal. tbl_ok_out
+        # propagates staleness to the next in-wave epoch.
+        status_out = out[-2]
+        tbl_ok_out = tbl_ok0 & (status_out != ST_REFRESH_STALE)
+        return out[:2] + out[4:-1] + (tbl_ok_out,)
 
     shard = P(axis_name)
     rep = P()
@@ -650,8 +666,8 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
         out_specs=(rep,) * 13, check_vma=False))
     epoch = jax.jit(shard_map(
         epoch_impl, mesh=mesh,
-        in_specs=(shard, shard, shard) + (rep,) * 26,
-        out_specs=(shard, shard) + (rep,) * 18, check_vma=False))
+        in_specs=(shard, shard, shard) + (rep,) * 27,
+        out_specs=(shard, shard) + (rep,) * 19, check_vma=False))
     return refresh, epoch
 
 
@@ -719,10 +735,32 @@ def prepare_sparse_engine(trainer, n_merges: int,
         return None
     # bound at 2^24, the tighter of the two limits: above it the f32
     # count arithmetic itself stops being integral (the "exact psum
-    # below 2^24" contract in the module docstring)
-    max_pair_count = sum(f * max(len(w) - 1, 0) for w, f in words)
-    if max_pair_count >= (1 << 24):
-        return None
+    # below 2^24" contract in the module docstring). The bound is the
+    # TRUE maximum single-pair frequency (merged pairs only shrink
+    # counts and new pairs are bounded by their parents'), computed
+    # vectorized — the r5 self-review caught an earlier total-positions
+    # bound that declined valid ~17 MB+ corpora by 10-100x.
+    if words:
+        import numpy as _np
+
+        char_ids = {c: i for i, c in
+                    enumerate(sorted({c for w, _ in words for c in w}))}
+        _A = len(char_ids) + 1
+        pair_keys_l, pair_w_l = [], []
+        for w, f in words:
+            if len(w) < 2:
+                continue
+            ids = _np.fromiter((char_ids[c] for c in w), _np.int64,
+                               len(w))
+            pair_keys_l.append(ids[:-1] * _A + ids[1:])
+            pair_w_l.append(_np.full(len(w) - 1, f, _np.int64))
+        if pair_keys_l:
+            pk = _np.concatenate(pair_keys_l)
+            pw = _np.concatenate(pair_w_l)
+            uniq, inv = _np.unique(pk, return_inverse=True)
+            maxcnt = int(_np.bincount(inv, weights=pw).max())
+            if maxcnt >= (1 << 24):
+                return None
 
     # Pack words into rows of width C with SEP symbols between words
     # (freqs become per-LANE). One word per row wastes ~90% of the lanes
@@ -871,6 +909,7 @@ def prepare_sparse_engine(trainer, n_merges: int,
                      jax.ShapeDtypeStruct((n_merges, Lp), np.int32),
                      jax.ShapeDtypeStruct((), np.int32),
                      jax.ShapeDtypeStruct((), np.int32),
+                     jax.ShapeDtypeStruct((), np.bool_),
                      jax.ShapeDtypeStruct((), np.bool_)))
         t0 = _time.time()
         lowered = epoch.lower(*args_e)
@@ -951,12 +990,17 @@ def train_device_bpe_sparse(trainer, n_merges: int,
               file=_sys.stderr, flush=True)
     use_w_t = rep(np.ones((), np.bool_))
     use_w_f = rep(np.zeros((), np.bool_))
+    tbl_ok = use_w_t
     prev_k, stalls = -1, 0
     done = False
     need_refresh = True
     it = 0
+    # runaway guard only: no-op epochs (post-overflow stale, or
+    # post-floor) count iterations, so the bound scales with the wave;
+    # real non-progress is caught by the stall counter
+    it_cap = wave * (n_merges + 16)
     t_phase = _time.time()
-    while not done and it < 2 * n_merges + 16:
+    while not done and it < it_cap:
         stats = []
         overflow_d = None
         for _ in range(wave):
@@ -968,16 +1012,17 @@ def train_device_bpe_sparse(trainer, n_merges: int,
                                        s_len_d, s_wsp_d, s_wsi_d,
                                        s_scr_d, s_val_d, s_chr_d)
                 use_w = use_w_t
+                tbl_ok = use_w_t
                 need_refresh = False
             out = epoch(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len,
                         t_chr, fl_cnt, fl_len, fl_chr, fl_key,
                         w_key, w_cnt, w_len, w_chr,
                         s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
                         s_chr_d, ml, mr, mf, e_len, e_chr, next_id,
-                        k_done, use_w)
+                        k_done, use_w, tbl_ok)
             (sym_d, tracked_d, t_key, t_cnt, t_len, t_chr, s_len_d,
              s_wsp_d, s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf,
-             e_len, e_chr, next_id, k_done, status) = out
+             e_len, e_chr, next_id, k_done, status, tbl_ok) = out
             use_w = use_w_f
             stats.append((overflow_d, status, k_done))
             overflow_d = None
@@ -1000,8 +1045,10 @@ def train_device_bpe_sparse(trainer, n_merges: int,
             if stat in (ST_DONE, ST_NO_PAIRS):
                 done = True
                 break
-            if stat == ST_REFRESH:
-                # epochs after this one were no-ops; refresh and go on
+            if stat in (ST_REFRESH, ST_REFRESH_STALE):
+                # epochs after this one were no-ops (floor exits
+                # re-derive their guard; stale exits start ST_REFRESH
+                # via the threaded tbl_ok flag); refresh and go on
                 stalls = stalls + 1 if k_now == prev_k else 0
                 prev_k = k_now
                 need_refresh = True

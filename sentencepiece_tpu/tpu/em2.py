@@ -66,7 +66,6 @@ K_UNK_PENALTY = 10.0
 F_START = 1    # word's first char col
 F_ZEND = 2     # boundary col just past a word's last char
 F_INWORD = 4   # char cols
-F_K0CAND = 8   # col whose len-1 substring IS a seed piece
 
 
 # --------------------------------------------------------------------------
@@ -159,8 +158,6 @@ def build_shard_arrays(words, csr, K: int, num_seed: int, classes,
                 d = lane_base + (crow * K + clen - 1) * C + ccol
                 dest_parts.append(d)
                 sid_parts.append(csid)
-                k0 = clen == 1
-                flags.reshape(-1)[(crow * C + ccol)[k0]] |= F_K0CAND
         flags_l.append(flags)
         freq_l.append(freq)
         lane_base += R * K * C
@@ -366,8 +363,8 @@ def make_round_fn(shapes, K: int, num_seed: int, n_sub: int,
         marg_aug = jnp.concatenate(
             [marg_flat, jnp.zeros((1,), jnp.float32)])
         stream_marg = marg_aug[dest]                        # [n_cand]
-        seg_first = jnp.zeros((n_cand,), jnp.bool_)
-        seg_first = seg_first.at[pos].set(have, mode="drop")
+        seg_first = bhave  # identical scatter computed for the
+        #                    score-broadcast side above
 
         def comb(a, b):
             va, fa = a

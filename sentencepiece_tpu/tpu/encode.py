@@ -689,7 +689,21 @@ class UnigramBatchEncoder:
             top = paths[:n + 1]
             tie = any(top[i][0] == top[i + 1][0]
                       for i in range(len(top) - 1))
-            if tie and processor is not None:
+            # cut-boundary soundness: when the device returned a FULL
+            # k candidates, paths outside its set have device-score <=
+            # the worst returned one; their host score is within the
+            # cross-engine per-path drift bound EPS of that. Unless the
+            # n-th best clears the worst returned score by more than
+            # 2*EPS, an excluded path could outrank it — fall back.
+            # (#valid < k means the lattice has < k paths total: the
+            # set is complete and no cut exists.)
+            cut_risk = False
+            if len(paths) >= K and len(paths) > n:
+                worst = paths[-1][0]
+                span = max(abs(paths[n - 1][0]), abs(worst), 1.0)
+                eps = 2.0 * len(normed[gi]) * np.float32(span) * 1.2e-7
+                cut_risk = (paths[n - 1][0] - worst) <= 2.0 * eps
+            if (tie or cut_risk) and processor is not None:
                 return host_fallback(gi)
             return [
                 _apply_row_opts(p[1], self.unk_id, self.add_bos,

@@ -95,3 +95,31 @@ def test_bpe_device_engine_mesh_size_invariant(tmp_path):
         del os.environ["SPM_DATA_MESH_DEVICES"]
     assert (tmp_path / "d8.vocab").read_bytes() == \
         (tmp_path / "d1.vocab").read_bytes()
+
+
+def test_bpe_sparse_wave_invariant_under_append_overflow(tmp_path,
+                                                         monkeypatch):
+    """r5 self-review finding #1: an epoch that ends on APPEND OVERFLOW
+    leaves the table missing the overflowed new pairs; follow-on
+    in-wave epochs must be no-ops (the threaded tbl_ok flag), not merge
+    from the stale table. Forcing overflow on every merge
+    (SITE_ROWS=1), wave=8 must equal wave=1 must equal the exact host
+    engine."""
+    from sentencepiece_tpu.train import facade
+
+    monkeypatch.setenv("SPM_BPE_TRAIN_KERNEL", "sparse")
+    monkeypatch.setenv("SPM_BPE_SPARSE_SITE_ROWS", "1")
+    flags = (f"--input={FIX / 'sub.txt'} --model_type=bpe --vocab_size=300 "
+             "--hard_vocab_limit=false --minloglevel=2")
+    monkeypatch.setenv("SPM_BPE_SPARSE_WAVE", "8")
+    facade.train(f"{flags} --model_prefix={tmp_path}/w8", engine="device")
+    monkeypatch.setenv("SPM_BPE_SPARSE_WAVE", "1")
+    facade.train(f"{flags} --model_prefix={tmp_path}/w1", engine="device")
+    monkeypatch.delenv("SPM_BPE_TRAIN_KERNEL")
+    monkeypatch.delenv("SPM_BPE_SPARSE_SITE_ROWS")
+    facade.train(f"{flags} --model_prefix={tmp_path}/ex", engine="exact")
+    w8 = (tmp_path / "w8.vocab").read_bytes()
+    w1 = (tmp_path / "w1.vocab").read_bytes()
+    ex = (tmp_path / "ex.vocab").read_bytes()
+    assert w8 == w1
+    assert w8 == ex
