@@ -165,7 +165,7 @@ def _bpe_measure(epochs: int = 3) -> dict:
     import numpy as np
     import jax
     from sentencepiece_tpu.tpu.bpe_train_sparse import (
-        prepare_sparse_engine, ST_REFRESH)
+        prepare_sparse_engine, ST_REFRESH, ST_REFRESH_STALE)
 
     os.environ.setdefault("SPM_BPE_SPARSE_EPOCH_CAP", "128")
     tr = _build_bpe_workload()
@@ -183,7 +183,11 @@ def _bpe_measure(epochs: int = 3) -> dict:
     ok_flag = [st.rep(np.ones((), np.bool_))]
 
     def do_epoch(table, use_w):
-        out = st.epoch(state[0], state[1], st.freqs_d, *table[:4],
+        # the FULL-WIDTH epoch variant: the benchmark times the first
+        # few hundred merges, which is the early phase the production
+        # driver also runs on this program (site-row/new-pair caps
+        # overflow for big merges)
+        out = st.epoch_big(state[0], state[1], st.freqs_d, *table[:4],
                        *table[4:12], st.s_len_d, st.s_wsp_d,
                        st.s_wsi_d, st.s_scr_d, st.s_val_d, st.s_chr_d,
                        st.ml, st.mr, st.mf, st.e_len, st.e_chr,
@@ -220,7 +224,8 @@ def _bpe_measure(epochs: int = 3) -> dict:
     k1 = int(np.asarray(st.k_done))
     merges = max(k1 - k0, 1)
     n_refresh_needed = sum(
-        1 for x in stts if int(np.asarray(x)) == ST_REFRESH)
+        1 for x in stts
+        if int(np.asarray(x)) in (ST_REFRESH, ST_REFRESH_STALE))
     return {"bpe_lanes": st.n_lanes,
             "bpe_merges_timed": merges,
             "bpe_ms_per_merge": dt / merges * 1000,

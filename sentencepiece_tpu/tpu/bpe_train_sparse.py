@@ -546,12 +546,22 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
             row_has = jnp.any(isnew, axis=1)
             n_rows = jnp.sum(row_has, dtype=jnp.int32)
             sr = min(site_rows, W)
-            ridx = jnp.argsort(~row_has)[:sr]
-            sub_frq = freqs[ridx]
-            # the freshly-tracked lanes carry exactly the reference's
-            # _add_new_pair position inserts; sum them per distinct key
-            touch = keep_new[ridx] & apply_it
-            skey = key_n[ridx]
+            if sr >= W:
+                # full-width variant (the driver's early-phase program,
+                # r5): every row is a "site row" — no compaction, no
+                # row-count overflow; costs one corpus-wide sort per
+                # merge instead of a refresh per overflowing merge
+                sub_frq = freqs
+                touch = keep_new & apply_it
+                skey = key_n
+            else:
+                ridx = jnp.argsort(~row_has)[:sr]
+                sub_frq = freqs[ridx]
+                # the freshly-tracked lanes carry exactly the
+                # reference's _add_new_pair position inserts; sum them
+                # per distinct key
+                touch = keep_new[ridx] & apply_it
+                skey = key_n[ridx]
             flatk = jnp.where(touch, skey, SENT).reshape(-1)
             flatw = jnp.where(touch, sub_frq, 0.0).reshape(-1)
             kss, wss = jax.lax.sort((flatk, flatw), num_keys=1)
@@ -564,7 +574,7 @@ def make_programs(*, universe: int, n_merges: int, max_piece_len: int,
                                    kss)[0, :new_cap]
             nc = trie._scatter_set(nc[None, :], jnp.zeros_like(tgt), tgt,
                                    totals)[0, :new_cap]
-            row_ovf = n_rows > sr
+            row_ovf = (n_rows > sr) if sr < W else jnp.bool_(False)
             dis_ovf = jnp.sum(start, dtype=jnp.int32) > new_cap
             # merge shards' new pairs
             gk = jax.lax.all_gather(nk, axis_name).reshape(-1)
@@ -858,6 +868,17 @@ def prepare_sparse_engine(trainer, n_merges: int,
         universe=U + 1, n_merges=n_merges, max_piece_len=Lp, table_k=K,
         site_rows=site_rows, new_cap=new_cap, dist_cap=dist_cap,
         axis_name="dp", mesh=mesh)
+    # full-width epoch for the early phase: big merges touch more rows
+    # than site_rows (and create more distinct pairs than new_cap), and
+    # post-fix those epochs correctly stop at one merge + refresh —
+    # hours at scale. The driver dispatches this variant while
+    # ST_REFRESH_STALE keeps firing; per-merge it pays one corpus-wide
+    # sort instead (design.md rule 7/23 scale).
+    Wl = hi - lo
+    _, epoch_big = make_programs(
+        universe=U + 1, n_merges=n_merges, max_piece_len=Lp, table_k=K,
+        site_rows=max(Wl, 1), new_cap=min(max(new_cap, 8192), dist_cap),
+        dist_cap=dist_cap, axis_name="dp", mesh=mesh)
 
     if os.environ.get("SPM_BPE_SPARSE_COMPILE_ONLY"):
         # Diagnostic / cache-prewarm mode: AOT-compile the two programs
@@ -937,6 +958,7 @@ def prepare_sparse_engine(trainer, n_merges: int,
 
     st = _SparseState()
     st.refresh, st.epoch = refresh, epoch
+    st.epoch_big = epoch_big
     st.sym_d, st.tracked_d, st.freqs_d = sym_d, tracked_d, freqs_d
     st.s_len_d, st.s_wsp_d, st.s_wsi_d = s_len_d, s_wsp_d, s_wsi_d
     st.s_scr_d, st.s_val_d, st.s_chr_d = s_scr_d, s_val_d, s_chr_d
@@ -962,6 +984,7 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     if st is None:
         return None
     refresh, epoch = st.refresh, st.epoch
+    epoch_big = st.epoch_big
     sym_d, tracked_d, freqs_d = st.sym_d, st.tracked_d, st.freqs_d
     s_len_d, s_wsp_d, s_wsi_d = st.s_len_d, st.s_wsp_d, st.s_wsi_d
     s_scr_d, s_val_d, s_chr_d = st.s_scr_d, st.s_val_d, st.s_chr_d
@@ -994,6 +1017,10 @@ def train_device_bpe_sparse(trainer, n_merges: int,
     prev_k, stalls = -1, 0
     done = False
     need_refresh = True
+    # early-phase program selection: big merges overflow the compacted
+    # site-row/new-pair caps (ST_REFRESH_STALE); dispatch the
+    # full-width epoch until an epoch completes without staleness
+    stale_mode = True
     it = 0
     # runaway guard only: no-op epochs (post-overflow stale, or
     # post-floor) count iterations, so the bound scales with the wave;
@@ -1014,12 +1041,13 @@ def train_device_bpe_sparse(trainer, n_merges: int,
                 use_w = use_w_t
                 tbl_ok = use_w_t
                 need_refresh = False
-            out = epoch(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len,
-                        t_chr, fl_cnt, fl_len, fl_chr, fl_key,
-                        w_key, w_cnt, w_len, w_chr,
-                        s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
-                        s_chr_d, ml, mr, mf, e_len, e_chr, next_id,
-                        k_done, use_w, tbl_ok)
+            ep = epoch_big if stale_mode else epoch
+            out = ep(sym_d, tracked_d, freqs_d, t_key, t_cnt, t_len,
+                     t_chr, fl_cnt, fl_len, fl_chr, fl_key,
+                     w_key, w_cnt, w_len, w_chr,
+                     s_len_d, s_wsp_d, s_wsi_d, s_scr_d, s_val_d,
+                     s_chr_d, ml, mr, mf, e_len, e_chr, next_id,
+                     k_done, use_w, tbl_ok)
             (sym_d, tracked_d, t_key, t_cnt, t_len, t_chr, s_len_d,
              s_wsp_d, s_wsi_d, s_scr_d, s_val_d, s_chr_d, ml, mr, mf,
              e_len, e_chr, next_id, k_done, status, tbl_ok) = out
@@ -1049,10 +1077,12 @@ def train_device_bpe_sparse(trainer, n_merges: int,
                 # epochs after this one were no-ops (floor exits
                 # re-derive their guard; stale exits start ST_REFRESH
                 # via the threaded tbl_ok flag); refresh and go on
+                stale_mode = stat == ST_REFRESH_STALE
                 stalls = stalls + 1 if k_now == prev_k else 0
                 prev_k = k_now
                 need_refresh = True
                 break
+            stale_mode = False
             stalls = stalls + 1 if k_now == prev_k else 0
             prev_k = k_now
             if stalls >= 3:  # no merges across refreshes: give up
