@@ -932,6 +932,30 @@ class Trainer(TrainerInterface):
                         "budget (%d); using the chunked v1 engine",
                         lanes_per_dev, cap)
                     choice = "v1"
+                # Compile-viability gate, TPU backend only: the em2
+                # round program XLA-compiles in seconds on the CPU
+                # backend at any scale (config-5/43M lanes: measured
+                # r5), and in ~45 s wall TOTAL at wagahai-8k scale
+                # (~5M lanes) on the chip — but at config-5 scale the
+                # TPU compile never returned within a 13-minute budget
+                # (staged probe, 2026-08-21: pack 0.6 s, upload 0.4 s,
+                # lower 1.1 s, then >11 min inside compile; three
+                # independent runs). A trainer that spends minutes in
+                # the compiler loses to the 4.4 s reference binary by
+                # construction, so large corpora route to the chunked
+                # v1 engine (58-75 s at config 5 on this rig) until
+                # the compile is tamed. Force with SPM_DEVICE_EM=v2.
+                tpu_cap = int(_os2.environ.get(
+                    "SPM_DEVICE_EM2_TPU_MAX_LANES", str(16_000_000)))
+                if (choice != "v1"
+                        and _os2.environ.get("SPM_DEVICE_EM") != "v2"
+                        and _jax.devices()[0].platform == "tpu"
+                        and lanes_per_dev > tpu_cap):
+                    log.info(
+                        "device EM: %d lanes/chip exceeds the em2 TPU "
+                        "compile-viability bound (%d); using the "
+                        "chunked v1 engine", lanes_per_dev, tpu_cap)
+                    choice = "v1"
             if choice == "v1":
                 dev = _DeviceEM(self, seed_pieces)
             else:
